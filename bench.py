@@ -1,0 +1,93 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipeline at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {...},
+"sf", plus throughput extras (docs_per_s, postings_per_s)}.
+
+Scaling-efficiency evidence (N vs 4N cores) lives in
+scripts/scaling_bench.py, which writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pisa_spark.index.build import build_index_dataframes  # noqa: E402
+from pisa_spark.query.bm25 import bm25_topk_wand  # noqa: E402
+from pisa_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    {"query_id": 0, "terms": ["data", "join"], "conjunctive": False},
+    {"query_id": 1, "terms": ["the"], "conjunctive": False},
+    {"query_id": 2, "terms": ["spark", "query", "scan"], "conjunctive": False},
+    {"query_id": 3, "terms": ["window", "merge", "scan"], "conjunctive": True},
+    {"query_id": 4, "terms": ["data", "table"], "conjunctive": True},
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="pisa_spark_bench")
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    # --- index build (docs/s headline) ---
+    t0 = time.perf_counter()
+    postings, _, _, stats = build_index_dataframes(spark, sf_dir, n_buckets=32)
+    postings = postings.cache()
+    agg = postings.agg(
+        F.sum("n").alias("postings"),
+        F.count(F.lit(1)).alias("blocks"),
+        (
+            F.sum(F.octet_length("docs"))
+            + F.sum(F.octet_length("tfs"))
+            + F.sum(F.octet_length("dls"))
+        ).alias("payload_bytes"),
+    ).collect()[0]
+    t_build = time.perf_counter() - t0
+    timings["index_build"] = round(t_build, 4)
+
+    # --- queries (each timed to a collected result) ---
+    for q in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        bm25_topk_wand(
+            postings, [q], stats["n_docs"], stats["avgdl"], k=10, two_phase=True
+        ).collect()
+        timings[f"q{q['query_id']}"] = round(time.perf_counter() - t0, 4)
+    # batched: all queries in one pass (the serving-path shape)
+    t0 = time.perf_counter()
+    bm25_topk_wand(
+        postings, BENCH_QUERIES, stats["n_docs"], stats["avgdl"], k=10
+    ).collect()
+    timings["q_batch_all"] = round(time.perf_counter() - t0, 4)
+
+    total = time.perf_counter() - t_all
+    out = {
+        "metric": "index_build_plus_bm25_topk_suite",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs": int(stats["n_docs"]),
+        "docs_per_s": round(stats["n_docs"] / t_build, 2),
+        "postings": int(agg["postings"]),
+        "postings_per_s": round(agg["postings"] / t_build, 2),
+        "payload_bytes": int(agg["payload_bytes"]),
+        "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

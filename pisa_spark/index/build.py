@@ -1,0 +1,250 @@
+"""Inverted-index construction: tf -> postings -> compressed blocks.
+
+Layout decision (drives everything at 10^12-doc scale)
+------------------------------------------------------
+The serving index is **document-range partitioned**: every doc belongs
+to one of ``n_buckets`` contiguous doc-id ranges, and each bucket holds
+the posting blocks of *all* terms for its range. Consequences:
+
+* **Skew is handled structurally** (SURVEY T8): a stop-word's 10^11
+  postings never land in one task's ``collect_list`` — they are split
+  across buckets by doc range, and concatenating buckets in bucket
+  order restores global doc-id order without re-sorting.
+* **Block-max WAND runs per bucket** (SURVEY T16): WAND needs all of a
+  query's terms co-located in doc order; doc-partitioning gives exactly
+  that, and the global answer is a cheap top-k merge of per-bucket
+  top-ks (SURVEY T17) — the textbook distributed-search layout.
+* **Rows stay small**: one output row per 128-posting block, never one
+  giant array cell per term, so no executor OOM on head terms.
+
+Index tables (parquet directory standing in for Iceberg — the write/read
+surface is confined to pisa_spark.sources.catalog so a real Iceberg
+catalog is a drop-in):
+
+    postings(bucket, term, block_idx, first_doc, max_doc, n,
+             block_max_score:float, docs:binary, tfs:binary, dls:binary)
+        partitioned by bucket  (partition pruning on doc ranges)
+    term_stats(term, df)                -- document frequency
+    corpus_stats(n_docs, avgdl, total_terms)  -- 1 row
+
+Per-posting doc_len rides inside the block (``dls``) so scoring is
+self-contained — no 10^12-row doc_len side join at query time.
+
+Reference semantics carried over: posting-list construction is the
+Spark-native analog of the reference's per-user neighbor lists
+(groupby collect, /root/reference/src/models/Dataloader.py:44-46);
+dense deterministic ids mirror its max+1 dense id space
+(/root/reference/src/helpers/Reader.py:62).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pisa_spark.corpus import tokens_col
+from pisa_spark.index import codec
+
+BLOCK_SIZE = 128
+BM25_K1 = 0.9
+BM25_B = 0.4
+
+POSTINGS_SCHEMA = (
+    "bucket int, term string, block_idx int, first_doc long, max_doc long, "
+    "n int, df long, block_max_score float, docs binary, tfs binary, dls binary"
+)
+
+
+def term_frequencies(tokens_df: DataFrame) -> DataFrame:
+    """(doc_id, tokens, doc_len) -> (doc_id, term, tf, doc_len).
+
+    posexplode + hash aggregate; Spark plans a partial (map-side) agg
+    before the shuffle, so the shuffle carries (doc, term) partial
+    counts, not raw tokens.
+    """
+    return (
+        tokens_df.select(
+            "doc_id", "doc_len", F.explode("tokens").alias("term")
+        )
+        .groupBy("doc_id", "term", "doc_len")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def corpus_stats(tokens_df: DataFrame) -> DataFrame:
+    """1-row (n_docs, avgdl, total_terms). Cheap global agg; broadcast
+    to scorers as plain Python floats."""
+    return tokens_df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("total_terms"),
+    )
+
+
+def term_document_frequency(tf_df: DataFrame) -> DataFrame:
+    """(term, df) — document frequency per term."""
+    return tf_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def bm25_idf(df: np.ndarray | float, n_docs: float):
+    """ln((N - df + 0.5) / (df + 0.5)) — the classic (possibly negative)
+    BM25 idf mandated by FIXTURES.md §3."""
+    return np.log((n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_term_score(tf, dl, df, n_docs: float, avgdl: float):
+    """Vectorized BM25 per-(term,doc) partial score, float64 throughout
+    (rank-identity demands a fixed summation dtype)."""
+    idf = bm25_idf(df, n_docs)
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+    return idf * (tf * (BM25_K1 + 1.0)) / denom
+
+
+_OUT_COLS = [
+    "bucket", "term", "block_idx", "first_doc", "max_doc", "n", "df",
+    "block_max_score", "docs", "tfs", "dls",
+]
+
+
+def _encode_one_group(
+    out: dict[str, list],
+    g: pd.DataFrame,
+    n_docs: float,
+    avgdl: float,
+    block_size: int,
+) -> None:
+    bucket = int(g["bucket"].iloc[0])
+    term = g["term"].iloc[0]
+    g = g.sort_values("doc_id")
+    doc_ids = g["doc_id"].to_numpy(np.int64)
+    tfs = g["tf"].to_numpy(np.int64)
+    dls = g["doc_len"].to_numpy(np.int64)
+    dfreq = float(g["df"].iloc[0])
+    scores = bm25_term_score(
+        tfs.astype(np.float64), dls.astype(np.float64), dfreq, n_docs, avgdl
+    )
+    for bi in range(0, len(doc_ids), block_size):
+        sl = slice(bi, bi + block_size)
+        d = doc_ids[sl]
+        out["bucket"].append(bucket)
+        out["term"].append(term)
+        out["block_idx"].append(bi // block_size)
+        out["first_doc"].append(int(d[0]))
+        out["max_doc"].append(int(d[-1]))
+        out["n"].append(int(d.size))
+        out["df"].append(int(dfreq))
+        # nudge the float32-stored max upward so it stays a TRUE upper
+        # bound of the float64 scores after narrowing (WAND exactness)
+        out["block_max_score"].append(
+            float(np.nextafter(np.float32(scores[sl].max()), np.float32(np.inf)))
+        )
+        out["docs"].append(codec.delta_encode_docids(d))
+        out["tfs"].append(codec.encode_payload(tfs[sl], minus_one=True))
+        out["dls"].append(codec.encode_payload(dls[sl]))
+
+
+def _encode_groups(
+    pdf_iter: Iterator[pd.DataFrame],
+    n_docs: float,
+    avgdl: float,
+    block_size: int,
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: rows (bucket, term, doc_id, tf, doc_len, df)
+    sorted by (bucket, term, doc_id) within the partition -> one row per
+    <=block_size posting block, payloads delta+varint compressed,
+    block_max_score = exact max BM25 partial score in the block (a true
+    upper bound for WAND).
+
+    Arrow may split one (bucket, term) group across input batches, so
+    the tail group of every batch is carried over and prepended to the
+    next batch (partition-sorted input makes groups contiguous). Memory
+    stays O(one group) = O(docs in one bucket), which the bucket span
+    bounds by construction.
+    """
+    leftover: pd.DataFrame | None = None
+    for pdf in pdf_iter:
+        if pdf.empty:
+            continue
+        if leftover is not None:
+            pdf = pd.concat([leftover, pdf], ignore_index=True)
+            leftover = None
+        # hold back the final group — it may continue in the next batch
+        last_b = pdf["bucket"].iloc[-1]
+        last_t = pdf["term"].iloc[-1]
+        tail_mask = (pdf["bucket"] == last_b) & (pdf["term"] == last_t)
+        leftover = pdf[tail_mask]
+        head = pdf[~tail_mask]
+        if head.empty:
+            continue
+        out: dict[str, list] = {c: [] for c in _OUT_COLS}
+        for _, g in head.groupby(["bucket", "term"], sort=False):
+            _encode_one_group(out, g, n_docs, avgdl, block_size)
+        yield pd.DataFrame(out)
+    if leftover is not None and not leftover.empty:
+        out = {c: [] for c in _OUT_COLS}
+        _encode_one_group(out, leftover, n_docs, avgdl, block_size)
+        yield pd.DataFrame(out)
+
+
+def build_postings(
+    tokens_df: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    n_buckets: int = 32,
+    max_doc_id: int | None = None,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """tokens -> compressed posting-block DataFrame (see module doc).
+
+    One shuffle on (bucket, term) does all the work: repartition so each
+    task sees whole (bucket, term) groups, sort within partitions, then
+    a mapInPandas encoder streams blocks out. df is joined in before
+    encoding (needed for block_max_score); the df table is one row per
+    term — co-partitioned by the same shuffle, no broadcast of an
+    unbounded table.
+    """
+    if max_doc_id is None:
+        max_doc_id = n_docs
+    span = max(1, math.ceil((max_doc_id + 1) / n_buckets))
+    tf = term_frequencies(tokens_df)
+    dfreq = term_document_frequency(tf)
+    tf_b = tf.withColumn("bucket", (F.col("doc_id") / F.lit(span)).cast("int"))
+    joined = tf_b.join(dfreq, "term")
+    arranged = joined.repartition("bucket", "term").sortWithinPartitions(
+        "bucket", "term", "doc_id"
+    )
+    nd, ad, bs = float(n_docs), float(avgdl), int(block_size)
+    return arranged.mapInPandas(
+        lambda it: _encode_groups(it, nd, ad, bs), schema=POSTINGS_SCHEMA
+    )
+
+
+def build_index_dataframes(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 32,
+    block_size: int = BLOCK_SIZE,
+) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
+    """documents.parquet -> (postings, term_stats, corpus_stats, stats_dict)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    stats_row = corpus_stats(toks).collect()[0]
+    stats = {
+        "n_docs": stats_row["n_docs"],
+        "avgdl": float(stats_row["avgdl"]),
+        "total_terms": stats_row["total_terms"],
+    }
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0]
+    postings = build_postings(
+        toks, stats["n_docs"], stats["avgdl"], n_buckets=n_buckets,
+        max_doc_id=max_doc, block_size=block_size,
+    )
+    tstats = term_document_frequency(term_frequencies(toks))
+    return postings, tstats, corpus_stats(toks), stats

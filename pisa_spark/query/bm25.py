@@ -1,0 +1,311 @@
+"""BM25 top-k query engine.
+
+Two physical strategies over the same logical semantics (and they must
+agree rank-identically — tests/test_wand.py asserts it):
+
+1. ``bm25_topk_dataframe`` — exhaustive, pure DataFrame algebra straight
+   off the (doc_id, term, tf, doc_len) relation. This is the semantic
+   oracle path: broadcast the query terms, join, score with built-in
+   column expressions (whole-stage codegen, no Python), sum per
+   (query, doc), window top-k. Used by the correctness gate because the
+   identical plan is expressible in ANSI SQL for DuckDB.
+
+2. ``bm25_topk_wand`` — block-max WAND over the compressed doc-bucketed
+   index: partition pruning by bucket, per-bucket pruned scoring inside
+   a mapInPandas kernel (vectorized decode, block-max upper bounds skip
+   whole blocks), per-bucket top-k, then a global top-k merge. This is
+   the 10^12-doc serving path: work per bucket is bounded, no shuffle
+   of raw postings, only |queries| * k rows leave each bucket.
+
+Top-k semantics (shared, from the reference): exact top-k per query
+subject with deterministic ties (score DESC, doc_id ASC) — the Spark
+rendering of torch.topk over a fully-scored candidate set
+(/root/reference/src/Inference.py:227-240) with seen-masking replaced
+by conjunctive filtering (/root/reference/src/Inference.py:233-238).
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pisa_spark.index import codec
+from pisa_spark.index.build import BM25_B, BM25_K1
+
+TOPK_RESULT_SCHEMA = "query_id int, doc_id long, score double"
+
+
+def score_expr(n_docs: float, avgdl: float):
+    """BM25 partial score as a JVM column expression over (tf, df,
+    doc_len) — stays inside whole-stage codegen."""
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(BM25_K1) * (
+        1.0 - BM25_B + F.lit(BM25_B) * F.col("doc_len") / F.lit(float(avgdl))
+    )
+    return idf * (tf * (BM25_K1 + 1.0)) / denom
+
+
+def topk_window(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, doc_id, score) -> top-k per query, ties
+    (score DESC, doc_id ASC), rank 1..k."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def bm25_topk_dataframe(
+    tf_df: DataFrame,
+    queries_df: DataFrame,
+    n_docs: float,
+    avgdl: float,
+    k: int = 10,
+    conjunctive: bool = False,
+) -> DataFrame:
+    """Exhaustive BM25 top-k, pure DataFrame algebra.
+
+    tf_df: (doc_id, term, tf, doc_len, df) — df column = document freq.
+    queries_df: (query_id, term) exploded query terms (deduped).
+    conjunctive: doc must match ALL the query's terms (AND semantics) —
+    enforced by comparing per-doc matched-term count to the query's term
+    count, the relational rendering of posting-list intersection.
+    """
+    qterms = queries_df.select("query_id", "term").distinct()
+    qsizes = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    matched = tf_df.join(F.broadcast(qterms), "term")
+    scored = matched.withColumn("pscore", score_expr(n_docs, avgdl))
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("pscore").alias("score"), F.count(F.lit(1)).alias("n_matched")
+    )
+    if conjunctive:
+        per_doc = per_doc.join(F.broadcast(qsizes), "query_id").filter(
+            F.col("n_matched") == F.col("n_terms")
+        )
+    return topk_window(per_doc.select("query_id", "doc_id", "score"), k)
+
+
+# ---------------------------------------------------------------------------
+# Block-max WAND path over the compressed index
+# ---------------------------------------------------------------------------
+
+
+def _bm25_np(tf: np.ndarray, dl: np.ndarray, dfreq: float, n_docs: float, avgdl: float) -> np.ndarray:
+    idf = np.log((n_docs - dfreq + 0.5) / (dfreq + 0.5))
+    tf = tf.astype(np.float64)
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl.astype(np.float64) / avgdl)
+    return idf * (tf * (BM25_K1 + 1.0)) / denom
+
+
+def _decode_blocks_vectorized(
+    g: pd.DataFrame,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode ALL of a term's kept blocks in three varint passes total.
+
+    Block byte-strings concatenate losslessly (each block's first doc-id
+    delta is absolute), so docs/tfs/dls each decode with ONE call, then
+    doc-ids are rebuilt by a segmented cumsum — no per-block Python loop
+    beyond the bytes join.
+    """
+    ns = g["n"].to_numpy(np.int64)
+    deltas = codec.varint_decode(b"".join(g["docs"])).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    # non-first-in-block deltas were stored as diff-1
+    adj = deltas + 1
+    adj[starts] = deltas[starts]
+    cs = np.cumsum(adj)
+    seg_prefix = np.concatenate(([0], cs[starts[1:] - 1])) if starts.size > 1 else np.zeros(1, np.int64)
+    docs = cs - np.repeat(seg_prefix, ns)
+    tfs = codec.varint_decode(b"".join(g["tfs"])).astype(np.int64) + 1
+    dls = codec.varint_decode(b"".join(g["dls"])).astype(np.int64)
+    return docs, tfs, dls
+
+
+def _score_bucket_query(
+    by_term: dict[str, pd.DataFrame],
+    terms: list[str],
+    conjunctive: bool,
+    k: int,
+    n_docs: float,
+    avgdl: float,
+    threshold: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score one (bucket, query) pair, vectorized end-to-end.
+
+    Block-max pruning: a block is decoded only if its score upper bound
+    — block_max_score(term) + sum of the other terms' max block scores —
+    can reach ``threshold`` (the caller's current global k-th-score
+    lower bound; -inf on the first pass). Bounds are true maxima of the
+    exact per-term scores, so pruning never changes the top-k (asserted
+    against the exhaustive path in tests).
+
+    Accumulation is np.unique + np.bincount over the concatenation of
+    all surviving postings: no dict, no per-posting Python.
+    Returns (doc_ids, scores) of the bucket-local top-k candidates.
+    """
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    terms = list(dict.fromkeys(terms))  # dedupe: a query term scores once
+    present = [t for t in terms if t in by_term]
+    if not present or (conjunctive and len(present) < len(terms)):
+        return empty
+    term_max = {t: float(by_term[t]["block_max_score"].max()) for t in present}
+    # Upper bounds must survive NEGATIVE partial scores (BM25 idf < 0
+    # when df > N/2): under OR a doc need not contain a negative-impact
+    # term, so other terms contribute max(term_max, 0); under AND the doc
+    # contains every term, so the true (possibly negative) maxes add up.
+    if conjunctive:
+        others = {t: sum(term_max[u] for u in present if u != t) for t in present}
+        best_bound = sum(term_max.values())
+    else:
+        pos = {t: max(term_max[t], 0.0) for t in present}
+        pos_sum = sum(pos.values())
+        others = {t: pos_sum - pos[t] for t in present}
+        best_bound = max(term_max[t] + others[t] for t in present)
+    if best_bound < threshold:
+        return empty
+    doc_parts, score_parts = [], []
+    for t in present:
+        g = by_term[t]
+        keep = g[g["block_max_score"].to_numpy() + others[t] >= threshold]
+        if keep.empty:
+            if conjunctive:
+                return empty
+            continue
+        dfreq = float(keep["df"].iloc[0])
+        docs, tfs, dls = _decode_blocks_vectorized(keep)
+        doc_parts.append(docs)
+        score_parts.append(_bm25_np(tfs, dls, dfreq, n_docs, avgdl))
+    if not doc_parts:
+        return empty
+    all_docs = np.concatenate(doc_parts)
+    all_scores = np.concatenate(score_parts)
+    uniq, inv = np.unique(all_docs, return_inverse=True)
+    sums = np.bincount(inv, weights=all_scores)
+    if conjunctive:
+        counts = np.bincount(inv)
+        mask = counts == len(terms)
+        uniq, sums = uniq[mask], sums[mask]
+    if uniq.size > k:
+        # keep every doc scoring >= the k-th largest score: tie-safe trim
+        # (global window applies the (score DESC, doc_id ASC) order)
+        kth = np.partition(sums, uniq.size - k)[uniq.size - k]
+        mask = sums >= kth
+        uniq, sums = uniq[mask], sums[mask]
+    return uniq, sums
+
+
+def wand_kernel(
+    queries: list[dict],
+    n_docs: float,
+    avgdl: float,
+    k: int,
+    thresholds: dict[int, float] | None = None,
+):
+    """Build the mapInPandas kernel closure for per-bucket WAND.
+
+    queries: [{query_id, terms: [str], conjunctive: bool}].
+    thresholds: per-query lower bounds on the global k-th score (valid
+    pruning thresholds); empty -> no pruning.
+    Input batches: posting-block rows of ONE bucket-partition slice
+    (bucket, term, block_idx, ..., df). Output: per-bucket top-k rows
+    (query_id, doc_id, score).
+    """
+    thresholds = thresholds or {}
+
+    def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # A physical partition may hold several buckets; group first.
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if not chunks:
+            return
+        all_blocks = pd.concat(chunks, ignore_index=True)
+        out_frames = []
+        for _, bucket_blocks in all_blocks.groupby("bucket", sort=False):
+            by_term = dict(tuple(bucket_blocks.groupby("term", sort=False)))
+            for q in queries:
+                docs, scores = _score_bucket_query(
+                    by_term, q["terms"], q["conjunctive"], k,
+                    n_docs, avgdl, threshold=thresholds.get(q["query_id"], -np.inf),
+                )
+                if docs.size:
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(docs.size, q["query_id"], np.int32),
+                                "doc_id": docs,
+                                "score": scores,
+                            }
+                        )
+                    )
+        if out_frames:
+            yield pd.concat(out_frames, ignore_index=True)
+        else:
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.array([], dtype="int32"),
+                    "doc_id": pd.array([], dtype="int64"),
+                    "score": pd.array([], dtype="float64"),
+                }
+            )
+
+    return kernel
+
+
+def bm25_topk_wand(
+    postings: DataFrame,
+    queries: list[dict],
+    n_docs: float,
+    avgdl: float,
+    k: int = 10,
+    two_phase: bool = False,
+    sample_buckets: int = 2,
+) -> DataFrame:
+    """Block-max WAND top-k over the compressed index.
+
+    postings: the block table from build_postings (must carry df — join
+    term_stats first if loading from storage without it).
+    queries: [{query_id, terms, conjunctive}] — small, shipped in the
+    closure (the broadcast-side of SURVEY T13).
+
+    two_phase: bootstrap per-query pruning thresholds by fully scoring a
+    few buckets first. Any k docs' k-th score from a subset is a valid
+    lower bound on the global k-th score, so phase-2 pruning is exact;
+    at 10^12 docs this skips decoding for the vast majority of blocks
+    of head terms while only metadata (block_max_score) is scanned.
+
+    Plan shape: scan (term-pruned: only blocks of query terms survive,
+    pushed to the parquet/Iceberg scan) -> per-bucket kernel -> global
+    top-k window over <= n_buckets * |queries| * k rows.
+    """
+    all_terms = sorted({t for q in queries for t in q["terms"]})
+    pruned = postings.filter(F.col("term").isin(all_terms))
+    # keep bucket co-location: one kernel call sees whole buckets
+    arranged = pruned.repartition("bucket")
+    thresholds: dict[int, float] = {}
+    if two_phase:
+        sample = arranged.filter(F.col("bucket") < sample_buckets)
+        phase1 = sample.mapInPandas(
+            wand_kernel(queries, float(n_docs), float(avgdl), k),
+            schema=TOPK_RESULT_SCHEMA,
+        )
+        kth = (
+            topk_window(phase1, k)
+            .groupBy("query_id")
+            .agg(F.min("score").alias("kth"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        # a threshold is only valid once we have a full k results
+        thresholds = {r["query_id"]: r["kth"] for r in kth if r["cnt"] >= k}
+    partial = arranged.mapInPandas(
+        wand_kernel(queries, float(n_docs), float(avgdl), k, thresholds),
+        schema=TOPK_RESULT_SCHEMA,
+    )
+    return topk_window(partial, k)

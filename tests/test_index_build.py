@@ -1,0 +1,104 @@
+"""Index construction invariants: block alignment, df correctness,
+decode round-trip, and invariance under bucket count / parallelism
+(SURVEY §5.2 items 1 and 5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pisa_spark.corpus import tokens_col
+from pisa_spark.index import codec
+from pisa_spark.index.build import (
+    BLOCK_SIZE,
+    build_index_dataframes,
+    build_postings,
+    term_frequencies,
+)
+from tests.oracle import Bm25Oracle
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir):
+    postings, tstats, cstats, stats = build_index_dataframes(spark, sf_dir, n_buckets=8)
+    return postings.cache(), stats
+
+
+def decode_index(rows):
+    """rows -> {term: sorted [(doc_id, tf, dl)]} concatenating buckets/blocks."""
+    out = {}
+    for r in sorted(rows, key=lambda r: (r["term"], r["bucket"], r["block_idx"])):
+        docs = codec.delta_decode_docids(r["docs"])
+        tfs = codec.decode_payload(r["tfs"], minus_one=True)
+        dls = codec.decode_payload(r["dls"])
+        out.setdefault(r["term"], []).extend(zip(docs.tolist(), tfs.tolist(), dls.tolist()))
+    return {t: sorted(v) for t, v in out.items()}
+
+
+def test_blocks_well_formed(built):
+    postings, _ = built
+    for r in postings.collect():
+        docs = codec.delta_decode_docids(r["docs"])
+        assert r["n"] == docs.size <= BLOCK_SIZE
+        assert r["first_doc"] == docs[0] and r["max_doc"] == docs[-1]
+        assert (np.diff(docs) > 0).all()
+        assert codec.decode_payload(r["tfs"], minus_one=True).size == r["n"]
+        assert codec.decode_payload(r["dls"]).size == r["n"]
+
+
+def test_postings_match_term_frequencies(spark, sf_dir, built):
+    postings, _ = built
+    idx = decode_index(postings.collect())
+    oracle = Bm25Oracle(sf_dir)
+    import collections
+
+    expect = {}
+    for d, ts in oracle.tok.items():
+        c = collections.Counter(ts)
+        for t, tf in c.items():
+            expect.setdefault(t, []).append((d, tf, len(ts)))
+    expect = {t: sorted(v) for t, v in expect.items()}
+    assert idx == expect
+
+
+def test_df_column_is_document_frequency(built):
+    postings, _ = built
+    rows = postings.groupBy("term", "df").agg(F.sum("n").alias("n_postings")).collect()
+    for r in rows:
+        assert r["df"] == r["n_postings"], r["term"]
+
+
+def test_block_max_is_upper_bound(built):
+    from pisa_spark.index.build import bm25_term_score
+
+    postings, stats = built
+    for r in postings.collect():
+        tfs = codec.decode_payload(r["tfs"], minus_one=True)
+        dls = codec.decode_payload(r["dls"])
+        scores = bm25_term_score(
+            tfs.astype(np.float64), dls.astype(np.float64), float(r["df"]),
+            float(stats["n_docs"]), stats["avgdl"],
+        )
+        assert r["block_max_score"] >= scores.max()
+
+
+def test_invariance_under_buckets_and_parallelism(spark, sf_dir, built):
+    """Same logical index regardless of n_buckets or shuffle partitions
+    (the reference's determinism discipline, utils.py:82-87, made
+    structural)."""
+    postings8, _ = built
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("tokens")).withColumn(
+        "doc_len", F.size("tokens")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("a")
+    ).collect()[0]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        postings3 = build_postings(
+            toks.repartition(3), int(stats["n"]), float(stats["a"]), n_buckets=3
+        )
+        assert decode_index(postings3.collect()) == decode_index(postings8.collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
