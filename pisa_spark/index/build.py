@@ -56,7 +56,7 @@ BM25_B = 0.4
 
 POSTINGS_SCHEMA = (
     "bucket int, term string, block_idx int, first_doc long, max_doc long, "
-    "n int, df long, block_max_score float, docs binary, tfs binary, dls binary"
+    "n int, fmax float, fmin float, docs binary, tfs binary, dls binary"
 )
 
 
@@ -106,15 +106,26 @@ def bm25_term_score(tf, dl, df, n_docs: float, avgdl: float):
 
 
 _OUT_COLS = [
-    "bucket", "term", "block_idx", "first_doc", "max_doc", "n", "df",
-    "block_max_score", "docs", "tfs", "dls",
+    "bucket", "term", "block_idx", "first_doc", "max_doc", "n",
+    "fmax", "fmin", "docs", "tfs", "dls",
 ]
+
+
+def bm25_tf_factor(tf, dl, avgdl: float):
+    """The df-free factor of the BM25 partial score:
+    (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl)), always > 0.
+    Full score = idf(df) * factor; blocks store the factor's min/max so
+    the GLOBAL df (known only query-time, and never known per-wave in a
+    resumable build) multiplies in later: block_max_score =
+    idf*fmax if idf>0 else idf*fmin — an exact upper bound either way."""
+    return (tf * (BM25_K1 + 1.0)) / (
+        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+    )
 
 
 def _encode_one_group(
     out: dict[str, list],
     g: pd.DataFrame,
-    n_docs: float,
     avgdl: float,
     block_size: int,
 ) -> None:
@@ -124,9 +135,8 @@ def _encode_one_group(
     doc_ids = g["doc_id"].to_numpy(np.int64)
     tfs = g["tf"].to_numpy(np.int64)
     dls = g["doc_len"].to_numpy(np.int64)
-    dfreq = float(g["df"].iloc[0])
-    scores = bm25_term_score(
-        tfs.astype(np.float64), dls.astype(np.float64), dfreq, n_docs, avgdl
+    factors = bm25_tf_factor(
+        tfs.astype(np.float64), dls.astype(np.float64), avgdl
     )
     for bi in range(0, len(doc_ids), block_size):
         sl = slice(bi, bi + block_size)
@@ -137,11 +147,12 @@ def _encode_one_group(
         out["first_doc"].append(int(d[0]))
         out["max_doc"].append(int(d[-1]))
         out["n"].append(int(d.size))
-        out["df"].append(int(dfreq))
-        # nudge the float32-stored max upward so it stays a TRUE upper
-        # bound of the float64 scores after narrowing (WAND exactness)
-        out["block_max_score"].append(
-            float(np.nextafter(np.float32(scores[sl].max()), np.float32(np.inf)))
+        # float32 narrowing nudged OUTWARD so bounds stay true bounds
+        out["fmax"].append(
+            float(np.nextafter(np.float32(factors[sl].max()), np.float32(np.inf)))
+        )
+        out["fmin"].append(
+            float(np.nextafter(np.float32(factors[sl].min()), np.float32(-np.inf)))
         )
         out["docs"].append(codec.delta_encode_docids(d))
         out["tfs"].append(codec.encode_payload(tfs[sl], minus_one=True))
@@ -183,11 +194,11 @@ def _encode_groups(
             continue
         out: dict[str, list] = {c: [] for c in _OUT_COLS}
         for _, g in head.groupby(["bucket", "term"], sort=False):
-            _encode_one_group(out, g, n_docs, avgdl, block_size)
+            _encode_one_group(out, g, avgdl, block_size)
         yield pd.DataFrame(out)
     if leftover is not None and not leftover.empty:
         out = {c: [] for c in _OUT_COLS}
-        _encode_one_group(out, leftover, n_docs, avgdl, block_size)
+        _encode_one_group(out, leftover, avgdl, block_size)
         yield pd.DataFrame(out)
 
 
@@ -203,24 +214,26 @@ def build_postings(
 
     One shuffle on (bucket, term) does all the work: repartition so each
     task sees whole (bucket, term) groups, sort within partitions, then
-    a mapInPandas encoder streams blocks out. df is joined in before
-    encoding (needed for block_max_score); the df table is one row per
-    term — co-partitioned by the same shuffle, no broadcast of an
-    unbounded table.
+    a mapInPandas encoder streams blocks out. Blocks are df-free (see
+    bm25_tf_factor) so no df join touches the big relation — document
+    frequency lives in the small term_stats side table.
     """
     if max_doc_id is None:
         max_doc_id = n_docs
     span = max(1, math.ceil((max_doc_id + 1) / n_buckets))
     tf = term_frequencies(tokens_df)
-    dfreq = term_document_frequency(tf)
     tf_b = tf.withColumn("bucket", (F.col("doc_id") / F.lit(span)).cast("int"))
-    joined = tf_b.join(dfreq, "term")
-    arranged = joined.repartition("bucket", "term").sortWithinPartitions(
+    # explicit partition count: the encode stage is the Python-side hot
+    # path — AQE must not coalesce it below the core count (it would,
+    # for small shuffle volumes, and serialize the Arrow kernels)
+    spark = tokens_df.sparkSession
+    n_part = max(2 * spark.sparkContext.defaultParallelism, 8)
+    arranged = tf_b.repartition(n_part, "bucket", "term").sortWithinPartitions(
         "bucket", "term", "doc_id"
     )
-    nd, ad, bs = float(n_docs), float(avgdl), int(block_size)
+    ad, bs = float(avgdl), int(block_size)
     return arranged.mapInPandas(
-        lambda it: _encode_groups(it, nd, ad, bs), schema=POSTINGS_SCHEMA
+        lambda it: _encode_groups(it, 0.0, ad, bs), schema=POSTINGS_SCHEMA
     )
 
 
@@ -234,17 +247,22 @@ def build_index_dataframes(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select(
         "doc_id", tokens_col(F.col("text")).alias("tokens")
-    ).withColumn("doc_len", F.size("tokens"))
-    stats_row = corpus_stats(toks).collect()[0]
+    ).withColumn("doc_len", F.size("tokens")).cache()
+    # one pass collects every global stat the build needs
+    stats_row = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("total_terms"),
+        F.max("doc_id").alias("max_doc"),
+    ).collect()[0]
     stats = {
         "n_docs": stats_row["n_docs"],
         "avgdl": float(stats_row["avgdl"]),
         "total_terms": stats_row["total_terms"],
     }
-    max_doc = docs.agg(F.max("doc_id")).collect()[0][0]
     postings = build_postings(
         toks, stats["n_docs"], stats["avgdl"], n_buckets=n_buckets,
-        max_doc_id=max_doc, block_size=block_size,
+        max_doc_id=stats_row["max_doc"], block_size=block_size,
     )
     tstats = term_document_frequency(term_frequencies(toks))
     return postings, tstats, corpus_stats(toks), stats

@@ -138,6 +138,8 @@ def _score_bucket_query(
     n_docs: float,
     avgdl: float,
     threshold: float,
+    term_dfs: dict[str, int],
+    decode_cache: dict[str, tuple[np.ndarray, np.ndarray]] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Score one (bucket, query) pair, vectorized end-to-end.
 
@@ -157,7 +159,19 @@ def _score_bucket_query(
     present = [t for t in terms if t in by_term]
     if not present or (conjunctive and len(present) < len(terms)):
         return empty
-    term_max = {t: float(by_term[t]["block_max_score"].max()) for t in present}
+    # block_max_score derived at query time from df-free factor bounds:
+    # idf > 0 -> idf * fmax ; idf < 0 -> idf * fmin (factor always > 0)
+    idf = {
+        t: float(np.log((n_docs - term_dfs[t] + 0.5) / (term_dfs[t] + 0.5)))
+        for t in present
+    }
+    bmax = {
+        t: idf[t] * by_term[t]["fmax"].to_numpy(np.float64)
+        if idf[t] >= 0
+        else idf[t] * by_term[t]["fmin"].to_numpy(np.float64)
+        for t in present
+    }
+    term_max = {t: float(bmax[t].max()) for t in present}
     # Upper bounds must survive NEGATIVE partial scores (BM25 idf < 0
     # when df > N/2): under OR a doc need not contain a negative-impact
     # term, so other terms contribute max(term_max, 0); under AND the doc
@@ -175,15 +189,30 @@ def _score_bucket_query(
     doc_parts, score_parts = [], []
     for t in present:
         g = by_term[t]
-        keep = g[g["block_max_score"].to_numpy() + others[t] >= threshold]
-        if keep.empty:
+        if decode_cache is not None and t in decode_cache:
+            # batch mode: the term's postings+scores were decoded once
+            # for an earlier query in this bucket — reuse them whole
+            docs, scores = decode_cache[t]
+            doc_parts.append(docs)
+            score_parts.append(scores)
+            continue
+        keep_mask = bmax[t] + others[t] >= threshold
+        if not keep_mask.any():
             if conjunctive:
                 return empty
             continue
-        dfreq = float(keep["df"].iloc[0])
-        docs, tfs, dls = _decode_blocks_vectorized(keep)
+        dfreq = float(term_dfs[t])
+        if decode_cache is not None:
+            # decode ALL blocks (cacheable for the other queries); block
+            # pruning only skips work, never needed for correctness
+            docs, tfs, dls = _decode_blocks_vectorized(g)
+            scores = _bm25_np(tfs, dls, dfreq, n_docs, avgdl)
+            decode_cache[t] = (docs, scores)
+        else:
+            docs, tfs, dls = _decode_blocks_vectorized(g[keep_mask])
+            scores = _bm25_np(tfs, dls, dfreq, n_docs, avgdl)
         doc_parts.append(docs)
-        score_parts.append(_bm25_np(tfs, dls, dfreq, n_docs, avgdl))
+        score_parts.append(scores)
     if not doc_parts:
         return empty
     all_docs = np.concatenate(doc_parts)
@@ -208,6 +237,7 @@ def wand_kernel(
     n_docs: float,
     avgdl: float,
     k: int,
+    term_dfs: dict[str, int],
     thresholds: dict[int, float] | None = None,
 ):
     """Build the mapInPandas kernel closure for per-bucket WAND.
@@ -230,10 +260,17 @@ def wand_kernel(
         out_frames = []
         for _, bucket_blocks in all_blocks.groupby("bucket", sort=False):
             by_term = dict(tuple(bucket_blocks.groupby("term", sort=False)))
+            # batch of >1 queries: share each term's decode across the
+            # batch (throughput mode); single query keeps block pruning
+            # (latency mode)
+            cache: dict | None = {} if len(queries) > 1 else None
             for q in queries:
                 docs, scores = _score_bucket_query(
                     by_term, q["terms"], q["conjunctive"], k,
-                    n_docs, avgdl, threshold=thresholds.get(q["query_id"], -np.inf),
+                    n_docs, avgdl,
+                    threshold=thresholds.get(q["query_id"], -np.inf),
+                    term_dfs=term_dfs,
+                    decode_cache=cache,
                 )
                 if docs.size:
                     out_frames.append(
@@ -267,11 +304,13 @@ def bm25_topk_wand(
     k: int = 10,
     two_phase: bool = False,
     sample_buckets: int = 2,
+    term_dfs: dict[str, int] | None = None,
 ) -> DataFrame:
     """Block-max WAND top-k over the compressed index.
 
-    postings: the block table from build_postings (must carry df — join
-    term_stats first if loading from storage without it).
+    postings: the df-free block table from build_postings.
+    term_dfs: optional {term: global df} override (e.g. from a cached
+    term_stats table); derived from block metadata when omitted.
     queries: [{query_id, terms, conjunctive}] — small, shipped in the
     closure (the broadcast-side of SURVEY T13).
 
@@ -286,14 +325,24 @@ def bm25_topk_wand(
     top-k window over <= n_buckets * |queries| * k rows.
     """
     all_terms = sorted({t for q in queries for t in q["terms"]})
-    pruned = postings.filter(F.col("term").isin(all_terms))
-    # keep bucket co-location: one kernel call sees whole buckets
-    arranged = pruned.repartition("bucket")
+    pruned = postings.filter(F.col("term").isin(all_terms)).cache()
+    # document frequency of the query terms only: every posting sits in
+    # exactly one block, so df = sum(n) over the term's blocks — a tiny
+    # metadata aggregation over the already-pruned scan, no side table
+    if term_dfs is None:
+        term_dfs = {
+            r["term"]: int(r["df"])
+            for r in pruned.groupBy("term").agg(F.sum("n").alias("df")).collect()
+        }
+    # keep bucket co-location: one kernel call sees whole buckets;
+    # explicit count so AQE can't collapse the scoring stage's DOP
+    n_part = max(postings.sparkSession.sparkContext.defaultParallelism, 8)
+    arranged = pruned.repartition(n_part, "bucket")
     thresholds: dict[int, float] = {}
     if two_phase:
         sample = arranged.filter(F.col("bucket") < sample_buckets)
         phase1 = sample.mapInPandas(
-            wand_kernel(queries, float(n_docs), float(avgdl), k),
+            wand_kernel(queries, float(n_docs), float(avgdl), k, term_dfs),
             schema=TOPK_RESULT_SCHEMA,
         )
         kth = (
@@ -305,7 +354,7 @@ def bm25_topk_wand(
         # a threshold is only valid once we have a full k results
         thresholds = {r["query_id"]: r["kth"] for r in kth if r["cnt"] >= k}
     partial = arranged.mapInPandas(
-        wand_kernel(queries, float(n_docs), float(avgdl), k, thresholds),
+        wand_kernel(queries, float(n_docs), float(avgdl), k, term_dfs, thresholds),
         schema=TOPK_RESULT_SCHEMA,
     )
     return topk_window(partial, k)

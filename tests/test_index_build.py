@@ -60,25 +60,26 @@ def test_postings_match_term_frequencies(spark, sf_dir, built):
     assert idx == expect
 
 
-def test_df_column_is_document_frequency(built):
+def test_blockmeta_df_is_document_frequency(spark, sf_dir, built):
+    """df is derivable from block metadata: sum(n) per term == oracle df."""
     postings, _ = built
-    rows = postings.groupBy("term", "df").agg(F.sum("n").alias("n_postings")).collect()
-    for r in rows:
-        assert r["df"] == r["n_postings"], r["term"]
+    rows = postings.groupBy("term").agg(F.sum("n").alias("df")).collect()
+    oracle = Bm25Oracle(sf_dir)
+    assert {r["term"]: r["df"] for r in rows} == dict(oracle.df)
 
 
-def test_block_max_is_upper_bound(built):
-    from pisa_spark.index.build import bm25_term_score
+def test_factor_bounds_are_true_bounds(built):
+    from pisa_spark.index.build import bm25_tf_factor
 
     postings, stats = built
     for r in postings.collect():
         tfs = codec.decode_payload(r["tfs"], minus_one=True)
         dls = codec.decode_payload(r["dls"])
-        scores = bm25_term_score(
-            tfs.astype(np.float64), dls.astype(np.float64), float(r["df"]),
-            float(stats["n_docs"]), stats["avgdl"],
+        factors = bm25_tf_factor(
+            tfs.astype(np.float64), dls.astype(np.float64), stats["avgdl"]
         )
-        assert r["block_max_score"] >= scores.max()
+        assert r["fmax"] >= factors.max() and r["fmin"] <= factors.min()
+        assert r["fmin"] > 0
 
 
 def test_invariance_under_buckets_and_parallelism(spark, sf_dir, built):
