@@ -28,7 +28,21 @@ from pisa_spark.index.build import (  # noqa: E402
     term_document_frequency,
     term_frequencies,
 )
+from pisa_spark.dedup.dedup import (  # noqa: E402
+    embedding_near_pairs,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from pisa_spark.functions.text import doc_profile  # noqa: E402
 from pisa_spark.query.bm25 import bm25_topk_dataframe, bm25_topk_wand  # noqa: E402
+from pisa_spark.similarity.ann import (  # noqa: E402
+    cosine_topk_bruteforce,
+    lsh_bucket_topk,
+)
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB) — tokenizer identical to pisa_spark.corpus
@@ -146,6 +160,108 @@ def _bm25_wand(
 
 
 # ---------------------------------------------------------------------------
+# dedup / similarity / text-analysis helpers
+# ---------------------------------------------------------------------------
+
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a doc_id-shifted copy — a corpus with known exact
+    duplicates (the synthetic corpus itself has none)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.union(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings(spark, sf_dir)
+    return e.filter(F.col("vec_id").isin(_ANN_QUERY_IDS)).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+# SQL fragments shared by dedup oracles (tokenizer identical to _SQL_BASE)
+_SQL_SHINGLES = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(tokens)-1, 1)),
+                               i -> array_to_string(tokens[i:i+2], ' '))) AS sh
+  FROM toks
+  WHERE len(tokens) >= 3
+)
+"""
+
+_SQL_MINHASH = (
+    _SQL_SHINGLES
+    + """,
+sigs AS (
+  SELECT doc_id, i,
+         min(CAST('0x'||substring(md5('mh'||i||':'||sh),1,8) AS BIGINT)) AS sig
+  FROM shingles, range(0, 16) AS r(i)
+  GROUP BY doc_id, i
+),
+sigarr AS (
+  SELECT doc_id, list(sig ORDER BY i) AS sig FROM sigs GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, sig, b.i AS band_idx,
+         array_to_string(list_transform(sig[b.i*4+1:b.i*4+4], v -> v::VARCHAR), ',') AS band_key
+  FROM sigarr, range(0, 4) AS b(i)
+)
+"""
+)
+
+_SQL_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+h AS (
+  SELECT doc_id, tf, CAST('0x'||substring(md5('sh:'||term),1,8) AS BIGINT) AS h
+  FROM tf
+),
+sums AS (
+  SELECT doc_id, b.i AS bit,
+         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h, range(0, 16) AS b(i)
+  GROUP BY doc_id, b.i
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+  FROM sums GROUP BY doc_id
+)
+"""
+
+_STOP_EN = "['the','a','and','of','to','in','is','for','on','with']"
+_STOP_DE = "['der','die','das','und','ist','von','mit','ein','zu','den']"
+_STOP_FR = "['le','la','les','et','de','un','une','est','pour','dans']"
+_STOP_ES = "['el','la','los','las','y','de','un','una','es','para']"
+
+
+# ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
 
@@ -172,7 +288,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_and": lambda spark, sf: _bm25_df(spark, sf, _AND_QUERIES, True),
         "bm25_topk_or_wand": lambda spark, sf: _bm25_wand(spark, sf, _OR_QUERIES, False),
         "bm25_topk_and_wand": lambda spark, sf: _bm25_wand(spark, sf, _AND_QUERIES, True),
+        # --- dedup family ---
+        "dedup_exact": lambda spark, sf: exact_duplicates(
+            _docs_with_dups(spark, sf)
+        ).select("doc_id", "keep_id", "content_hash"),
+        "dedup_minhash_bands": lambda spark, sf: _minhash_bands(spark, sf),
+        "dedup_minhash_lsh_pairs": lambda spark, sf: minhash_lsh_candidates(
+            minhash_signatures(_docs(spark, sf))
+        ).select(
+            "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+        ),
+        "dedup_simhash": lambda spark, sf: simhash(_docs(spark, sf)).select(
+            "doc_id", "simhash"
+        ),
+        "dedup_simhash_pairs": lambda spark, sf: simhash_near_pairs(
+            simhash(_docs(spark, sf)), max_hamming=1
+        ).select("doc_a", "doc_b", "hamming"),
+        "dedup_ngram_jaccard": lambda spark, sf: ngram_jaccard_pairs(
+            _docs(spark, sf), threshold=0.3
+        ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")),
+        "dedup_embedding_cosine": lambda spark, sf: embedding_near_pairs(
+            _embeddings(spark, sf), threshold=0.4
+        ).select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine")),
+        # --- similarity search ---
+        "ann_cosine_topk": lambda spark, sf: cosine_topk_bruteforce(
+            _embeddings(spark, sf), _ann_queries(spark, sf), k=10
+        ).select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")),
+        "ann_lsh_topk": lambda spark, sf: lsh_bucket_topk(
+            _embeddings(spark, sf), _ann_queries(spark, sf), k=10,
+            nbits=6, probe_hamming=2, n_tables=4,
+        ).select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")),
+        # --- text analysis ---
+        "text_profiles": lambda spark, sf: doc_profile(_docs(spark, sf)),
     }
+
+
+def _minhash_bands(spark: SparkSession, sf: str) -> DataFrame:
+    sigs = minhash_signatures(_docs(spark, sf))
+    rows_per_band = 4
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    ).select("doc_id", "band_idx", "band_key")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -190,4 +358,132 @@ FROM stats
         "bm25_topk_and": _bm25_sql(_AND_QUERIES, conjunctive=True),
         "bm25_topk_or_wand": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_wand": _bm25_sql(_AND_QUERIES, conjunctive=True),
+        # --- dedup family ---
+        "dedup_exact": """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+),
+hashed AS (SELECT doc_id, md5(text) AS content_hash FROM all_docs),
+grp AS (
+  SELECT doc_id, content_hash,
+         min(doc_id) OVER (PARTITION BY content_hash) AS keep_id,
+         count(*) OVER (PARTITION BY content_hash) AS group_size
+  FROM hashed
+)
+SELECT doc_id, keep_id, content_hash FROM grp WHERE group_size > 1
+""",
+        "dedup_minhash_bands": _SQL_MINHASH
+        + "SELECT doc_id, CAST(band_idx AS INTEGER) AS band_idx, band_key FROM bands",
+        "dedup_minhash_lsh_pairs": _SQL_MINHASH
+        + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_filter(range(1, len(sig_a)+1),
+                             i -> sig_a[i] = sig_b[i])) * 1.0 / len(sig_a), 6)
+         AS est_jaccard
+FROM pairs
+""",
+        "dedup_simhash": _SQL_SIMHASH + "SELECT doc_id, simhash FROM fp",
+        "dedup_simhash_pairs": _SQL_SIMHASH
+        + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+""",
+        "dedup_ngram_jaccard": _SQL_SHINGLES
+        + """,
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+""",
+        "dedup_embedding_cosine": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(range(1, len(a.embedding)+1),
+                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)))
+            * sqrt(list_sum(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE))))
+           AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(cosine, 4) AS cosine FROM p WHERE cosine >= 0.4
+""",
+        # --- similarity search (brute force; LSH variant is pytest-verified
+        # against brute force instead of SQL) ---
+        "ann_cosine_topk": f"""
+WITH q AS (SELECT CAST(vec_id AS INTEGER) AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id IN ({", ".join(map(str, _ANN_QUERY_IDS))})),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding)+1),
+                  i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, v -> v::DOUBLE * v::DOUBLE)))
+            * sqrt(list_sum(list_transform(q.qv, v -> v::DOUBLE * v::DOUBLE))))
+           AS cosine
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, rank, vec_id, round(cosine, 4) AS cosine FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+        # --- text analysis ---
+        "text_profiles": f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, text, tokens,
+         len(list_filter(tokens, t -> list_contains({_STOP_EN}, t))) AS h_en,
+         len(list_filter(tokens, t -> list_contains({_STOP_DE}, t))) AS h_de,
+         len(list_filter(tokens, t -> list_contains({_STOP_FR}, t))) AS h_fr,
+         len(list_filter(tokens, t -> list_contains({_STOP_ES}, t))) AS h_es
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(tokens) AS INTEGER) AS n_tokens,
+       CAST(len(tokens) + list_sum(list_transform(tokens,
+            t -> CASE WHEN length(t) > 4
+                      THEN CAST(floor((length(t)-1) / 4) AS INTEGER) ELSE 0 END))
+            AS INTEGER) AS n_subwords,
+       CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+            WHEN h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+            WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+            WHEN h_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_guess,
+       round(
+         0.25 * (CASE WHEN len(tokens) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
+         + 0.25 * (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                   * 1.0 / greatest(length(text), 1))
+         + 0.25 * least(1.0, h_en * 10.0 / greatest(len(tokens), 1))
+         + 0.25 * (1.0 - (1.0 - len(list_distinct(tokens)) * 1.0
+                          / greatest(len(tokens), 1)))
+       , 6) AS quality,
+       md5(array_to_string(tokens, ' ')) AS fingerprint
+FROM hits
+""",
     }

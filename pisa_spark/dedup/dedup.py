@@ -1,0 +1,371 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five families, all pure DataFrame algebra (whole-stage codegen; the
+only hash primitive is md5, chosen because the identical expression
+exists in the DuckDB oracle — engine and oracle share every bit):
+
+* exact            — hash-groupBy on normalized text, keep min doc_id
+* minhash + LSH    — shingle -> H minhashes -> B bands -> bucket join
+* simhash          — 16-bit sign-of-weighted-bit-sums fingerprint
+* n-gram jaccard   — exact pairwise Jaccard over shingle sets
+* embedding cosine — near-dup pairs by cosine over embedding vectors
+
+Scale notes (10^12 docs): every operator here is a shuffle on a
+bounded-width key (hash, band bucket, shingle) — no all-pairs products.
+``ngram_jaccard_pairs`` is the verification stage run AFTER
+``minhash_lsh_candidates`` restricts pairs (its ``candidates`` arg);
+the all-pairs default exists for small-corpus oracle checks only.
+The md5-based hash family is deterministic across runs, partitions and
+engines — the determinism discipline the reference enforces with
+seeded RNGs (/root/reference/src/utils/utils.py:82-87).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pisa_spark.corpus import tokens_col
+
+# ---------------------------------------------------------------------------
+# shared primitives
+# ---------------------------------------------------------------------------
+
+
+def hash64(col: Column, salt: str = "") -> Column:
+    """Deterministic 32-bit-range hash as long: first 8 hex chars of
+    md5(salt || value). Oracle parity:
+    CAST('0x'||substring(md5(salt||x),1,8) AS BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram (word) shingles as array<string> ('a b c')."""
+    toks = tokens_col(text)
+    # transform over start positions; slice+join builds the shingle
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                toks,
+                lambda _, i: F.when(
+                    i + n <= F.size(toks),
+                    F.array_join(F.slice(toks, i + 1, n), " "),
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) -> (doc_id, keep_id, content_hash) for every doc in
+    a duplicate group of size > 1; keep_id = min doc_id of the group.
+
+    One hash-shuffle; content never shuffles (only its md5)."""
+    hashed = docs.select(
+        "doc_id", F.md5(F.col(text_col)).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed.withColumn("keep_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "keep_id", "content_hash")
+    )
+
+
+def distinct_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-dedup pass: keep the min-doc_id representative per distinct
+    text (the canonical first-seen-wins rule, made deterministic)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = 16, shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig:array<long>[n_hashes]) — sig[i] = min over shingles
+    of hash64('mh{i}:' || shingle).
+
+    Expressed with array higher-order functions: no explode, no
+    shuffle at all — a narrow map over docs. Docs with no shingles get
+    NULL sig and are excluded."""
+    sh = shingles_col(F.col(text_col), shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("mh"), i.cast("string"), F.lit(":"), s
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ),
+    )
+    return (
+        docs.select("doc_id", sig.alias("sig"))
+        .filter(F.size(F.filter("sig", lambda x: x.isNull())) == 0)
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, n_bands: int = 4
+) -> DataFrame:
+    """(doc_id, sig) -> candidate near-dup pairs (doc_a, doc_b, est_jaccard).
+
+    Split each signature into n_bands equal bands; docs sharing any
+    band's full value collide. Self-equi-join on (band_idx, band_key) —
+    a key-hash shuffle, never an all-pairs product. est_jaccard =
+    fraction of matching signature positions (unbiased MinHash
+    estimate). Pairs deduped across bands, doc_a < doc_b."""
+    n_hashes_col = F.size("sig")
+    rows_per_band = (n_hashes_col / n_bands).cast("int")
+    banded = signatures.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                ),
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+        "band_idx", "band_key",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+        "band_idx", "band_key",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        (matches.cast("double") / F.size("sig_a")).alias("est_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    docs: DataFrame, bits: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash:long) — classic Charikar sketch over tokens
+    weighted by tf: bit_i = 1 iff sum over distinct tokens of
+    tf * (+1 if bit_i(hash64(token)) else -1) > 0.
+
+    Two hash-aggregations (doc,token) then (doc); bits unrolled as an
+    array expression — no UDF, identical arithmetic in the oracle."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    h = tf.withColumn("h", hash64(F.col("token"), salt="sh:"))
+    contribs = h.select(
+        "doc_id",
+        *[
+            (
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+                .otherwise(-F.col("tf"))
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    sums = contribs.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= max_hamming.
+
+    Banding trick for scale: split the fingerprint into (max_hamming+1)
+    chunks — any pair within distance max_hamming agrees exactly on at
+    least one chunk (pigeonhole), so a chunk-equality self-join finds
+    all of them without an all-pairs product; exact popcount filters."""
+    bits = 16
+    n_chunks = max_hamming + 1
+    chunk = bits // n_chunks
+    chunks = [
+        (
+            F.shiftright("simhash", i * chunk)
+            .bitwiseAND(F.lit((1 << chunk) - 1))
+            if i < n_chunks - 1
+            else F.shiftright("simhash", i * chunk)
+        ).alias(f"c{i}")
+        for i in range(n_chunks)
+    ]
+    tagged = fingerprints.select("doc_id", "simhash", *chunks)
+    pieces = []
+    for i in range(n_chunks):
+        a = tagged.select(
+            F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+            F.col(f"c{i}").alias("ck"),
+        )
+        b = tagged.select(
+            F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+            F.col(f"c{i}").alias("ck"),
+        )
+        pieces.append(
+            a.join(b, "ck").filter(F.col("doc_a") < F.col("doc_b")).select(
+                "doc_a", "doc_b", "sh_a", "sh_b"
+            )
+        )
+    cand = pieces[0]
+    for p in pieces[1:]:
+        cand = cand.union(p)
+    cand = cand.distinct()
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over n-gram shingle sets: (doc_a, doc_b, jaccard).
+
+    candidates: optional (doc_a, doc_b) pre-filter (e.g. LSH output) —
+    REQUIRED at scale; without it the shingle self-join is exact but
+    only viable when shingle df is modest (oracle-scale corpora).
+    Plan: explode distinct shingles -> self-join on shingle ->
+    pair-count = |A∩B| -> sizes join -> Jaccard filter."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns, float64 math,
+    pure JVM (aggregate over zip_with) — no UDF."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) for all pairs with cosine >= threshold.
+
+    Small-scale exact path: broadcast self-join (all pairs) — oracle
+    parity with DuckDB list_cosine_similarity. At scale compose with
+    similarity.lsh_bucket_candidates to restrict pairs first."""
+    a = embeddings.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b")
+    )
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    return pairs.select(
+        "vec_a", "vec_b", cosine_expr(F.col("emb_a"), F.col("emb_b")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,109 @@
+"""Text-analysis scalar functions for training-data pipelines.
+
+All pure column expressions (JVM, codegen) with exact DuckDB-oracle
+twins — no UDFs. Each returns a Column usable in any select.
+
+Operators: token counting (whitespace + BPE-ish subword estimate),
+language-ID (stopword-hit heuristic), quality scoring (length /
+punctuation / stopword / repetition signals), document fingerprinting
+(md5 content hash + shingle sketch hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pisa_spark.corpus import tokens_col
+
+# tiny per-language stopword lists (deterministic, shared with oracle)
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "for", "on", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "y", "de", "un", "una", "es", "para"],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-ish token count (the tokenizer's token count)."""
+    return F.size(tokens_col(text))
+
+
+def subword_count_estimate(text: Column) -> Column:
+    """BPE-ish token-count estimate without a vocab: tokens plus one
+    extra unit per 4 chars beyond the first 4 of each word — the
+    standard chars/4 heuristic, computed exactly from word lengths."""
+    toks = tokens_col(text)
+    extra = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc
+        + F.when(F.length(t) > 4, ((F.length(t) - 1) / 4).cast("int")).otherwise(0),
+    )
+    return F.size(toks) + extra
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    toks = tokens_col(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def langid_heuristic(text: Column) -> Column:
+    """Best-guess language by stopword-hit rate; 'und' if nothing hits.
+
+    greatest/struct trick keeps it one expression; ties break by the
+    fixed language order en > de > es > fr (struct comparison)."""
+    scored = [
+        F.struct(
+            stopword_hits(text, lang).alias("hits"),
+            F.lit(prio).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for prio, lang in enumerate(["fr", "es", "de", "en"])
+    ]
+    best = F.greatest(*scored)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic (web-pipeline style):
+    0.25*len_ok + 0.25*alpha_ratio + 0.25*stopword_signal + 0.25*(1-rep).
+
+    len_ok: 20..10000 tokens; alpha_ratio: alphanumeric chars / chars;
+    stopword_signal: min(1, en-stopword rate * 10); rep: repetition =
+    1 - distinct/total tokens."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    len_ok = F.when((n >= 20) & (n <= 10000), 1.0).otherwise(0.0)
+    alpha = (
+        F.length(F.regexp_replace(F.lower(text), "[^a-z0-9]", ""))
+        / F.greatest(F.length(text), F.lit(1))
+    )
+    sw_rate = stopword_hits(text, "en") / F.greatest(n, F.lit(1))
+    sw_signal = F.least(F.lit(1.0), sw_rate * 10)
+    rep = 1.0 - F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
+    return (
+        0.25 * len_ok + 0.25 * alpha + 0.25 * sw_signal + 0.25 * (1.0 - rep)
+    )
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Exact content fingerprint: md5 hex of the normalized token
+    stream (whitespace/punct-insensitive, case-folded)."""
+    return F.md5(F.array_join(tokens_col(text), " "))
+
+
+def doc_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience projection: one row per doc with every text metric."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        subword_count_estimate(t).alias("n_subwords"),
+        langid_heuristic(t).alias("lang_guess"),
+        F.round(quality_score(t), 6).alias("quality"),
+        content_fingerprint(t).alias("fingerprint"),
+    )

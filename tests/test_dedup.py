@@ -1,0 +1,95 @@
+"""Dedup-family invariants (engine-level; cross-engine value parity is
+covered by the driver oracle gate in __spark_entry__)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pisa_spark.dedup.dedup import (
+    distinct_docs,
+    embedding_near_pairs,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_exact_dedup_finds_planted_dups(spark, docs):
+    d = docs.select("doc_id", "text")
+    dup = d.union(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    found = exact_duplicates(dup)
+    # every doc belongs to a group of 2 -> all 1000 rows flagged
+    assert found.count() == 2 * d.count()
+    # keep_id is always the low (original) id
+    assert found.filter(F.col("keep_id") >= 10000).count() == 0
+    kept = distinct_docs(dup)
+    assert kept.count() == d.count()
+    assert kept.filter(F.col("doc_id") >= 10000).count() == 0
+
+
+def test_minhash_estimates_track_true_jaccard(docs):
+    sigs = minhash_signatures(docs)
+    cands = minhash_lsh_candidates(sigs)
+    true = ngram_jaccard_pairs(docs, threshold=0.0, candidates=cands)
+    joined = cands.join(true, ["doc_a", "doc_b"]).collect()
+    assert joined, "LSH found no candidates on the synthetic corpus"
+    # MinHash estimate within 0.35 of true jaccard for 16 hashes
+    for r in joined:
+        assert abs(r["est_jaccard"] - r["jaccard"]) < 0.35, r
+
+
+def test_lsh_candidates_include_high_jaccard_pairs(docs):
+    """Recall property: pairs with very high true jaccard should be
+    LSH candidates (4 bands x 4 rows: P(detect) = 1-(1-j^4)^4 -> ~1 for
+    j >= 0.9)."""
+    high = ngram_jaccard_pairs(docs, threshold=0.9)
+    cands = minhash_lsh_candidates(minhash_signatures(docs))
+    missed = high.join(cands, ["doc_a", "doc_b"], "left_anti").count()
+    assert missed == 0
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark, docs):
+    d = docs.select("doc_id", "text")
+    dup = d.union(d.select((F.col("doc_id") + 10000).alias("doc_id"), "text"))
+    fp = simhash(dup)
+    pairs = (
+        fp.alias("a")
+        .join(fp.alias("b"), F.col("a.doc_id") + 10000 == F.col("b.doc_id"))
+        .filter(F.col("a.simhash") != F.col("b.simhash"))
+    )
+    assert pairs.count() == 0
+
+
+def test_simhash_near_pairs_bound(docs):
+    fp = simhash(docs)
+    pairs = simhash_near_pairs(fp, max_hamming=2)
+    assert pairs.filter(F.col("hamming") > 2).count() == 0
+    # banding candidate generation is exhaustive within the bound:
+    # verify against brute-force on the small corpus
+    brute = (
+        fp.alias("a")
+        .join(fp.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+    )
+    assert pairs.count() == brute.count()
+
+
+def test_embedding_near_pairs_symmetric_free(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_pairs(emb, threshold=0.3)
+    assert pairs.filter(F.col("vec_a") >= F.col("vec_b")).count() == 0
+    assert pairs.filter(F.col("cosine") < 0.3).count() == 0
