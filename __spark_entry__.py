@@ -38,6 +38,19 @@ from pisa_spark.dedup.dedup import (  # noqa: E402
     simhash_near_pairs,
 )
 from pisa_spark.functions.text import doc_profile  # noqa: E402
+from pisa_spark.operators.snapshots import (  # noqa: E402
+    interactions_from_events,
+    popularity_topk,
+    seen_sets,
+    split_blocks,
+    topn_metrics,
+)
+from pisa_spark.plans.relational import (  # noqa: E402
+    pricing_summary,
+    regional_revenue,
+    revenue_forecast,
+    shipping_priority,
+)
 from pisa_spark.query.bm25 import bm25_topk_dataframe, bm25_topk_wand  # noqa: E402
 from pisa_spark.similarity.ann import (  # noqa: E402
     cosine_topk_bruteforce,
@@ -189,6 +202,74 @@ def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_REF = """
+WITH inter AS (
+  SELECT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id,
+         ts, event_id
+  FROM events
+),
+pos AS (
+  SELECT user_id, item_id,
+         row_number() OVER (ORDER BY ts, event_id) - 1 AS pos
+  FROM inter
+),
+b AS (
+  SELECT size,
+         CAST(floor(size * 0.6) AS BIGINT) AS train,
+         (size - CAST(floor(size * 0.6) AS BIGINT)) // 5 AS incre
+  FROM (SELECT count(*) AS size FROM pos)
+),
+bounds AS (
+  SELECT i.i AS snapshot_idx,
+         CASE WHEN i.i = 0 THEN 0 ELSE train + (i.i - 1) * incre END AS b_lo,
+         train + i.i * incre AS b_hi,
+         CASE WHEN i.i = 4 THEN size ELSE train + (i.i + 1) * incre END AS nxt
+  FROM b, range(0, 5) AS i(i)
+),
+bounds2 AS (
+  SELECT *, b_hi + CAST(floor((nxt - b_hi) * 0.5) AS BIGINT) AS vb FROM bounds
+),
+blocks AS (
+  SELECT bounds2.snapshot_idx, 'hist' AS block_type, p.user_id, p.item_id, p.pos
+  FROM pos p JOIN bounds2 ON p.pos < b_hi
+  UNION ALL
+  SELECT snapshot_idx, 'incre', p.user_id, p.item_id, p.pos
+  FROM pos p JOIN bounds2 ON p.pos >= b_lo AND p.pos < b_hi
+  UNION ALL
+  SELECT snapshot_idx, 'val', p.user_id, p.item_id, p.pos
+  FROM pos p JOIN bounds2 ON p.pos >= b_hi AND p.pos < vb
+  UNION ALL
+  SELECT snapshot_idx, 'test', p.user_id, p.item_id, p.pos
+  FROM pos p JOIN bounds2 ON p.pos >= vb AND p.pos < nxt
+)
+"""
+
+_SQL_REF_RECS = (
+    _SQL_REF
+    + """,
+hist0 AS (SELECT * FROM blocks WHERE snapshot_idx = 0 AND block_type = 'hist'),
+test0 AS (SELECT * FROM blocks WHERE snapshot_idx = 0 AND block_type = 'test'),
+counts AS (SELECT item_id, count(*) AS cnt FROM hist0 GROUP BY item_id),
+cand AS (
+  SELECT u.user_id, c.item_id, c.cnt
+  FROM (SELECT DISTINCT user_id FROM test0) u CROSS JOIN counts c
+),
+seen AS (SELECT DISTINCT user_id, item_id FROM hist0),
+unseen AS (
+  SELECT cand.* FROM cand
+  LEFT JOIN seen ON cand.user_id = seen.user_id AND cand.item_id = seen.item_id
+  WHERE seen.user_id IS NULL
+),
+recs AS (
+  SELECT user_id, item_id, cnt,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY cnt DESC, item_id ASC) AS INTEGER) AS rank
+  FROM unseen
+)
+"""
+)
+
 # SQL fragments shared by dedup oracles (tokenizer identical to _SQL_BASE)
 _SQL_SHINGLES = """
 WITH toks AS (
@@ -320,7 +401,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")),
         # --- text analysis ---
         "text_profiles": lambda spark, sf: doc_profile(_docs(spark, sf)),
+        # --- reference-semantic snapshot/recommendation pipeline ---
+        "ref_split_counts": lambda spark, sf: split_blocks(
+            interactions_from_events(spark, sf), 5, 0.6
+        )
+        .groupBy("snapshot_idx", "block_type")
+        .agg(F.count(F.lit(1)).alias("n_rows")),
+        "ref_seen_sets": lambda spark, sf: seen_sets(
+            split_blocks(interactions_from_events(spark, sf), 5, 0.6).filter(
+                (F.col("snapshot_idx") == 0) & (F.col("block_type") == "hist")
+            )
+        ).select(
+            "user_id",
+            "n_items",
+            F.md5(F.array_join(F.col("items"), ",")).alias("items_fp"),
+        ),
+        "ref_popularity_topk": lambda spark, sf: _ref_recs(spark, sf),
+        "ref_topn_metrics": lambda spark, sf: _ref_metrics(spark, sf),
+        # --- relational plans (TPC-H shapes) ---
+        "tpch_q1_pricing": pricing_summary,
+        "tpch_q3_shipping": shipping_priority,
+        "tpch_q5_regional": regional_revenue,
+        "tpch_q6_forecast": revenue_forecast,
     }
+
+
+def _ref_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    return split_blocks(interactions_from_events(spark, sf), 5, 0.6)
+
+
+def _ref_recs(spark: SparkSession, sf: str) -> DataFrame:
+    blocks = _ref_blocks(spark, sf)
+    hist = blocks.filter(
+        (F.col("snapshot_idx") == 0) & (F.col("block_type") == "hist")
+    )
+    test = blocks.filter(
+        (F.col("snapshot_idx") == 0) & (F.col("block_type") == "test")
+    )
+    return popularity_topk(hist, test.select("user_id"), k=10)
+
+
+def _ref_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    blocks = _ref_blocks(spark, sf)
+    test = blocks.filter(
+        (F.col("snapshot_idx") == 0) & (F.col("block_type") == "test")
+    )
+    recs = _ref_recs(spark, sf)
+    return topn_metrics(recs, test.select("user_id", "item_id"), ks=[5, 10])
 
 
 def _minhash_bands(spark: SparkSession, sf: str) -> DataFrame:
@@ -485,5 +612,108 @@ SELECT doc_id,
        , 6) AS quality,
        md5(array_to_string(tokens, ' ')) AS fingerprint
 FROM hits
+""",
+        # --- reference-semantic snapshot/recommendation pipeline ---
+        "ref_split_counts": _SQL_REF
+        + """
+SELECT CAST(snapshot_idx AS INTEGER) AS snapshot_idx, block_type,
+       count(*) AS n_rows
+FROM blocks GROUP BY snapshot_idx, block_type
+""",
+        "ref_seen_sets": _SQL_REF
+        + """
+SELECT user_id, count(DISTINCT item_id) AS n_items,
+       md5(array_to_string(list_sort(list(DISTINCT item_id)), ',')) AS items_fp
+FROM blocks WHERE snapshot_idx = 0 AND block_type = 'hist'
+GROUP BY user_id
+""",
+        "ref_popularity_topk": _SQL_REF_RECS
+        + "SELECT user_id, rank, item_id, cnt FROM recs WHERE rank <= 10",
+        "ref_topn_metrics": _SQL_REF_RECS
+        + """,
+gt AS (SELECT DISTINCT user_id, item_id FROM test0),
+gt_sizes AS (SELECT user_id, count(*) AS n_gt FROM gt GROUP BY user_id),
+ks AS (SELECT unnest([5, 10]) AS k),
+hits AS (
+  SELECT r.user_id, r.rank FROM recs r JOIN gt USING (user_id, item_id)
+  WHERE r.rank <= 10
+),
+per_user AS (
+  SELECT ks.k, g.user_id, g.n_gt,
+         count(h.rank) FILTER (h.rank <= ks.k) AS n_hits,
+         coalesce(sum(1.0 / log2(h.rank + 1)) FILTER (h.rank <= ks.k), 0.0) AS dcg,
+         min(h.rank) FILTER (h.rank <= ks.k) AS first_hit
+  FROM gt_sizes g CROSS JOIN ks
+  LEFT JOIN hits h ON h.user_id = g.user_id
+  GROUP BY ks.k, g.user_id, g.n_gt
+),
+per_user2 AS (
+  SELECT k, user_id,
+         n_hits * 1.0 / n_gt AS recall,
+         n_hits * 1.0 / k AS precision,
+         dcg / list_sum(list_transform(range(1, least(n_gt, k) + 1),
+                                       j -> 1.0 / log2(j + 1))) AS ndcg,
+         CASE WHEN first_hit IS NOT NULL THEN 1.0 / first_hit ELSE 0.0 END AS mrr
+  FROM per_user
+),
+agg AS (
+  SELECT k, round(avg(recall), 4) AS recall, round(avg(precision), 4) AS precision,
+         round(avg(ndcg), 4) AS ndcg, round(avg(mrr), 4) AS mrr
+  FROM per_user2 GROUP BY k
+)
+SELECT metric, CAST(k AS INTEGER) AS k, value FROM (
+  SELECT k, 'recall' AS metric, recall AS value FROM agg
+  UNION ALL SELECT k, 'precision', precision FROM agg
+  UNION ALL SELECT k, 'ndcg', ndcg FROM agg
+  UNION ALL SELECT k, 'mrr', mrr FROM agg
+)
+""",
+        # --- relational plans (TPC-H shapes) ---
+        "tpch_q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "tpch_q3_shipping": """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+        "tpch_q5_regional": """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "tpch_q6_forecast": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
 """,
     }
