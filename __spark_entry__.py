@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pisa_spark.corpus import tokens_col  # noqa: E402
+from pisa_spark.corpus import (  # noqa: E402
+    pages_from_documents,
+    tokens_col,
+    with_extracted_text,
+)
 from pisa_spark.index.build import (  # noqa: E402
     build_index_dataframes,
     corpus_stats,
@@ -36,6 +40,10 @@ from pisa_spark.dedup.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
     simhash,
     simhash_near_pairs,
+)
+from pisa_spark.functions.multimodal import (  # noqa: E402
+    extract_media_features,
+    media_from_documents,
 )
 from pisa_spark.functions.text import doc_profile  # noqa: E402
 from pisa_spark.operators.snapshots import (  # noqa: E402
@@ -365,6 +373,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_tf": lambda spark, sf: term_frequencies(_tokens(spark, sf)).select(
             "doc_id", "term", "tf"
         ),
+        # corpus stats computed THROUGH the pages(html)->extract path;
+        # the oracle reads documents.text directly — equality proves the
+        # vectorized extractor is byte-identical end-to-end
+        "pages_extracted_stats": lambda spark, sf: (
+            lambda ext: corpus_stats(
+                ext.select(
+                    tokens_col(F.col("extracted")).alias("tokens")
+                ).withColumn("doc_len", F.size("tokens"))
+            ).select(
+                "n_docs", F.round("avgdl", 6).alias("avgdl"), "total_terms"
+            )
+        )(with_extracted_text(pages_from_documents(spark, sf))),
         "bm25_topk_or": lambda spark, sf: _bm25_df(spark, sf, _OR_QUERIES, False),
         "bm25_topk_and": lambda spark, sf: _bm25_df(spark, sf, _AND_QUERIES, True),
         "bm25_topk_or_wand": lambda spark, sf: _bm25_wand(spark, sf, _OR_QUERIES, False),
@@ -418,6 +438,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ref_popularity_topk": lambda spark, sf: _ref_recs(spark, sf),
         "ref_topn_metrics": lambda spark, sf: _ref_metrics(spark, sf),
+        # --- multimodal plumbing (byte features over binary media) ---
+        "media_features": lambda spark, sf: extract_media_features(
+            media_from_documents(spark, sf)
+        ).select(
+            "doc_id",
+            "media_type",
+            "n_bytes",
+            "head_hash",
+            F.round("byte_entropy", 6).alias("byte_entropy"),
+            F.md5(
+                F.array_join(
+                    F.transform("histogram16", lambda c: c.cast("string")), ","
+                )
+            ).alias("hist_fp"),
+        ),
         # --- relational plans (TPC-H shapes) ---
         "tpch_q1_pricing": pricing_summary,
         "tpch_q3_shipping": shipping_priority,
@@ -473,6 +508,12 @@ def _minhash_bands(spark: SparkSession, sf: str) -> DataFrame:
 def oracle_sql() -> dict[str, str]:
     return {
         "corpus_stats": _SQL_BASE
+        + """
+SELECT n_docs, round(avgdl, 6) AS avgdl,
+       CAST((SELECT sum(doc_len) FROM doclen) AS BIGINT) AS total_terms
+FROM stats
+""",
+        "pages_extracted_stats": _SQL_BASE
         + """
 SELECT n_docs, round(avgdl, 6) AS avgdl,
        CAST((SELECT sum(doc_len) FROM doclen) AS BIGINT) AS total_terms
@@ -667,6 +708,46 @@ SELECT metric, CAST(k AS INTEGER) AS k, value FROM (
   UNION ALL SELECT k, 'ndcg', ndcg FROM agg
   UNION ALL SELECT k, 'mrr', mrr FROM agg
 )
+""",
+        # --- multimodal plumbing ---
+        "media_features": """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+hist AS (
+  SELECT doc_id, ascii(ch) // 16 AS bucket, count(*) AS cnt
+  FROM chars GROUP BY doc_id, bucket
+),
+tot AS (SELECT doc_id, sum(cnt) AS n FROM hist GROUP BY doc_id),
+ent AS (
+  SELECT h.doc_id,
+         round(-sum((cnt * 1.0 / n) * log2(cnt * 1.0 / n)), 6) AS byte_entropy
+  FROM hist h JOIN tot USING (doc_id) GROUP BY h.doc_id
+),
+hist16 AS (
+  SELECT d.doc_id, r.b, coalesce(h.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN range(0, 16) r(b)
+  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bucket = r.b
+),
+hfp AS (
+  SELECT doc_id, md5(array_to_string(list(cnt ORDER BY b), ',')) AS hist_fp
+  FROM hist16 GROUP BY doc_id
+),
+hh AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, least(length(text), 8) + 1),
+                                      i -> ascii(substring(text, i, 1))))
+              AS BIGINT) AS head_hash
+  FROM documents
+)
+SELECT d.doc_id,
+       CASE CAST(d.doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(length(d.text) AS INTEGER) AS n_bytes,
+       hh.head_hash, ent.byte_entropy, hfp.hist_fp
+FROM documents d
+JOIN hh USING (doc_id) JOIN ent USING (doc_id) JOIN hfp USING (doc_id)
 """,
         # --- relational plans (TPC-H shapes) ---
         "tpch_q1_pricing": """

@@ -1,0 +1,102 @@
+"""Multimodal plumbing + Structured Streaming tests."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pisa_spark.functions.multimodal import (
+    decode_image,
+    extract_media_features,
+    media_from_documents,
+    resize_image,
+    sample_video_frames,
+)
+from pisa_spark.streaming.ingest import (
+    incremental_doc_lengths,
+    run_available_now,
+    stream_events,
+    windowed_event_counts,
+)
+
+
+def test_media_table_shape(spark, sf_dir):
+    media = media_from_documents(spark, sf_dir)
+    types = {f.name: f.dataType.simpleString() for f in media.schema.fields}
+    assert types == {
+        "doc_id": "bigint", "media_type": "string",
+        "n_bytes": "int", "media": "binary",
+    }
+    assert media.filter(F.col("n_bytes") != F.octet_length("media")).count() == 0
+
+
+def test_media_features_real_and_deterministic(spark, sf_dir):
+    media = media_from_documents(spark, sf_dir)
+    f1 = extract_media_features(media).orderBy("doc_id").collect()
+    f2 = extract_media_features(media.repartition(7)).orderBy("doc_id").collect()
+    assert f1 == f2
+    for r in f1[:50]:
+        assert 0.0 <= r["byte_entropy"] <= 4.0  # 16 buckets -> max 4 bits
+        assert len(r["histogram16"]) == 16
+        assert sum(r["histogram16"]) == r["n_bytes"]
+
+
+def test_media_decode_stubs_raise(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG", 32, 32)
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(b"\x00\x00")
+
+
+def test_streaming_windowed_counts_match_batch(spark, tmp_path):
+    # stage the events parquet as a streaming source directory
+    src = str(tmp_path / "stream_src")
+    import os
+
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", src + "/part0.parquet")
+
+    stream = stream_events(spark, src)
+    assert stream.isStreaming
+    counts = windowed_event_counts(stream, window="1 day", watermark="2 days")
+    got = run_available_now(counts, "win_counts_test", output_mode="complete")
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    expect = (
+        batch.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type",
+            "n_events", "total_value",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_streaming_tokenize_matches_batch(spark, tmp_path):
+    import os
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", src + "/d0.parquet")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .parquet(src)
+    )
+    got = run_available_now(
+        incremental_doc_lengths(stream), "doclen_stream_test"
+    )
+    batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pisa_spark.corpus import tokens_col
+
+    expect = batch.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).alias("doc_len")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
