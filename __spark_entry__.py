@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pisa_spark.corpus import (  # noqa: E402
+    assign_doc_ids,
     pages_from_documents,
     tokens_col,
     with_extracted_text,
@@ -385,6 +386,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "n_docs", F.round("avgdl", 6).alias("avgdl"), "total_terms"
             )
         )(with_extracted_text(pages_from_documents(spark, sf))),
+        # deterministic dense doc-id assignment over urls (SURVEY T4)
+        "pages_doc_ids": lambda spark, sf: assign_doc_ids(
+            pages_from_documents(spark, sf)
+        ).select("url", F.col("doc_id").cast("long").alias("doc_id")),
         "bm25_topk_or": lambda spark, sf: _bm25_df(spark, sf, _OR_QUERIES, False),
         "bm25_topk_and": lambda spark, sf: _bm25_df(spark, sf, _AND_QUERIES, True),
         "bm25_topk_or_wand": lambda spark, sf: _bm25_wand(spark, sf, _OR_QUERIES, False),
@@ -453,6 +458,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ).alias("hist_fp"),
         ),
+        # --- event-time windowed aggregation (batch twin of the
+        # streaming path in pisa_spark.streaming.ingest) ---
+        "events_daily_windows": lambda spark, sf: (
+            spark.read.parquet(f"{sf}/events.parquet")
+            .groupBy(
+                F.window("ts", "1 day").alias("w"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        ),
+        # --- exact quantile threshold gating (ref #13/#26: torch.quantile
+        # top-L% weight gating, /root/reference/src/models/PISA.py:241-248) ---
+        "events_quantile_gate": lambda spark, sf: (
+            spark.read.parquet(f"{sf}/events.parquet")
+            .groupBy("event_type")
+            .agg(
+                F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .join(
+                spark.read.parquet(f"{sf}/events.parquet").select(
+                    "event_type", "value"
+                ),
+                "event_type",
+            )
+            .filter(F.col("value") > F.col("p90"))
+            .groupBy("event_type", "p90")
+            .agg(F.count(F.lit(1)).alias("n_above"))
+        ),
         # --- relational plans (TPC-H shapes) ---
         "tpch_q1_pricing": pricing_summary,
         "tpch_q3_shipping": shipping_priority,
@@ -518,6 +560,14 @@ FROM stats
 SELECT n_docs, round(avgdl, 6) AS avgdl,
        CAST((SELECT sum(doc_len) FROM doclen) AS BIGINT) AS total_terms
 FROM stats
+""",
+        "pages_doc_ids": """
+WITH pages AS (
+  SELECT 'https://example' || CAST(doc_id % 1000 AS VARCHAR) || '.test/p/'
+         || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url
+  FROM documents
+)
+SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
 """,
         "doc_lengths": _SQL_BASE + "SELECT doc_id, doc_len FROM doclen",
         "term_df": _SQL_BASE + "SELECT term, df FROM dfreq",
@@ -748,6 +798,23 @@ SELECT d.doc_id,
        hh.head_hash, ent.byte_entropy, hfp.hist_fp
 FROM documents d
 JOIN hh USING (doc_id) JOIN ent USING (doc_id) JOIN hfp USING (doc_id)
+""",
+        # --- event-time windowed aggregation ---
+        "events_daily_windows": """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY day, event_type
+""",
+        # --- exact quantile threshold gating ---
+        "events_quantile_gate": """
+WITH q AS (
+  SELECT event_type, round(quantile_cont(value, 0.9), 6) AS p90
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, q.p90, count(*) AS n_above
+FROM events e JOIN q ON e.event_type = q.event_type
+WHERE e.value > q.p90
+GROUP BY e.event_type, q.p90
 """,
         # --- relational plans (TPC-H shapes) ---
         "tpch_q1_pricing": """

@@ -30,6 +30,9 @@ BENCH_QUERIES = [
     {"query_id": 2, "terms": ["spark", "query", "scan"], "conjunctive": False},
     {"query_id": 3, "terms": ["window", "merge", "scan"], "conjunctive": True},
     {"query_id": 4, "terms": ["data", "table"], "conjunctive": True},
+    {"query_id": 5, "terms": ["hash", "sort"], "conjunctive": False},
+    {"query_id": 6, "terms": ["group", "filter", "row"], "conjunctive": True},
+    {"query_id": 7, "terms": ["stream"], "conjunctive": False},
 ]
 
 
@@ -72,6 +75,11 @@ def main() -> None:
     timings["q_batch_all"] = round(time.perf_counter() - t0, 4)
 
     total = time.perf_counter() - t_all
+    lat = sorted(
+        v for k, v in timings.items() if k.startswith("q") and k != "q_batch_all"
+    )
+    p50 = lat[len(lat) // 2]
+    p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
     out = {
         "metric": "index_build_plus_bm25_topk_suite",
         "value": round(total, 4),
@@ -83,6 +91,8 @@ def main() -> None:
         "postings": int(agg["postings"]),
         "postings_per_s": round(agg["postings"] / t_build, 2),
         "payload_bytes": int(agg["payload_bytes"]),
+        "latency_p50_s": p50,
+        "latency_p95_s": p95,
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
     spark.stop()

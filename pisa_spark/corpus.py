@@ -25,7 +25,7 @@ DuckDB oracle, giving engine/oracle token parity for free.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
@@ -102,6 +102,39 @@ def tokens_col(text: Column) -> Column:
     (regexp_split_to_array) so token parity holds by construction.
     """
     return F.filter(F.split(F.lower(text), TOKEN_SPLIT_REGEX), lambda t: t != "")
+
+
+def assign_doc_ids(pages: DataFrame) -> DataFrame:
+    """Deterministic dense doc-id assignment for a pages corpus:
+    doc_id = row_number() OVER (ORDER BY url) - 1.
+
+    NEVER monotonically_increasing_id(): that is partition-layout
+    dependent and changes across runs/parallelism, which would break
+    rank-identity (SURVEY T4; the reference's dense max+1 id space is
+    /root/reference/src/helpers/Reader.py:62). A global sort of urls is
+    one shuffle at build time and is done once per corpus snapshot; at
+    10^12 docs use range-partitioned sort (Spark's default for
+    row_number over a global window is a single-partition sort, so for
+    the cluster path prefer zipWithIndex-style two-phase assignment:
+    sortWithinPartitions + per-partition offsets — the helper below
+    keeps the semantic contract either way)."""
+    w = Window.orderBy("url")
+    return pages.withColumn("doc_id", F.row_number().over(w) - 1)
+
+
+def parse_query(q: str) -> dict:
+    """Parse a query string into the engine's query dict (SURVEY T12).
+
+    Syntax: whitespace-separated lowercase terms; a leading '+' on any
+    term makes the whole query conjunctive (AND); otherwise
+    disjunctive (OR). Tokens are normalized with the corpus tokenizer
+    rules (lowercase alnum runs)."""
+    import re
+
+    conjunctive = any(t.startswith("+") for t in q.split())
+    raw = q.replace("+", " ")
+    terms = [t for t in re.split(TOKEN_SPLIT_REGEX, raw.lower()) if t]
+    return {"terms": terms, "conjunctive": conjunctive}
 
 
 def tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,13 +22,18 @@ surface is confined to pisa_spark.sources.catalog so a real Iceberg
 catalog is a drop-in):
 
     postings(bucket, term, block_idx, first_doc, max_doc, n,
-             block_max_score:float, docs:binary, tfs:binary, dls:binary)
+             fmax:float, fmin:float, docs:binary, tfs:binary, dls:binary)
         partitioned by bucket  (partition pruning on doc ranges)
-    term_stats(term, df)                -- document frequency
     corpus_stats(n_docs, avgdl, total_terms)  -- 1 row
 
-Per-posting doc_len rides inside the block (``dls``) so scoring is
-self-contained — no 10^12-row doc_len side join at query time.
+Block metadata doubles as the skip structure: (first_doc, max_doc) per
+128-posting block are the skip pointers (a traversal skips a block
+whose doc range can't intersect), and (fmax, fmin) are the df-free
+BM25 factor bounds from which query-time block-max scores derive (see
+bm25_tf_factor). Per-posting doc_len rides inside the block (``dls``)
+so scoring is self-contained — no 10^12-row doc_len side join at query
+time; term document frequency is recoverable as sum(n) over a term's
+blocks, so no df side table is needed either.
 
 Reference semantics carried over: posting-list construction is the
 Spark-native analog of the reference's per-user neighbor lists
@@ -165,11 +170,10 @@ def _encode_groups(
     avgdl: float,
     block_size: int,
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: rows (bucket, term, doc_id, tf, doc_len, df)
+    """mapInPandas kernel: rows (bucket, term, doc_id, tf, doc_len)
     sorted by (bucket, term, doc_id) within the partition -> one row per
-    <=block_size posting block, payloads delta+varint compressed,
-    block_max_score = exact max BM25 partial score in the block (a true
-    upper bound for WAND).
+    <=block_size posting block, payloads delta+varint compressed, with
+    outward-nudged float32 factor bounds (true bounds for WAND).
 
     Arrow may split one (bucket, term) group across input batches, so
     the tail group of every batch is carried over and prepended to the

@@ -32,3 +32,23 @@ def test_extraction_deterministic_across_runs(spark, sf_dir):
     a = with_extracted_text(pages_from_documents(spark, sf_dir)).orderBy("url").collect()
     b = with_extracted_text(pages_from_documents(spark, sf_dir)).orderBy("url").collect()
     assert a == b
+
+
+def test_assign_doc_ids_dense_and_run_invariant(spark, sf_dir):
+    from pisa_spark.corpus import assign_doc_ids, pages_from_documents
+
+    pages = pages_from_documents(spark, sf_dir)
+    a = assign_doc_ids(pages).select("url", "doc_id")
+    ids = [r["doc_id"] for r in a.orderBy("doc_id").collect()]
+    assert ids == list(range(len(ids)))  # dense 0..N-1
+    b = assign_doc_ids(pages.repartition(7)).select("url", "doc_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_parse_query():
+    from pisa_spark.corpus import parse_query
+
+    assert parse_query("data join") == {"terms": ["data", "join"], "conjunctive": False}
+    assert parse_query("+data +join") == {"terms": ["data", "join"], "conjunctive": True}
+    assert parse_query("Data, JOIN!") == {"terms": ["data", "join"], "conjunctive": False}
+    assert parse_query("") == {"terms": [], "conjunctive": False}
