@@ -47,6 +47,10 @@ from pisa_spark.functions.multimodal import (  # noqa: E402
     media_from_documents,
 )
 from pisa_spark.functions.text import doc_profile  # noqa: E402
+from pisa_spark.operators.graph import (  # noqa: E402
+    negative_samples,
+    normalized_edges,
+)
 from pisa_spark.operators.snapshots import (  # noqa: E402
     interactions_from_events,
     popularity_topk,
@@ -458,6 +462,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ).alias("hist_fp"),
         ),
+        # --- graph normalization + deterministic negative sampling ---
+        "ref_normalized_edges": lambda spark, sf: normalized_edges(
+            interactions_from_events(spark, sf)
+        ),
+        "ref_negative_samples": lambda spark, sf: negative_samples(
+            interactions_from_events(spark, sf)
+        ),
         # --- event-time windowed aggregation (batch twin of the
         # streaming path in pisa_spark.streaming.ingest) ---
         "events_daily_windows": lambda spark, sf: (
@@ -798,6 +809,44 @@ SELECT d.doc_id,
        hh.head_hash, ent.byte_entropy, hfp.hist_fp
 FROM documents d
 JOIN hh USING (doc_id) JOIN ent USING (doc_id) JOIN hfp USING (doc_id)
+""",
+        # --- graph normalization + deterministic negative sampling ---
+        "ref_normalized_edges": """
+WITH inter AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+  FROM events
+),
+du AS (SELECT user_id, count(*) AS du FROM inter GROUP BY user_id),
+di AS (SELECT item_id, count(*) AS di FROM inter GROUP BY item_id)
+SELECT i.user_id, i.item_id, round(1.0 / sqrt(du.du * di.di), 6) AS weight
+FROM inter i JOIN du USING (user_id) JOIN di USING (item_id)
+""",
+        "ref_negative_samples": """
+WITH inter AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+  FROM events
+),
+cand AS (
+  SELECT u.user_id, i.item_id,
+         CAST('0x'||substring(md5('neg:'||u.user_id||':'||i.item_id),1,8)
+              AS BIGINT) AS h
+  FROM (SELECT DISTINCT user_id FROM inter) u
+  CROSS JOIN (SELECT DISTINCT item_id FROM inter) i
+),
+gated AS (SELECT * FROM cand WHERE h % 7 = 0),
+unseen AS (
+  SELECT g.* FROM gated g
+  LEFT JOIN inter s ON g.user_id = s.user_id AND g.item_id = s.item_id
+  WHERE s.user_id IS NULL
+)
+SELECT user_id, item_id, rank FROM (
+  SELECT user_id, item_id,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY h ASC, item_id ASC) AS INTEGER) AS rank
+  FROM unseen
+) WHERE rank <= 5
 """,
         # --- event-time windowed aggregation ---
         "events_daily_windows": """
