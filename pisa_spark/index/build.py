@@ -22,15 +22,17 @@ surface is confined to pisa_spark.sources.catalog so a real Iceberg
 catalog is a drop-in):
 
     postings(bucket, term, block_idx, first_doc, max_doc, n,
-             fmax:float, fmin:float, docs:binary, tfs:binary, dls:binary)
+             tf_max:int, tf_min:int, dl_min:int, dl_max:int,
+             docs:binary, tfs:binary, dls:binary)
         partitioned by bucket  (partition pruning on doc ranges)
     corpus_stats(n_docs, avgdl, total_terms)  -- 1 row
 
 Block metadata doubles as the skip structure: (first_doc, max_doc) per
 128-posting block are the skip pointers (a traversal skips a block
-whose doc range can't intersect), and (fmax, fmin) are the df-free
-BM25 factor bounds from which query-time block-max scores derive (see
-bm25_tf_factor). Per-posting doc_len rides inside the block (``dls``)
+whose doc range can't intersect), and the (tf, dl) corner stats are the
+raw material for query-time block-max score bounds (see
+bm25_tf_factor) — df- AND avgdl-independent, so blocks stay valid as
+an incremental index grows. Per-posting doc_len rides inside the block (``dls``)
 so scoring is self-contained — no 10^12-row doc_len side join at query
 time; term document frequency is recoverable as sum(n) over a term's
 blocks, so no df side table is needed either.
@@ -61,7 +63,8 @@ BM25_B = 0.4
 
 POSTINGS_SCHEMA = (
     "bucket int, term string, block_idx int, first_doc long, max_doc long, "
-    "n int, fmax float, fmin float, docs binary, tfs binary, dls binary"
+    "n int, tf_max int, tf_min int, dl_min int, dl_max int, "
+    "docs binary, tfs binary, dls binary"
 )
 
 
@@ -112,17 +115,24 @@ def bm25_term_score(tf, dl, df, n_docs: float, avgdl: float):
 
 _OUT_COLS = [
     "bucket", "term", "block_idx", "first_doc", "max_doc", "n",
-    "fmax", "fmin", "docs", "tfs", "dls",
+    "tf_max", "tf_min", "dl_min", "dl_max", "docs", "tfs", "dls",
 ]
 
 
 def bm25_tf_factor(tf, dl, avgdl: float):
-    """The df-free factor of the BM25 partial score:
-    (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl)), always > 0.
-    Full score = idf(df) * factor; blocks store the factor's min/max so
-    the GLOBAL df (known only query-time, and never known per-wave in a
-    resumable build) multiplies in later: block_max_score =
-    idf*fmax if idf>0 else idf*fmin — an exact upper bound either way."""
+    """The df- and corpus-free factor of the BM25 partial score:
+    (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl)), always > 0; monotone
+    increasing in tf and decreasing in dl.
+
+    Full score = idf(df) * factor. Blocks store the CORNER STATS
+    (tf_max, tf_min, dl_min, dl_max) rather than any precomputed
+    factor, because both global inputs of the score — df and avgdl —
+    drift as an incremental index grows; bounds are derived query-time:
+    upper factor bound = factor(tf_max, dl_min, avgdl_now) (attained
+    exactly when one posting holds both corners, never below any
+    actual factor by monotonicity), lower bound symmetric. So
+    block_max_score = idf * fmax_bound if idf>0 else idf * fmin_bound
+    stays an exact upper bound under ANY later corpus state."""
     return (tf * (BM25_K1 + 1.0)) / (
         tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
     )
@@ -131,7 +141,6 @@ def bm25_tf_factor(tf, dl, avgdl: float):
 def _encode_one_group(
     out: dict[str, list],
     g: pd.DataFrame,
-    avgdl: float,
     block_size: int,
 ) -> None:
     bucket = int(g["bucket"].iloc[0])
@@ -140,9 +149,6 @@ def _encode_one_group(
     doc_ids = g["doc_id"].to_numpy(np.int64)
     tfs = g["tf"].to_numpy(np.int64)
     dls = g["doc_len"].to_numpy(np.int64)
-    factors = bm25_tf_factor(
-        tfs.astype(np.float64), dls.astype(np.float64), avgdl
-    )
     for bi in range(0, len(doc_ids), block_size):
         sl = slice(bi, bi + block_size)
         d = doc_ids[sl]
@@ -152,13 +158,12 @@ def _encode_one_group(
         out["first_doc"].append(int(d[0]))
         out["max_doc"].append(int(d[-1]))
         out["n"].append(int(d.size))
-        # float32 narrowing nudged OUTWARD so bounds stay true bounds
-        out["fmax"].append(
-            float(np.nextafter(np.float32(factors[sl].max()), np.float32(np.inf)))
-        )
-        out["fmin"].append(
-            float(np.nextafter(np.float32(factors[sl].min()), np.float32(-np.inf)))
-        )
+        # corner stats: exact ints, bounds derived query-time under the
+        # CURRENT avgdl/df (see bm25_tf_factor doc)
+        out["tf_max"].append(int(tfs[sl].max()))
+        out["tf_min"].append(int(tfs[sl].min()))
+        out["dl_min"].append(int(dls[sl].min()))
+        out["dl_max"].append(int(dls[sl].max()))
         out["docs"].append(codec.delta_encode_docids(d))
         out["tfs"].append(codec.encode_payload(tfs[sl], minus_one=True))
         out["dls"].append(codec.encode_payload(dls[sl]))
@@ -166,14 +171,12 @@ def _encode_one_group(
 
 def _encode_groups(
     pdf_iter: Iterator[pd.DataFrame],
-    n_docs: float,
-    avgdl: float,
     block_size: int,
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: rows (bucket, term, doc_id, tf, doc_len)
     sorted by (bucket, term, doc_id) within the partition -> one row per
     <=block_size posting block, payloads delta+varint compressed, with
-    outward-nudged float32 factor bounds (true bounds for WAND).
+    exact (tf, dl) corner stats for query-time WAND bounds.
 
     Arrow may split one (bucket, term) group across input batches, so
     the tail group of every batch is carried over and prepended to the
@@ -198,11 +201,11 @@ def _encode_groups(
             continue
         out: dict[str, list] = {c: [] for c in _OUT_COLS}
         for _, g in head.groupby(["bucket", "term"], sort=False):
-            _encode_one_group(out, g, avgdl, block_size)
+            _encode_one_group(out, g, block_size)
         yield pd.DataFrame(out)
     if leftover is not None and not leftover.empty:
         out = {c: [] for c in _OUT_COLS}
-        _encode_one_group(out, leftover, avgdl, block_size)
+        _encode_one_group(out, leftover, block_size)
         yield pd.DataFrame(out)
 
 
@@ -213,6 +216,7 @@ def build_postings(
     n_buckets: int = 32,
     max_doc_id: int | None = None,
     block_size: int = BLOCK_SIZE,
+    span: int | None = None,
 ) -> DataFrame:
     """tokens -> compressed posting-block DataFrame (see module doc).
 
@@ -224,7 +228,8 @@ def build_postings(
     """
     if max_doc_id is None:
         max_doc_id = n_docs
-    span = max(1, math.ceil((max_doc_id + 1) / n_buckets))
+    if span is None:
+        span = max(1, math.ceil((max_doc_id + 1) / n_buckets))
     tf = term_frequencies(tokens_df)
     tf_b = tf.withColumn("bucket", (F.col("doc_id") / F.lit(span)).cast("int"))
     # explicit partition count: the encode stage is the Python-side hot
@@ -235,9 +240,9 @@ def build_postings(
     arranged = tf_b.repartition(n_part, "bucket", "term").sortWithinPartitions(
         "bucket", "term", "doc_id"
     )
-    ad, bs = float(avgdl), int(block_size)
+    bs = int(block_size)
     return arranged.mapInPandas(
-        lambda it: _encode_groups(it, 0.0, ad, bs), schema=POSTINGS_SCHEMA
+        lambda it: _encode_groups(it, bs), schema=POSTINGS_SCHEMA
     )
 
 

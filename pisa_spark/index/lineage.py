@@ -27,6 +27,7 @@ waves ≈ 250 jobs).
 from __future__ import annotations
 
 import math
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,7 +39,7 @@ from pisa_spark.sources import catalog
 
 LINEAGE_SCHEMA = (
     "bucket int, status string, docs long, postings long, blocks long, "
-    "bytes_out long, wall_s double, wave int"
+    "bytes_out long, wall_s double, wave int, ts double"
 )
 
 POSTINGS_TABLE = "postings"
@@ -46,17 +47,25 @@ LINEAGE_TABLE = "lineage"
 STATS_TABLE = "corpus_stats"
 
 
-def committed_buckets(spark: SparkSession, index_root: str) -> set[int]:
+def latest_lineage(spark: SparkSession, index_root: str) -> dict[int, dict]:
+    """Latest lineage row per bucket (append-only table, ts-wins)."""
     if not catalog.table_exists(index_root, LINEAGE_TABLE):
-        return set()
-    rows = (
-        catalog.read_table(spark, index_root, LINEAGE_TABLE)
-        .filter(F.col("status") == "committed")
-        .select("bucket")
-        .distinct()
-        .collect()
-    )
-    return {r["bucket"] for r in rows}
+        return {}
+    rows = catalog.read_table(spark, index_root, LINEAGE_TABLE).collect()
+    latest: dict[int, dict] = {}
+    for r in rows:
+        d = r.asDict()
+        if d["bucket"] not in latest or d["ts"] > latest[d["bucket"]]["ts"]:
+            latest[d["bucket"]] = d
+    return latest
+
+
+def committed_buckets(spark: SparkSession, index_root: str) -> set[int]:
+    return {
+        b
+        for b, d in latest_lineage(spark, index_root).items()
+        if d["status"] == "committed"
+    }
 
 
 def build_index_resumable(
@@ -67,8 +76,25 @@ def build_index_resumable(
     wave_size: int = 8,
     block_size: int = BLOCK_SIZE,
     fail_after_waves: int | None = None,
+    docs_per_bucket: int | None = None,
 ) -> dict:
-    """Build (or resume) the persistent index at ``index_root``.
+    """Build (or resume, or incrementally extend) the persistent index.
+
+    docs_per_bucket: when set, the bucket span is FIXED (the cluster
+    design: ~1M docs per bucket at 10^12 scale) and the bucket count
+    derives from the corpus — a grown corpus appends new buckets and
+    only buckets whose doc count changed are rebuilt. This is the
+    reference's hist (full view) / incre (delta) semantics applied to
+    the index itself (/root/reference/src/helpers/Reader.py:148-178):
+    committed buckets are the hist prefix, the pending set the incre
+    delta. Blocks carry no df/avgdl-dependent values (corner-stat
+    bounds), so old buckets stay exactly valid as global stats drift.
+    When unset, span = ceil(corpus/n_buckets) (fixed-layout build).
+
+    A bucket is pending iff it has no committed lineage row OR its
+    current doc count differs from the lineage's (crash resume and
+    incremental growth fall out of the same rule; dynamic partition
+    overwrite makes per-bucket rebuild idempotent).
 
     fail_after_waves: test hook — raise after N waves to simulate a
     mid-build crash (the kill/rerun test of SURVEY §5.2 item 4).
@@ -84,7 +110,11 @@ def build_index_resumable(
         n_docs = int(stats_row["n_docs"])
         avgdl = float(stats_row["avgdl"])
         max_doc = toks.agg(F.max("doc_id")).collect()[0][0]
-        span = max(1, math.ceil((max_doc + 1) / n_buckets))
+        if docs_per_bucket is not None:
+            span = int(docs_per_bucket)
+            n_buckets = math.ceil((max_doc + 1) / span)
+        else:
+            span = max(1, math.ceil((max_doc + 1) / n_buckets))
 
         catalog.write_table(
             spark.createDataFrame(
@@ -95,8 +125,58 @@ def build_index_resumable(
             STATS_TABLE,
         )
 
-        done = committed_buckets(spark, index_root)
-        pending = [b for b in range(n_buckets) if b not in done]
+        # pending = never committed OR doc count changed (growth/repair)
+        latest = latest_lineage(spark, index_root)
+        current_counts = {
+            r["bucket"]: r["cnt"]
+            for r in toks.groupBy(
+                ((F.col("doc_id") / span).cast("int")).alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        pending = [
+            b
+            for b in range(n_buckets)
+            if (b not in latest or latest[b]["status"] != "committed"
+                or latest[b]["docs"] != current_counts.get(b, 0))
+            and current_counts.get(b, 0) > 0
+        ]
+        # buckets that previously held docs but now hold none (corpus
+        # shrank or ids vanished): dynamic overwrite writes no rows for
+        # them, so their stale partitions are pruned explicitly and a
+        # 'pruned' lineage row records it (Iceberg analog: delete-files
+        # commit for the partition)
+        stale = [
+            b
+            for b, d in latest.items()
+            if d["status"] == "committed"
+            and d["docs"] > 0
+            and current_counts.get(b, 0) == 0
+        ]
+        if stale:
+            import shutil
+
+            for b in stale:
+                shutil.rmtree(
+                    os.path.join(
+                        catalog.table_path(index_root, POSTINGS_TABLE),
+                        f"bucket={b}",
+                    ),
+                    ignore_errors=True,
+                )
+            catalog.write_table(
+                spark.createDataFrame(
+                    [
+                        (b, "pruned", 0, 0, 0, 0, 0.0, -1, time.time())
+                        for b in stale
+                    ],
+                    LINEAGE_SCHEMA,
+                ),
+                index_root,
+                LINEAGE_TABLE,
+                mode="append",
+            )
         waves = [
             pending[i : i + wave_size] for i in range(0, len(pending), wave_size)
         ]
@@ -112,7 +192,7 @@ def build_index_resumable(
             ).filter(((F.col("doc_id") / span).cast("int")).isin(wave))
             postings = build_postings(
                 wave_toks, n_docs, avgdl, n_buckets=n_buckets,
-                max_doc_id=max_doc, block_size=block_size,
+                max_doc_id=max_doc, block_size=block_size, span=span,
             )
             catalog.write_table(
                 postings, index_root, POSTINGS_TABLE, partition_by=["bucket"],
@@ -154,6 +234,7 @@ def build_index_resumable(
                     int(stats_by_bucket[b]["bytes_out"]) if b in stats_by_bucket else 0,
                     wall / len(wave),
                     wave_no,
+                    time.time(),
                 )
                 for b in wave
             ]
@@ -166,16 +247,14 @@ def build_index_resumable(
             waves_run += 1
             if fail_after_waves is not None and waves_run >= fail_after_waves:
                 raise RuntimeError(f"simulated crash after wave {waves_run}")
-        lineage = catalog.read_table(spark, index_root, LINEAGE_TABLE)
-        agg = lineage.filter(F.col("status") == "committed").agg(
-            F.sum("docs").alias("docs"),
-            F.sum("postings").alias("postings"),
-            F.countDistinct("bucket").alias("buckets_done"),
-        ).collect()[0]
+        # summarize from latest-per-bucket rows (append-only table may
+        # hold superseded rows after incremental growth rebuilds)
+        final = latest_lineage(spark, index_root)
+        committed = [d for d in final.values() if d["status"] == "committed"]
         return {
-            "docs": int(agg["docs"] or 0),
-            "postings": int(agg["postings"] or 0),
-            "buckets_done": int(agg["buckets_done"] or 0),
+            "docs": sum(d["docs"] for d in committed),
+            "postings": sum(d["postings"] for d in committed),
+            "buckets_done": len(committed),
             "waves_run": waves_run,
             "n_docs": n_docs,
             "avgdl": avgdl,

@@ -159,18 +159,32 @@ def _score_bucket_query(
     present = [t for t in terms if t in by_term]
     if not present or (conjunctive and len(present) < len(terms)):
         return empty
-    # block_max_score derived at query time from df-free factor bounds:
-    # idf > 0 -> idf * fmax ; idf < 0 -> idf * fmin (factor always > 0)
+    # block_max_score derived at query time from per-block (tf, dl)
+    # corner stats under the CURRENT avgdl/df (factor monotone +tf/-dl):
+    # idf > 0 -> idf * factor(tf_max, dl_min)
+    # idf < 0 -> idf * factor(tf_min, dl_max)   (factor always > 0)
+    from pisa_spark.index.build import bm25_tf_factor
+
     idf = {
         t: float(np.log((n_docs - term_dfs[t] + 0.5) / (term_dfs[t] + 0.5)))
         for t in present
     }
-    bmax = {
-        t: idf[t] * by_term[t]["fmax"].to_numpy(np.float64)
-        if idf[t] >= 0
-        else idf[t] * by_term[t]["fmin"].to_numpy(np.float64)
-        for t in present
-    }
+    bmax = {}
+    for t in present:
+        g = by_term[t]
+        if idf[t] >= 0:
+            f = bm25_tf_factor(
+                g["tf_max"].to_numpy(np.float64),
+                g["dl_min"].to_numpy(np.float64),
+                avgdl,
+            )
+        else:
+            f = bm25_tf_factor(
+                g["tf_min"].to_numpy(np.float64),
+                g["dl_max"].to_numpy(np.float64),
+                avgdl,
+            )
+        bmax[t] = idf[t] * f
     term_max = {t: float(bmax[t].max()) for t in present}
     # Upper bounds must survive NEGATIVE partial scores (BM25 idf < 0
     # when df > N/2): under OR a doc need not contain a negative-impact

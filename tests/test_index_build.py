@@ -68,18 +68,26 @@ def test_blockmeta_df_is_document_frequency(spark, sf_dir, built):
     assert {r["term"]: r["df"] for r in rows} == dict(oracle.df)
 
 
-def test_factor_bounds_are_true_bounds(built):
+def test_corner_stats_bound_factors_under_any_avgdl(built):
     from pisa_spark.index.build import bm25_tf_factor
 
     postings, stats = built
-    for r in postings.collect():
-        tfs = codec.decode_payload(r["tfs"], minus_one=True)
-        dls = codec.decode_payload(r["dls"])
-        factors = bm25_tf_factor(
-            tfs.astype(np.float64), dls.astype(np.float64), stats["avgdl"]
-        )
-        assert r["fmax"] >= factors.max() and r["fmin"] <= factors.min()
-        assert r["fmin"] > 0
+    rows = postings.collect()
+    # bounds must hold under the build avgdl AND under drifted values
+    # (the incremental-growth scenario the corner-stat design exists for)
+    for avgdl in (stats["avgdl"], stats["avgdl"] * 0.5, stats["avgdl"] * 3.0):
+        for r in rows:
+            tfs = codec.decode_payload(r["tfs"], minus_one=True)
+            dls = codec.decode_payload(r["dls"])
+            assert r["tf_max"] == tfs.max() and r["tf_min"] == tfs.min()
+            assert r["dl_min"] == dls.min() and r["dl_max"] == dls.max()
+            factors = bm25_tf_factor(
+                tfs.astype(np.float64), dls.astype(np.float64), avgdl
+            )
+            fmax = bm25_tf_factor(float(r["tf_max"]), float(r["dl_min"]), avgdl)
+            fmin = bm25_tf_factor(float(r["tf_min"]), float(r["dl_max"]), avgdl)
+            assert fmax >= factors.max() and fmin <= factors.min()
+            assert fmin > 0
 
 
 def test_invariance_under_buckets_and_parallelism(spark, sf_dir, built):

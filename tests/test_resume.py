@@ -65,3 +65,47 @@ def test_rerun_noop_and_loaded_index_queryable(spark, sf_dir, tmp_path):
         mem_postings, q, mem_stats["n_docs"], mem_stats["avgdl"], k=10
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+
+
+def test_incremental_growth_appends_buckets(spark, sf_dir, tmp_path):
+    """Grow the corpus; only new/changed doc-range buckets rebuild, and
+    the result is identical to a from-scratch build (the reference's
+    hist/incre split applied to the index, with corner-stat bounds
+    keeping old blocks valid as df/avgdl drift)."""
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "idx_incr")
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+    # stage 1: prefix corpus (doc_id < 300)
+    full.filter(F.col("doc_id") < 300).write.mode("overwrite").parquet(corpus + "/documents.parquet")
+    s1 = build_index_resumable(
+        spark, corpus, idx, wave_size=4, docs_per_bucket=64
+    )
+    assert s1["docs"] == 300
+
+    # stage 2: full corpus lands (doc ids 0..499); the last prefix
+    # bucket (doc range 256-319) changed and buckets 5..7 are new
+    full.write.mode("overwrite").parquet(corpus + "/documents.parquet")
+    s2 = build_index_resumable(
+        spark, corpus, idx, wave_size=4, docs_per_bucket=64
+    )
+    assert s2["docs"] == 500
+    # only the changed bucket (4: range 256-319) + new buckets rebuilt
+    assert s2["waves_run"] == 1, s2
+
+    # identical to a clean full build
+    clean = str(tmp_path / "idx_clean_full")
+    build_index_resumable(spark, corpus, clean, wave_size=8, docs_per_bucket=64)
+    pa, stats_a = load_index(spark, idx)
+    pb, stats_b = load_index(spark, clean)
+    assert decode_index(pa.collect()) == decode_index(pb.collect())
+    assert stats_a == stats_b
+
+    # and queries on the grown index match the in-memory build
+    q = [{"query_id": 0, "terms": ["data", "join"], "conjunctive": False}]
+    got = bm25_topk_wand(pa, q, stats_a["n_docs"], stats_a["avgdl"], k=10).collect()
+    mem_postings, _, _, mem_stats = build_index_dataframes(spark, corpus, n_buckets=8)
+    expect = bm25_topk_wand(
+        mem_postings, q, mem_stats["n_docs"], mem_stats["avgdl"], k=10
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
