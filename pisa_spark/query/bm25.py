@@ -339,7 +339,9 @@ def bm25_topk_wand(
     top-k window over <= n_buckets * |queries| * k rows.
     """
     all_terms = sorted({t for q in queries for t in q["terms"]})
-    pruned = postings.filter(F.col("term").isin(all_terms)).cache()
+    # no cache: the term-pruned parquet scan (PushedFilters) is cheaper
+    # to re-run than to materialize, and caching per call would leak
+    pruned = postings.filter(F.col("term").isin(all_terms))
     # document frequency of the query terms only: every posting sits in
     # exactly one block, so df = sum(n) over the term's blocks — a tiny
     # metadata aggregation over the already-pruned scan, no side table
