@@ -51,8 +51,15 @@ from pisa_spark.operators.graph import (  # noqa: E402
     negative_samples,
     normalized_edges,
 )
+from pisa_spark.operators.sessions import (  # noqa: E402
+    mean_skip_first,
+    session_stats,
+    sessionize,
+    trend,
+)
 from pisa_spark.operators.snapshots import (  # noqa: E402
     interactions_from_events,
+    per_snapshot_recall,
     popularity_topk,
     seen_sets,
     split_blocks,
@@ -349,6 +356,55 @@ fp AS (
 )
 """
 
+_SQL_REF_SNAP_RECALL = (
+    _SQL_REF
+    + """,
+hist_s AS (SELECT * FROM blocks WHERE block_type = 'hist'),
+test_s AS (SELECT * FROM blocks WHERE block_type = 'test'),
+counts AS (
+  SELECT snapshot_idx, item_id, count(*) AS cnt FROM hist_s GROUP BY 1, 2
+),
+tu AS (SELECT DISTINCT snapshot_idx, user_id FROM test_s),
+cand AS (
+  SELECT tu.snapshot_idx, tu.user_id, c.item_id, c.cnt
+  FROM tu JOIN counts c ON c.snapshot_idx = tu.snapshot_idx
+),
+seen AS (SELECT DISTINCT snapshot_idx, user_id, item_id FROM hist_s),
+unseen AS (
+  SELECT cand.* FROM cand
+  LEFT JOIN seen ON cand.snapshot_idx = seen.snapshot_idx
+    AND cand.user_id = seen.user_id AND cand.item_id = seen.item_id
+  WHERE seen.user_id IS NULL
+),
+recs AS (
+  SELECT snapshot_idx, user_id, item_id,
+         row_number() OVER (PARTITION BY snapshot_idx, user_id
+                            ORDER BY cnt DESC, item_id ASC) AS rank
+  FROM unseen
+),
+gt AS (SELECT DISTINCT snapshot_idx, user_id, item_id FROM test_s),
+gt_sizes AS (
+  SELECT snapshot_idx, user_id, count(*) AS n_gt FROM gt GROUP BY 1, 2
+),
+hits AS (
+  SELECT r.snapshot_idx, r.user_id, r.rank
+  FROM recs r JOIN gt USING (snapshot_idx, user_id, item_id)
+  WHERE r.rank <= 10
+),
+per_user AS (
+  SELECT g.snapshot_idx, g.user_id, g.n_gt, count(h.rank) AS n_hits
+  FROM gt_sizes g
+  LEFT JOIN hits h ON h.snapshot_idx = g.snapshot_idx AND h.user_id = g.user_id
+  GROUP BY 1, 2, 3
+),
+snap_recall AS (
+  SELECT CAST(snapshot_idx AS INTEGER) AS snapshot_idx,
+         round(avg(n_hits * 1.0 / n_gt), 4) AS value
+  FROM per_user GROUP BY snapshot_idx
+)
+"""
+)
+
 _STOP_EN = "['the','a','and','of','to','in','is','for','on','with']"
 _STOP_DE = "['der','die','das','und','ist','von','mit','ein','zu','den']"
 _STOP_FR = "['le','la','les','et','de','un','une','est','pour','dans']"
@@ -462,6 +518,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ).alias("hist_fp"),
         ),
+        # --- gap-based sessionization (batch anchor of the streaming
+        # stateful operator) ---
+        "sessions_stats": lambda spark, sf: session_stats(
+            sessionize(spark.read.parquet(f"{sf}/events.parquet"), gap_minutes=30)
+        ).select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "n_events",
+            "duration_us",
+            "total_value",
+        ),
+        # --- cross-snapshot aggregation with the reference's quirks ---
+        "ref_metric_mean": lambda spark, sf: mean_skip_first(
+            per_snapshot_recall(spark, sf)
+        ),
+        "ref_metric_trend": lambda spark, sf: trend(per_snapshot_recall(spark, sf)),
         # --- graph normalization + deterministic negative sampling ---
         "ref_normalized_edges": lambda spark, sf: normalized_edges(
             interactions_from_events(spark, sf)
@@ -809,6 +881,45 @@ SELECT d.doc_id,
        hh.head_hash, ent.byte_entropy, hfp.hist_fp
 FROM documents d
 JOIN hh USING (doc_id) JOIN ent USING (doc_id) JOIN hfp USING (doc_id)
+""",
+        # --- gap-based sessionization ---
+        "sessions_stats": """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+brk AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+            THEN 1 ELSE 0 END AS is_break
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM brk
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+       round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id, session_seq
+""",
+        # --- cross-snapshot aggregation (reference quirks preserved) ---
+        "ref_metric_mean": _SQL_REF_SNAP_RECALL
+        + """
+SELECT 'recall' AS metric, 10 AS k, round(avg(value), 4) AS mean_value
+FROM snap_recall WHERE snapshot_idx > 0
+GROUP BY metric, k
+""",
+        "ref_metric_trend": _SQL_REF_SNAP_RECALL
+        + """
+SELECT 'recall' AS metric, 10 AS k,
+       array_to_string(list(printf('%.4f', value) ORDER BY snapshot_idx), ',')
+         AS trend
+FROM snap_recall GROUP BY metric, k
 """,
         # --- graph normalization + deterministic negative sampling ---
         "ref_normalized_edges": """

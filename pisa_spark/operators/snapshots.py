@@ -219,6 +219,39 @@ def topn_metrics(
     return melted.select("metric", "k", "value")
 
 
+def per_snapshot_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    n_snapshots: int = 5,
+    train_ratio: float = 0.6,
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k per snapshot: rows (snapshot_idx, metric, k, value) —
+    the per-snapshot result table the reference aggregates with
+    `_test_mean`/`_test_trend` (src/main.py:40-64)."""
+    inter = interactions_from_events(spark, sf_dir).cache()
+    blocks = split_blocks(inter, n_snapshots, train_ratio).cache()
+    pieces = []
+    for i in range(n_snapshots):
+        hist = blocks.filter(
+            (F.col("snapshot_idx") == i) & (F.col("block_type") == "hist")
+        )
+        test = blocks.filter(
+            (F.col("snapshot_idx") == i) & (F.col("block_type") == "test")
+        )
+        recs = popularity_topk(hist, test.select("user_id"), k=k)
+        m = topn_metrics(recs, test.select("user_id", "item_id"), ks=[k])
+        pieces.append(
+            m.filter(F.col("metric") == "recall").select(
+                F.lit(i).alias("snapshot_idx"), "metric", "k", "value"
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def snapshot_recommendation_metrics(
     spark: SparkSession,
     sf_dir: str,

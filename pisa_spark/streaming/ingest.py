@@ -74,6 +74,71 @@ def incremental_doc_lengths(pages_stream: DataFrame) -> DataFrame:
     ).select("doc_id", F.size("tokens").alias("doc_len"))
 
 
+SESSION_OUTPUT_SCHEMA = "user_id long, event_id long, session_seq long"
+SESSION_STATE_SCHEMA = "last_ts_us long, session_seq long"
+
+
+def streaming_sessionize(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
+    """Stateful gap-based sessionization on a stream: the
+    applyInPandasWithState rendering of operators.sessions.sessionize.
+
+    Per-user state = (last event time in us, current session ordinal);
+    events within a microbatch are sorted (ts, event_id); a gap >
+    gap_minutes (or fresh state) starts a new session. With in-order
+    arrival per user the output equals the batch operator exactly
+    (asserted in tests with the history split across microbatches,
+    which exercises state carry-over)."""
+    import pandas as pd
+
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    def fn(key, pdf_iter, state):
+        user_id = key[0]
+        if state.exists:
+            last_ts, seq = state.get
+        else:
+            last_ts, seq = None, 0
+        import numpy as np
+
+        frames = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            raw = pdf["ts"].astype("int64").to_numpy()
+            unit_div = 1000 if str(pdf["ts"].dtype).endswith("[ns]") else 1
+            t_us = raw // unit_div
+            prev = np.empty_like(t_us)
+            prev[1:] = t_us[:-1]
+            prev[0] = last_ts if last_ts is not None else np.iinfo(np.int64).min
+            # int64-min sentinel: subtraction would overflow, so the
+            # fresh-state break is forced explicitly
+            breaks = (t_us - np.where(prev == np.iinfo(np.int64).min, t_us, prev)) > gap_us
+            if last_ts is None:
+                breaks[0] = True
+            seqs = seq + np.cumsum(breaks.astype(np.int64))
+            seq = int(seqs[-1])
+            last_ts = int(t_us[-1])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(t_us.size, user_id, np.int64),
+                        "event_id": pdf["event_id"].to_numpy(np.int64),
+                        "session_seq": seqs,
+                    }
+                )
+            )
+        state.update((last_ts, seq))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:

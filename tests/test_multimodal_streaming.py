@@ -100,3 +100,44 @@ def test_streaming_tokenize_matches_batch(spark, tmp_path):
         "doc_id", F.size(tokens_col(F.col("text"))).alias("doc_len")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_streaming_stateful_sessionize_matches_batch(spark, tmp_path):
+    """Stateful sessionization across TWO microbatches (state carry-over
+    at the file boundary) equals the batch window-algebra operator."""
+    import os
+
+    from pisa_spark.operators.sessions import sessionize
+    from pisa_spark.streaming.ingest import run_available_now, streaming_sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    mid = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    # time-ordered split: event_id order == ts order in the fixture;
+    # stage as real files (file-source stream does not recurse into
+    # spark output directories)
+    import glob
+    import shutil
+
+    for name, cond in (("a", F.col("event_id") <= mid), ("b", F.col("event_id") > mid)):
+        tmp_out = str(tmp_path / f"tmp_{name}")
+        events.filter(cond).coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(tmp_out + "/part-*.parquet")[0]
+        shutil.copy(part, f"{src}/{name}.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_available_now(
+        streaming_sessionize(stream, gap_minutes=30), "sessionize_stream_test"
+    )
+    expect = sessionize(events, gap_minutes=30).select(
+        "user_id", "event_id", F.col("session_seq").cast("long").alias("session_seq")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
