@@ -76,6 +76,7 @@ from pisa_spark.similarity.ann import (  # noqa: E402
     cosine_topk_bruteforce,
     lsh_bucket_topk,
 )
+from pisa_spark.similarity.kmeans import ivf_topk, kmeans_fit  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB) — tokenizer identical to pisa_spark.corpus
@@ -483,6 +484,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": lambda spark, sf: lsh_bucket_topk(
             _embeddings(spark, sf), _ann_queries(spark, sf), k=10,
             nbits=6, probe_hamming=2, n_tables=4,
+        ).select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")),
+        # IVF variant: deterministic k-means coarse quantizer + probed
+        # buckets (approximate by design -> rows-only check; recall and
+        # exactness of returned scores are pytest-asserted vs brute force)
+        "ann_ivf_topk": lambda spark, sf: ivf_topk(
+            _embeddings(spark, sf),
+            _ann_queries(spark, sf),
+            kmeans_fit(_embeddings(spark, sf), k=8, n_iter=3),
+            k=10,
+            nprobe=4,
         ).select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")),
         # --- text analysis ---
         "text_profiles": lambda spark, sf: doc_profile(_docs(spark, sf)),

@@ -41,6 +41,20 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     spark = get_spark(app_name="pisa_spark_bench")
 
+    # warm the Python worker pool (fork + pandas/numpy import is a
+    # once-per-JVM cost; a serving cluster runs warm)
+    def _warm(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        for b in it:
+            yield b
+
+    n_slots = spark.sparkContext.defaultParallelism
+    spark.range(n_slots * 8, numPartitions=n_slots * 2).mapInPandas(
+        _warm, schema="id long"
+    ).count()
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
 

@@ -1,0 +1,97 @@
+"""Generate docs/PLANS.md: real .explain('formatted') dumps of the
+engine's load-bearing plans, with commentary on what to look for."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pisa_spark.corpus import tokens_col
+from pisa_spark.index.build import build_postings, term_frequencies
+from pisa_spark.index.lineage import build_index_resumable, load_index
+from pisa_spark.query.bm25 import bm25_topk_wand
+from pisa_spark.session import get_spark
+
+
+def fmt(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def main() -> None:
+    spark = get_spark(cores=8)
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    tf_plan = fmt(term_frequencies(toks))
+
+    row = toks.agg(F.count(F.lit(1)), F.avg("doc_len"), F.max("doc_id")).collect()[0]
+    build_plan = fmt(
+        build_postings(toks, int(row[0]), float(row[1]), n_buckets=8,
+                       max_doc_id=int(row[2]))
+    )
+
+    root = tempfile.mkdtemp() + "/idx"
+    build_index_resumable(spark, sf, root, n_buckets=8, wave_size=8)
+    postings, stats = load_index(spark, root)
+    q = [{"query_id": 0, "terms": ["data", "join"], "conjunctive": False}]
+    query_plan = fmt(
+        bm25_topk_wand(postings, q, stats["n_docs"], stats["avgdl"], k=10)
+    )
+
+    out = f"""# PLANS — physical plan evidence (.explain("formatted"), real output)
+
+Regenerate with `python scripts/dump_plans.py`. What to check, per plan:
+
+## 1. Term-frequency build stage
+
+Look for: `ReadSchema: struct<doc_id:bigint,text:string>` (column
+pruning — html/lang never scanned), and a partial `HashAggregate`
+BEFORE the single `Exchange` (map-side combine: the shuffle carries
+(doc, term) partial counts, not exploded tokens).
+
+```
+{tf_plan}
+```
+
+## 2. Posting-block build (full pipeline)
+
+Look for: exactly one wide `Exchange` keyed (bucket, term) feeding a
+`Sort` + `MapInPandas` (the Arrow encode kernel). No second shuffle —
+df lives in block metadata, not a join.
+
+```
+{build_plan}
+```
+
+## 3. Block-max WAND query over the persisted index
+
+Look for: `PushedFilters: [In(term, [data,join])]` in the parquet
+scan (term pruning reaches storage); `WindowGroupLimit` BEFORE the
+final exchange (partial top-k per partition); only k-rows-per-query
+cross the last `Exchange`.
+
+```
+{query_plan}
+```
+"""
+    os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))) if False else "/root/repo", "docs"), exist_ok=True)
+    with open("/root/repo/docs/PLANS.md", "w") as f:
+        f.write(out)
+    print("wrote /root/repo/docs/PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -111,3 +111,32 @@ def test_invariance_under_buckets_and_parallelism(spark, sf_dir, built):
         assert decode_index(postings3.collect()) == decode_index(postings8.collect())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_empty_and_single_token_docs(spark):
+    """Edge docs: empty text, single token, all one repeated token."""
+    from pisa_spark.index.build import build_postings
+    from pisa_spark.query.bm25 import bm25_topk_wand
+    from pisa_spark.corpus import tokens_col
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "solo"), (2, "rep rep rep rep"), (3, "solo rep")],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    row = toks.agg(F.count(F.lit(1)), F.avg("doc_len"), F.max("doc_id")).collect()[0]
+    postings = build_postings(toks, int(row[0]), float(row[1]), n_buckets=2,
+                              max_doc_id=int(row[2]))
+    idx = decode_index(postings.collect())
+    assert idx == {
+        "solo": [(1, 1, 1), (3, 1, 2)],
+        "rep": [(2, 4, 4), (3, 1, 2)],
+    }
+    got = bm25_topk_wand(
+        postings,
+        [{"query_id": 0, "terms": ["rep"], "conjunctive": False}],
+        int(row[0]), float(row[1]), k=10,
+    ).collect()
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == [2, 3]
