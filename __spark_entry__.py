@@ -529,6 +529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ).alias("hist_fp"),
         ),
+        # --- composed curation pipeline: dedup keep-list + quality +
+        # langid + token budget — the end-to-end training-data shape ---
+        "curation_pipeline": lambda spark, sf: _curation(spark, sf),
         # --- gap-based sessionization (batch anchor of the streaming
         # stateful operator) ---
         "sessions_stats": lambda spark, sf: session_stats(
@@ -595,6 +598,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_regional": regional_revenue,
         "tpch_q6_forecast": revenue_forecast,
     }
+
+
+def _curation(spark: SparkSession, sf: str) -> DataFrame:
+    """Compose the curation operators: exact-dedup keep rule + quality
+    threshold + langid + subword budget -> kept docs with metrics."""
+    from pisa_spark.dedup.dedup import distinct_docs
+
+    docs = _docs_with_dups(spark, sf)
+    kept = distinct_docs(docs)
+    prof = doc_profile(kept)
+    return (
+        prof.filter(
+            (F.col("quality") >= 0.6)
+            & (F.col("lang_guess") == "en")
+            & (F.col("n_subwords").between(20, 4000))
+        )
+        .select("doc_id", "n_subwords", "quality")
+    )
 
 
 def _ref_blocks(spark: SparkSession, sf: str) -> DataFrame:
@@ -892,6 +913,57 @@ SELECT d.doc_id,
        hh.head_hash, ent.byte_entropy, hfp.hist_fp
 FROM documents d
 JOIN hh USING (doc_id) JOIN ent USING (doc_id) JOIN hfp USING (doc_id)
+""",
+        # --- composed curation pipeline ---
+        "curation_pipeline": f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+),
+kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM all_docs
+  ) WHERE rn = 1
+),
+toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM kept
+),
+hits AS (
+  SELECT doc_id, text, tokens,
+         len(list_filter(tokens, t -> list_contains({_STOP_EN}, t))) AS h_en,
+         len(list_filter(tokens, t -> list_contains({_STOP_DE}, t))) AS h_de,
+         len(list_filter(tokens, t -> list_contains({_STOP_FR}, t))) AS h_fr,
+         len(list_filter(tokens, t -> list_contains({_STOP_ES}, t))) AS h_es
+  FROM toks
+),
+prof AS (
+  SELECT doc_id,
+         CAST(len(tokens) + list_sum(list_transform(tokens,
+              t -> CASE WHEN length(t) > 4
+                        THEN CAST(floor((length(t)-1) / 4) AS INTEGER) ELSE 0 END))
+              AS INTEGER) AS n_subwords,
+         CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+              WHEN h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+              WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+              WHEN h_fr > 0 THEN 'fr'
+              ELSE 'und' END AS lang_guess,
+         round(
+           0.25 * (CASE WHEN len(tokens) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
+           + 0.25 * (length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                     * 1.0 / greatest(length(text), 1))
+           + 0.25 * least(1.0, h_en * 10.0 / greatest(len(tokens), 1))
+           + 0.25 * (len(list_distinct(tokens)) * 1.0 / greatest(len(tokens), 1))
+         , 6) AS quality
+  FROM hits
+)
+SELECT doc_id, n_subwords, quality FROM prof
+WHERE quality >= 0.6 AND lang_guess = 'en' AND n_subwords BETWEEN 20 AND 4000
 """,
         # --- gap-based sessionization ---
         "sessions_stats": """
