@@ -177,10 +177,23 @@ def _bm25_df(
     )
 
 
+# per-process memo: the driver runs many queries() entries against the
+# same sf_dir in one session; rebuild the index / split blocks once
+_MEMO: dict = {}
+
+
+def _built_index(spark: SparkSession, sf_dir: str):
+    key = ("idx", sf_dir)
+    if key not in _MEMO:
+        postings, _, _, stats = build_index_dataframes(spark, sf_dir, n_buckets=16)
+        _MEMO[key] = (postings.cache(), stats)
+    return _MEMO[key]
+
+
 def _bm25_wand(
     spark: SparkSession, sf_dir: str, qs, conjunctive: bool, k: int = 10
 ) -> DataFrame:
-    postings, _, _, stats = build_index_dataframes(spark, sf_dir, n_buckets=16)
+    postings, stats = _built_index(spark, sf_dir)
     queries = [
         {"query_id": qid, "terms": terms, "conjunctive": conjunctive}
         for qid, terms in qs
@@ -498,13 +511,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- text analysis ---
         "text_profiles": lambda spark, sf: doc_profile(_docs(spark, sf)),
         # --- reference-semantic snapshot/recommendation pipeline ---
-        "ref_split_counts": lambda spark, sf: split_blocks(
-            interactions_from_events(spark, sf), 5, 0.6
-        )
+        "ref_split_counts": lambda spark, sf: _ref_blocks(spark, sf)
         .groupBy("snapshot_idx", "block_type")
         .agg(F.count(F.lit(1)).alias("n_rows")),
         "ref_seen_sets": lambda spark, sf: seen_sets(
-            split_blocks(interactions_from_events(spark, sf), 5, 0.6).filter(
+            _ref_blocks(spark, sf).filter(
                 (F.col("snapshot_idx") == 0) & (F.col("block_type") == "hist")
             )
         ).select(
@@ -619,7 +630,12 @@ def _curation(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _ref_blocks(spark: SparkSession, sf: str) -> DataFrame:
-    return split_blocks(interactions_from_events(spark, sf), 5, 0.6)
+    key = ("blocks", sf)
+    if key not in _MEMO:
+        _MEMO[key] = split_blocks(
+            interactions_from_events(spark, sf), 5, 0.6
+        ).cache()
+    return _MEMO[key]
 
 
 def _ref_recs(spark: SparkSession, sf: str) -> DataFrame:
