@@ -466,6 +466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("url", F.col("doc_id").cast("long").alias("doc_id")),
         "bm25_topk_or": lambda spark, sf: _bm25_df(spark, sf, _OR_QUERIES, False),
         "bm25_topk_and": lambda spark, sf: _bm25_df(spark, sf, _AND_QUERIES, True),
+        "bm25_top100_or": lambda spark, sf: _bm25_df(
+            spark, sf, _OR_QUERIES, False, k=100
+        ),
         "bm25_topk_or_wand": lambda spark, sf: _bm25_wand(spark, sf, _OR_QUERIES, False),
         "bm25_topk_and_wand": lambda spark, sf: _bm25_wand(spark, sf, _AND_QUERIES, True),
         # --- dedup family ---
@@ -705,6 +708,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "term_tf": _SQL_BASE + "SELECT doc_id, term, tf FROM tf",
         "bm25_topk_or": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and": _bm25_sql(_AND_QUERIES, conjunctive=True),
+        "bm25_top100_or": _bm25_sql(_OR_QUERIES, conjunctive=False, k=100),
         "bm25_topk_or_wand": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_wand": _bm25_sql(_AND_QUERIES, conjunctive=True),
         # --- dedup family ---
