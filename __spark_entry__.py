@@ -183,7 +183,9 @@ _MEMO: dict = {}
 
 
 def _built_index(spark: SparkSession, sf_dir: str):
-    key = ("idx", sf_dir)
+    # keyed by application id: a recreated session must not serve plans
+    # cached against a stopped SparkContext
+    key = ("idx", spark.sparkContext.applicationId, sf_dir)
     if key not in _MEMO:
         postings, _, _, stats = build_index_dataframes(spark, sf_dir, n_buckets=16)
         _MEMO[key] = (postings.cache(), stats)
@@ -633,7 +635,7 @@ def _curation(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _ref_blocks(spark: SparkSession, sf: str) -> DataFrame:
-    key = ("blocks", sf)
+    key = ("blocks", spark.sparkContext.applicationId, sf)
     if key not in _MEMO:
         _MEMO[key] = split_blocks(
             interactions_from_events(spark, sf), 5, 0.6
