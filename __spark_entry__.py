@@ -103,6 +103,11 @@ stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM doclen)
 # include a stop-word-ish head term and an absent term)
 _OR_QUERIES = [(0, ["data", "join"]), (1, ["the"]), (2, ["spark", "query", "scan"])]
 _AND_QUERIES = [(10, ["window", "merge", "scan"]), (11, ["data", "table"])]
+# single mixed-idf query (rare positive 'dup' + head negative-idf
+# 'query'): run alone so the WAND latency path (per-query block prune,
+# two-phase threshold) is the one under test — regression gate for the
+# unsound negative-idf block prune under OR semantics
+_MIXED_QUERIES = [(20, ["dup", "query"])]
 
 
 def _values_clause(qs: list[tuple[int, list[str]]]) -> str:
@@ -473,6 +478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bm25_topk_or_wand": lambda spark, sf: _bm25_wand(spark, sf, _OR_QUERIES, False),
         "bm25_topk_and_wand": lambda spark, sf: _bm25_wand(spark, sf, _AND_QUERIES, True),
+        "bm25_mixed_idf_wand": lambda spark, sf: _bm25_wand(
+            spark, sf, _MIXED_QUERIES, False
+        ),
         # --- dedup family ---
         "dedup_exact": lambda spark, sf: exact_duplicates(
             _docs_with_dups(spark, sf)
@@ -713,6 +721,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_top100_or": _bm25_sql(_OR_QUERIES, conjunctive=False, k=100),
         "bm25_topk_or_wand": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_wand": _bm25_sql(_AND_QUERIES, conjunctive=True),
+        "bm25_mixed_idf_wand": _bm25_sql(_MIXED_QUERIES, conjunctive=False),
         # --- dedup family ---
         "dedup_exact": """
 WITH all_docs AS (

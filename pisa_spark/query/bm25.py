@@ -130,47 +130,27 @@ def _decode_blocks_vectorized(
     return docs, tfs, dls
 
 
-def _score_bucket_query(
+def _block_bounds(
     by_term: dict[str, pd.DataFrame],
     terms: list[str],
-    conjunctive: bool,
-    k: int,
     n_docs: float,
     avgdl: float,
-    threshold: float,
     term_dfs: dict[str, int],
-    decode_cache: dict[str, tuple[np.ndarray, np.ndarray]] | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Score one (bucket, query) pair, vectorized end-to-end.
+) -> tuple[dict[str, float], dict[str, np.ndarray]]:
+    """Per-term idf and per-block score upper-bound arrays, computed ONCE
+    per bucket and shared by every query in the batch.
 
-    Block-max pruning: a block is decoded only if its score upper bound
-    — block_max_score(term) + sum of the other terms' max block scores —
-    can reach ``threshold`` (the caller's current global k-th-score
-    lower bound; -inf on the first pass). Bounds are true maxima of the
-    exact per-term scores, so pruning never changes the top-k (asserted
-    against the exhaustive path in tests).
-
-    Accumulation is np.unique + np.bincount over the concatenation of
-    all surviving postings: no dict, no per-posting Python.
-    Returns (doc_ids, scores) of the bucket-local top-k candidates.
+    block_max_score is derived at query time from per-block (tf, dl)
+    corner stats under the CURRENT avgdl/df (factor monotone +tf/-dl):
+    idf > 0 -> idf * factor(tf_max, dl_min)
+    idf < 0 -> idf * factor(tf_min, dl_max)   (factor always > 0)
     """
-    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
-    terms = list(dict.fromkeys(terms))  # dedupe: a query term scores once
-    present = [t for t in terms if t in by_term]
-    if not present or (conjunctive and len(present) < len(terms)):
-        return empty
-    # block_max_score derived at query time from per-block (tf, dl)
-    # corner stats under the CURRENT avgdl/df (factor monotone +tf/-dl):
-    # idf > 0 -> idf * factor(tf_max, dl_min)
-    # idf < 0 -> idf * factor(tf_min, dl_max)   (factor always > 0)
     from pisa_spark.index.build import bm25_tf_factor
 
-    idf = {
-        t: float(np.log((n_docs - term_dfs[t] + 0.5) / (term_dfs[t] + 0.5)))
-        for t in present
-    }
-    bmax = {}
-    for t in present:
+    idf, bmax = {}, {}
+    for t in terms:
+        dfreq = float(term_dfs[t])
+        idf[t] = float(np.log((n_docs - dfreq + 0.5) / (dfreq + 0.5)))
         g = by_term[t]
         if idf[t] >= 0:
             f = bm25_tf_factor(
@@ -185,6 +165,34 @@ def _score_bucket_query(
                 avgdl,
             )
         bmax[t] = idf[t] * f
+    return idf, bmax
+
+
+def _query_keep_masks(
+    present: list[str],
+    conjunctive: bool,
+    idf: dict[str, float],
+    bmax: dict[str, np.ndarray],
+    threshold: float,
+) -> dict[str, np.ndarray] | None:
+    """Block-level keep masks for one query in one bucket, or None when
+    the whole bucket provably cannot reach ``threshold``.
+
+    Soundness contract of every prune here (pruning must never change
+    the returned top-k — asserted against the exhaustive path in tests):
+
+    * bucket skip (best_bound < threshold): drops ALL of every doc's
+      contributions together — always sound.
+    * conjunctive block skip: docs of a pruned block lose a REQUIRED
+      term, so the n_matched filter excludes them whole, and the bound
+      proves their true score < threshold — sound.
+    * disjunctive block skip is sound ONLY for idf >= 0 terms. Skipping
+      a negative-idf term's block would silently drop a NEGATIVE
+      contribution from docs that also match other terms, inflating
+      their computed score above the true score and letting wrong docs
+      into the top-k. Negative-idf terms therefore always decode fully
+      under OR (their blocks are cheap to bound but never skippable).
+    """
     term_max = {t: float(bmax[t].max()) for t in present}
     # Upper bounds must survive NEGATIVE partial scores (BM25 idf < 0
     # when df > N/2): under OR a doc need not contain a negative-impact
@@ -199,34 +207,31 @@ def _score_bucket_query(
         others = {t: pos_sum - pos[t] for t in present}
         best_bound = max(term_max[t] + others[t] for t in present)
     if best_bound < threshold:
-        return empty
-    doc_parts, score_parts = [], []
+        return None
+    masks: dict[str, np.ndarray] = {}
     for t in present:
-        g = by_term[t]
-        if decode_cache is not None and t in decode_cache:
-            # batch mode: the term's postings+scores were decoded once
-            # for an earlier query in this bucket — reuse them whole
-            docs, scores = decode_cache[t]
-            doc_parts.append(docs)
-            score_parts.append(scores)
+        if not conjunctive and idf[t] < 0:
+            masks[t] = np.ones(len(bmax[t]), bool)
             continue
-        keep_mask = bmax[t] + others[t] >= threshold
-        if not keep_mask.any():
-            if conjunctive:
-                return empty
-            continue
-        dfreq = float(term_dfs[t])
-        if decode_cache is not None:
-            # decode ALL blocks (cacheable for the other queries); block
-            # pruning only skips work, never needed for correctness
-            docs, tfs, dls = _decode_blocks_vectorized(g)
-            scores = _bm25_np(tfs, dls, dfreq, n_docs, avgdl)
-            decode_cache[t] = (docs, scores)
-        else:
-            docs, tfs, dls = _decode_blocks_vectorized(g[keep_mask])
-            scores = _bm25_np(tfs, dls, dfreq, n_docs, avgdl)
-        doc_parts.append(docs)
-        score_parts.append(scores)
+        m = bmax[t] + others[t] >= threshold
+        if conjunctive and not m.any():
+            return None
+        masks[t] = m
+    return masks
+
+
+def _accumulate_topk(
+    doc_parts: list[np.ndarray],
+    score_parts: list[np.ndarray],
+    n_terms: int,
+    conjunctive: bool,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sum per-term contributions into per-doc scores and trim to the
+    bucket-local top-k candidates. np.unique + np.bincount over the
+    concatenation of surviving postings: no dict, no per-posting Python.
+    """
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
     if not doc_parts:
         return empty
     all_docs = np.concatenate(doc_parts)
@@ -235,7 +240,7 @@ def _score_bucket_query(
     sums = np.bincount(inv, weights=all_scores)
     if conjunctive:
         counts = np.bincount(inv)
-        mask = counts == len(terms)
+        mask = counts == n_terms
         uniq, sums = uniq[mask], sums[mask]
     if uniq.size > k:
         # keep every doc scoring >= the k-th largest score: tie-safe trim
@@ -262,6 +267,13 @@ def wand_kernel(
     Input batches: posting-block rows of ONE bucket-partition slice
     (bucket, term, block_idx, ..., df). Output: per-bucket top-k rows
     (query_id, doc_id, score).
+
+    Batch mode (>1 surviving query in a bucket): each term is decoded
+    ONCE over the UNION of the batch's per-query keep masks — blocks no
+    query can use are never decoded (threshold-aware shared decode), and
+    each query then applies its own mask at the posting level via the
+    kept postings' original block ids. Single query keeps plain
+    masked-decode (latency mode).
     """
     thresholds = thresholds or {}
 
@@ -274,17 +286,71 @@ def wand_kernel(
         out_frames = []
         for _, bucket_blocks in all_blocks.groupby("bucket", sort=False):
             by_term = dict(tuple(bucket_blocks.groupby("term", sort=False)))
-            # batch of >1 queries: share each term's decode across the
-            # batch (throughput mode); single query keeps block pruning
-            # (latency mode)
-            cache: dict | None = {} if len(queries) > 1 else None
+            needed = [
+                t
+                for t in dict.fromkeys(t for q in queries for t in q["terms"])
+                if t in by_term
+            ]
+            idf, bmax = _block_bounds(by_term, needed, n_docs, avgdl, term_dfs)
+            # plan every query first: (query, distinct terms, present, masks)
+            plans = []
             for q in queries:
-                docs, scores = _score_bucket_query(
-                    by_term, q["terms"], q["conjunctive"], k,
-                    n_docs, avgdl,
-                    threshold=thresholds.get(q["query_id"], -np.inf),
-                    term_dfs=term_dfs,
-                    decode_cache=cache,
+                terms = list(dict.fromkeys(q["terms"]))  # a term scores once
+                present = [t for t in terms if t in by_term]
+                if not present or (q["conjunctive"] and len(present) < len(terms)):
+                    continue
+                masks = _query_keep_masks(
+                    present, q["conjunctive"], idf, bmax,
+                    thresholds.get(q["query_id"], -np.inf),
+                )
+                if masks is not None:
+                    plans.append((q, terms, present, masks))
+            if not plans:
+                continue
+            batch = len(plans) > 1
+            decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+            if batch:
+                union: dict[str, np.ndarray] = {}
+                for _, _, present, masks in plans:
+                    for t in present:
+                        union[t] = masks[t] if t not in union else union[t] | masks[t]
+                for t, um in union.items():
+                    if not um.any():
+                        continue
+                    g = by_term[t]
+                    docs, tfs, dls = _decode_blocks_vectorized(g[um])
+                    scores = _bm25_np(tfs, dls, float(term_dfs[t]), n_docs, avgdl)
+                    kept = np.flatnonzero(um)
+                    ns = g["n"].to_numpy(np.int64)[kept]
+                    # original block index of each decoded posting, so a
+                    # query can re-apply ITS mask at posting granularity
+                    block_of = np.repeat(kept, ns)
+                    decoded[t] = (docs, scores, block_of)
+            for q, terms, present, masks in plans:
+                doc_parts, score_parts = [], []
+                for t in present:
+                    m = masks[t]
+                    if not m.any():
+                        continue
+                    if batch:
+                        docs, scores, block_of = decoded[t]
+                        if m.all():
+                            doc_parts.append(docs)
+                            score_parts.append(scores)
+                        else:
+                            pm = m[block_of]
+                            doc_parts.append(docs[pm])
+                            score_parts.append(scores[pm])
+                    else:
+                        g = by_term[t]
+                        docs, tfs, dls = _decode_blocks_vectorized(g[m])
+                        scores = _bm25_np(
+                            tfs, dls, float(term_dfs[t]), n_docs, avgdl
+                        )
+                        doc_parts.append(docs)
+                        score_parts.append(scores)
+                docs, scores = _accumulate_topk(
+                    doc_parts, score_parts, len(terms), q["conjunctive"], k
                 )
                 if docs.size:
                     out_frames.append(

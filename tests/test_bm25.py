@@ -17,6 +17,11 @@ QUERIES = [
     {"query_id": 3, "terms": ["the"], "conjunctive": False},  # stop-word, negative idf
     {"query_id": 4, "terms": ["data", "data", "query"], "conjunctive": False},  # dup terms
     {"query_id": 5, "terms": ["spark", "zzz_absent"], "conjunctive": True},  # absent AND
+    # mixed idf under OR: rare positive term + head negative-idf term —
+    # regression for the unsound negative-idf block prune (a skipped
+    # negative block inflated scores of docs matched via 'dup')
+    {"query_id": 6, "terms": ["dup", "query"], "conjunctive": False},
+    {"query_id": 7, "terms": ["dup", "query"], "conjunctive": True},
 ]
 
 
@@ -83,6 +88,19 @@ def test_dataframe_path_matches_oracle(spark, sf_dir, built, oracle):
             tf_full, qdf, stats["n_docs"], stats["avgdl"], k=10, conjunctive=conj
         ).collect()
         assert_matches(rows, oracle, subset)
+
+
+def test_mixed_idf_single_query_two_phase(built, oracle):
+    """Single-query latency mode + two-phase threshold: the exact repro
+    of the unsound negative-idf prune (batch mode masks it because the
+    shared decode is union-masked)."""
+    postings, stats = built
+    for conj in (False, True):
+        q = [{"query_id": 0, "terms": ["dup", "query"], "conjunctive": conj}]
+        rows = bm25_topk_wand(
+            postings, q, stats["n_docs"], stats["avgdl"], k=10, two_phase=True
+        ).collect()
+        assert_matches(rows, oracle, q)
 
 
 def test_k100(built, oracle):
