@@ -361,19 +361,34 @@ tf AS (
   GROUP BY doc_id, term
 ),
 h AS (
-  SELECT doc_id, tf, CAST('0x'||substring(md5('sh:'||term),1,8) AS BIGINT) AS h
-  FROM tf
+  -- 64-bit token hash from two md5 halves; HUGEINT composition wrapped
+  -- to signed BIGINT = the engine's shiftleft(hi,32)|lo two's complement
+  SELECT doc_id, tf,
+         CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                   THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, tf,
+           CAST('0x'||substring(md5('sh:'||term),1,8) AS BIGINT)::HUGEINT
+             * 4294967296::HUGEINT
+           + CAST('0x'||substring(md5('sh:'||term),9,8) AS BIGINT)::HUGEINT AS v
+    FROM tf
+  )
 ),
 sums AS (
   SELECT doc_id, b.i AS bit,
          sum(CASE WHEN (h >> b.i) & 1 = 1 THEN tf ELSE -tf END) AS s
-  FROM h, range(0, 16) AS b(i)
+  FROM h, range(0, 64) AS b(i)
   GROUP BY doc_id, b.i
 ),
 fp AS (
   SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
-  FROM sums GROUP BY doc_id
+         CAST(CASE WHEN f >= 9223372036854775808::HUGEINT
+                   THEN f - 18446744073709551616::HUGEINT ELSE f END AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS f
+    FROM sums GROUP BY doc_id
+  )
 )
 """
 

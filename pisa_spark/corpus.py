@@ -25,7 +25,7 @@ DuckDB oracle, giving engine/oracle token parity for free.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
@@ -106,20 +106,19 @@ def tokens_col(text: Column) -> Column:
 
 def assign_doc_ids(pages: DataFrame) -> DataFrame:
     """Deterministic dense doc-id assignment for a pages corpus:
-    doc_id = row_number() OVER (ORDER BY url) - 1.
+    doc_id = 0-based rank of url in the global url order.
 
     NEVER monotonically_increasing_id(): that is partition-layout
     dependent and changes across runs/parallelism, which would break
     rank-identity (SURVEY T4; the reference's dense max+1 id space is
-    /root/reference/src/helpers/Reader.py:62). A global sort of urls is
-    one shuffle at build time and is done once per corpus snapshot; at
-    10^12 docs use range-partitioned sort (Spark's default for
-    row_number over a global window is a single-partition sort, so for
-    the cluster path prefer zipWithIndex-style two-phase assignment:
-    sortWithinPartitions + per-partition offsets — the helper below
-    keeps the semantic contract either way)."""
-    w = Window.orderBy("url")
-    return pages.withColumn("doc_id", F.row_number().over(w) - 1)
+    /root/reference/src/helpers/Reader.py:62). Implemented via the
+    two-phase range-partition + per-partition-offset assignment in
+    operators/ids.py — NOT row_number() over a global Window, which
+    plans as a single-partition sort (one task holds the whole corpus,
+    a non-starter at 10^12 docs)."""
+    from pisa_spark.operators.ids import global_positions
+
+    return global_positions(pages, ["url"], "doc_id")
 
 
 def parse_query(q: str) -> dict:

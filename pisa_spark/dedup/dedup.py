@@ -41,6 +41,18 @@ def hash64(col: Column, salt: str = "") -> Column:
     ).cast("long")
 
 
+def hash_wide(col: Column, salt: str = "") -> Column:
+    """Full-width 64-bit deterministic hash as a (possibly negative)
+    long: two md5 32-bit halves composed with shift+or, so the sign bit
+    wraps exactly like Java two's complement. Oracle parity via HUGEINT
+    arithmetic: hi::HUGEINT * 2^32 + lo, wrapped to signed BIGINT
+    (DuckDB's << overflows at bit 63, HUGEINT doesn't)."""
+    m = F.md5(F.concat(F.lit(salt), col))
+    hi = F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def shingles_col(text: Column, n: int = 3) -> Column:
     """Distinct n-gram (word) shingles as array<string> ('a b c')."""
     toks = tokens_col(text)
@@ -196,11 +208,16 @@ def minhash_lsh_candidates(
 
 
 def simhash(
-    docs: DataFrame, bits: int = 16, text_col: str = "text"
+    docs: DataFrame, bits: int = 64, text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, simhash:long) — classic Charikar sketch over tokens
     weighted by tf: bit_i = 1 iff sum over distinct tokens of
-    tf * (+1 if bit_i(hash64(token)) else -1) > 0.
+    tf * (+1 if bit_i(hash(token)) else -1) > 0.
+
+    bits <= 64, default the full 64 (a 16-bit fingerprint has only 65k
+    distinct values — constant collisions at >=10^6 docs). Bit 63 makes
+    the long negative; both engines treat >> as arithmetic shift and
+    bit_count ignores sign, so parity holds across the full width.
 
     Two hash-aggregations (doc,token) then (doc); bits unrolled as an
     array expression — no UDF, identical arithmetic in the oracle."""
@@ -208,7 +225,7 @@ def simhash(
         "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    h = tf.withColumn("h", hash64(F.col("token"), salt="sh:"))
+    h = tf.withColumn("h", hash_wide(F.col("token"), salt="sh:"))
     contribs = h.select(
         "doc_id",
         *[
@@ -224,30 +241,40 @@ def simhash(
     )
     fp = None
     for i in range(bits):
-        bit = F.when(F.col(f"s{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
-    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+        # shiftleft(1L, i) wraps at bit 63 (sign bit) — 2**63 would
+        # overflow a long literal; OR composes the disjoint bits
+        bit = F.when(
+            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return sums.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 2) -> DataFrame:
+def simhash_near_pairs(
+    fingerprints: DataFrame, max_hamming: int = 2, bits: int = 64
+) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance <= max_hamming.
 
     Banding trick for scale: split the fingerprint into (max_hamming+1)
     chunks — any pair within distance max_hamming agrees exactly on at
     least one chunk (pigeonhole), so a chunk-equality self-join finds
-    all of them without an all-pairs product; exact popcount filters."""
-    bits = 16
+    all of them without an all-pairs product; exact popcount filters.
+    ``bits`` must match the fingerprint width simhash() was built with
+    (chunks are derived from it; every chunk is masked to its width so
+    the sign bit can't leak through the arithmetic shift)."""
     n_chunks = max_hamming + 1
     chunk = bits // n_chunks
-    chunks = [
-        (
-            F.shiftright("simhash", i * chunk)
-            .bitwiseAND(F.lit((1 << chunk) - 1))
-            if i < n_chunks - 1
-            else F.shiftright("simhash", i * chunk)
-        ).alias(f"c{i}")
+    widths = [
+        chunk if i < n_chunks - 1 else bits - chunk * (n_chunks - 1)
         for i in range(n_chunks)
     ]
+    def _chunk_col(i: int) -> Column:
+        c = F.shiftright("simhash", i * chunk)
+        if widths[i] < 64:  # width-64 chunk needs no mask (whole long)
+            c = c.bitwiseAND(F.lit((1 << widths[i]) - 1))
+        return c.alias(f"c{i}")
+
+    chunks = [_chunk_col(i) for i in range(n_chunks)]
     tagged = fingerprints.select("doc_id", "simhash", *chunks)
     pieces = []
     for i in range(n_chunks):

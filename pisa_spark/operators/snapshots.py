@@ -42,8 +42,12 @@ def interactions_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
     )
-    w = Window.orderBy("ts", "event_id")
-    return inter.withColumn("pos", F.row_number().over(w) - 1).drop("event_id")
+    # two-phase global position (operators/ids.py): rank in (ts,
+    # event_id) order without the single-partition sort a global
+    # row_number() Window would plan
+    from pisa_spark.operators.ids import global_positions
+
+    return global_positions(inter, ["ts", "event_id"], "pos").drop("event_id")
 
 
 def snapshot_boundaries(size: int, n_snapshots: int, train_ratio: float) -> list[int]:

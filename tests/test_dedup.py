@@ -88,6 +88,23 @@ def test_simhash_near_pairs_bound(docs):
     assert pairs.count() == brute.count()
 
 
+def test_simhash_64bit_collision_rate(spark):
+    """64-bit fingerprints must not collide for docs with different
+    text (a 16-bit sketch has 65k values and collides constantly —
+    the reason the default width is 64)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fp = simhash(docs).join(docs.select("doc_id", "text"), "doc_id")
+    per_fp = fp.groupBy("simhash").agg(
+        F.countDistinct("text").alias("n_texts")
+    )
+    collisions = per_fp.select(
+        F.sum(F.col("n_texts") - 1).alias("c")
+    ).collect()[0]["c"]
+    n = docs.count()
+    # allow only true near-duplicate texts to share a fingerprint
+    assert collisions <= 0.05 * n, f"{collisions} cross-text collisions / {n} docs"
+
+
 def test_embedding_near_pairs_symmetric_free(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     pairs = embedding_near_pairs(emb, threshold=0.3)
