@@ -1068,24 +1068,36 @@ WITH inter AS (
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
   FROM events
 ),
-cand AS (
-  SELECT u.user_id, i.item_id,
-         CAST('0x'||substring(md5('neg:'||u.user_id||':'||i.item_id),1,8)
-              AS BIGINT) AS h
-  FROM (SELECT DISTINCT user_id FROM inter) u
-  CROSS JOIN (SELECT DISTINCT item_id FROM inter) i
+items AS (
+  SELECT item_id,
+         row_number() OVER (ORDER BY item_id) - 1 AS idx
+  FROM (SELECT DISTINCT item_id FROM inter)
 ),
-gated AS (SELECT * FROM cand WHERE h % 7 = 0),
+n AS (SELECT count(*) AS n_items FROM items),
+draws AS (
+  SELECT u.user_id, j.j,
+         CAST('0x'||substring(md5('neg:'||u.user_id||':'||j.j),1,8)
+              AS BIGINT) AS h
+  FROM (SELECT DISTINCT user_id FROM inter) u, range(1, 21) AS j(j)
+),
+cand AS (
+  SELECT d.user_id, i.item_id, d.j
+  FROM draws d CROSS JOIN n
+  JOIN items i ON i.idx = d.h % n.n_items
+),
 unseen AS (
-  SELECT g.* FROM gated g
-  LEFT JOIN inter s ON g.user_id = s.user_id AND g.item_id = s.item_id
+  SELECT c.* FROM cand c
+  LEFT JOIN inter s ON c.user_id = s.user_id AND c.item_id = s.item_id
   WHERE s.user_id IS NULL
+),
+first AS (
+  SELECT user_id, item_id, min(j) AS j FROM unseen GROUP BY user_id, item_id
 )
 SELECT user_id, item_id, rank FROM (
   SELECT user_id, item_id,
          CAST(row_number() OVER (PARTITION BY user_id
-                                 ORDER BY h ASC, item_id ASC) AS INTEGER) AS rank
-  FROM unseen
+                                 ORDER BY j ASC) AS INTEGER) AS rank
+  FROM first
 ) WHERE rank <= 5
 """,
         # --- event-time windowed aggregation ---

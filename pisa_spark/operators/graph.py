@@ -42,35 +42,64 @@ def normalized_edges(interactions: DataFrame) -> DataFrame:
 def negative_samples(
     interactions: DataFrame,
     n_per_user: int = 5,
-    gate_mod: int = 7,
+    oversample: int = 4,
 ) -> DataFrame:
     """Deterministic negative sampling: per user, up to ``n_per_user``
-    items the user has NOT interacted with.
+    items the user has NOT interacted with. Returns
+    (user_id, item_id, rank) with rank = draw order.
 
-    Candidates are hash-gated (hash64(user:item) % gate_mod == 0) so the
-    candidate relation is ~|users| * |items| / gate_mod, then the seen
-    set is removed with left_anti (the reference's clicked-set rejection,
-    made set-algebraic), and the per-user selection takes the smallest
-    hash values (deterministic, uniform-ish). Returns
-    (user_id, item_id, rank)."""
+    Bounded candidate generation — the distributed rendering of the
+    reference's draw-until-unseen rejection loop
+    (/root/reference/src/models/Dataloader.py:77-100), with the RNG
+    replaced by the md5 hash family so results are identical across
+    runs/partitions/engines:
+
+    1. items get dense indices 0..|I|-1 in item_id order (two-phase
+       assignment, operators/ids.py — no global sort);
+    2. each user makes ``n_per_user * oversample`` draws
+       j = 1..n_draws; draw j picks item index
+       hash64('neg:' || user || ':' || j) % |I| — the candidate
+       relation is |U| * n_draws rows, NEVER the |U| x |I| cross
+       product the naive hash-gate would evaluate;
+    3. duplicate draws keep their first j, seen items are rejected
+       with a left_anti join, and the first ``n_per_user`` survivors
+       in draw order win.
+
+    A user who has seen nearly every item can come up short of
+    n_per_user (bounded draws = bounded work); raise ``oversample`` if
+    the corpus is that dense. The item-index join is broadcast when the
+    item dimension is small, a plain idx equi-join otherwise."""
     users = interactions.select("user_id").distinct()
     items = interactions.select("item_id").distinct()
+    from pisa_spark.operators.ids import global_positions
+
+    items_idx = global_positions(items, ["item_id"], "idx")
+    n_items = items_idx.count()
+    if n_items == 0:
+        return interactions.sparkSession.createDataFrame(
+            [], "user_id long, item_id long, rank int"
+        )
+    n_draws = n_per_user * oversample
+    draws = users.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(1), F.lit(n_draws))).alias("j"),
+    )
     h = hash64(
         F.concat(
-            F.col("user_id").cast("string"), F.lit(":"), F.col("item_id").cast("string")
+            F.col("user_id").cast("string"), F.lit(":"), F.col("j").cast("string")
         ),
         salt="neg:",
     )
-    cand = (
-        users.crossJoin(items)
-        .withColumn("h", h)
-        .filter(F.col("h") % gate_mod == 0)
-    )
+    cand = draws.withColumn("idx", h % F.lit(n_items))
+    if n_items < 5_000_000:
+        items_idx = F.broadcast(items_idx)
+    cand = cand.join(items_idx, "idx").select("user_id", "item_id", "j")
     seen = interactions.select("user_id", "item_id").distinct()
     unseen = cand.join(seen, ["user_id", "item_id"], "left_anti")
-    w = Window.partitionBy("user_id").orderBy(F.col("h").asc(), F.col("item_id").asc())
+    first = unseen.groupBy("user_id", "item_id").agg(F.min("j").alias("j"))
+    w = Window.partitionBy("user_id").orderBy(F.col("j").asc())
     return (
-        unseen.withColumn("rank", F.row_number().over(w))
+        first.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n_per_user)
         .select("user_id", "item_id", "rank")
     )

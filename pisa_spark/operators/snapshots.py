@@ -134,9 +134,26 @@ def popularity_topk(
     popularity scorer: all items scored, per-user seen set masked via
     left_anti (the -inf scatter of :233-238), deterministic ties
     (cnt DESC, item_id ASC). Cold-start users (absent from hist) get an
-    empty mask, not exclusion (:217-221)."""
+    empty mask, not exclusion (:217-221).
+
+    Candidate pruning (provably rank-identical): a user's k-th unseen
+    item sits at global popularity rank <= k + |seen_u|, so only the
+    global top-(k + max_u |seen_u|) items can ever appear in any user's
+    answer — the broadcast side shrinks from |I| to that bound, which
+    at web scale is orders of magnitude smaller than the item
+    universe."""
     counts = hist.groupBy("item_id").agg(F.count(F.lit(1)).alias("cnt"))
-    cand = users.select("user_id").distinct().crossJoin(F.broadcast(counts))
+    max_seen_row = (
+        hist.groupBy("user_id")
+        .agg(F.countDistinct("item_id").alias("n_seen"))
+        .agg(F.max("n_seen").alias("m"))
+        .collect()
+    )
+    max_seen = int(max_seen_row[0]["m"] or 0)
+    top_items = counts.orderBy(
+        F.col("cnt").desc(), F.col("item_id").asc()
+    ).limit(k + max_seen)
+    cand = users.select("user_id").distinct().crossJoin(F.broadcast(top_items))
     seen = hist.select("user_id", "item_id").distinct()
     unseen = cand.join(seen, ["user_id", "item_id"], "left_anti")
     w = Window.partitionBy("user_id").orderBy(

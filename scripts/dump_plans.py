@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from pisa_spark.corpus import tokens_col
 from pisa_spark.index.build import build_postings, term_frequencies
 from pisa_spark.index.lineage import build_index_resumable, load_index
+from pisa_spark.operators.graph import negative_samples
+from pisa_spark.operators.snapshots import interactions_from_events
 from pisa_spark.query.bm25 import bm25_topk_wand
 from pisa_spark.session import get_spark
 
@@ -47,6 +49,12 @@ def main() -> None:
     q = [{"query_id": 0, "terms": ["data", "join"], "conjunctive": False}]
     query_plan = fmt(
         bm25_topk_wand(postings, q, stats["n_docs"], stats["avgdl"], k=10)
+    )
+
+    inter = interactions_from_events(spark, sf)
+    neg_plan = fmt(negative_samples(inter, n_per_user=5))
+    assert "CartesianProduct" not in neg_plan and "NestedLoop" not in neg_plan, (
+        "negative_samples plan regressed to a cross product"
     )
 
     out = f"""# PLANS — physical plan evidence (.explain("formatted"), real output)
@@ -83,6 +91,19 @@ cross the last `Exchange`.
 
 ```
 {query_plan}
+```
+
+## 4. Bounded negative sampling (no cross product)
+
+Look for: NO `CartesianProduct` / `BroadcastNestedLoopJoin` anywhere —
+the candidate relation is |users| x n_draws `Generate` (explode of the
+draw sequence), items enter through a `BroadcastHashJoin` on the dense
+item index, and the seen-set rejection is a `LeftAnti` hash join. The
+dump script asserts the absence of a cartesian before writing this
+file.
+
+```
+{neg_plan}
 ```
 """
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
