@@ -243,6 +243,149 @@ def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH gate parameters, shared between the Spark query and its oracle
+_LSH_NBITS, _LSH_TABLES, _LSH_PROBE_H, _EMB_DIM = 6, 4, 2, 64
+
+_SQL_COS = (
+    "list_sum(list_transform(range(1, {d}), i -> e.embedding[i]::DOUBLE"
+    " * qv.qvec[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(e.embedding, v -> v::DOUBLE * v::DOUBLE)))"
+    "    * sqrt(list_sum(list_transform(qv.qvec, v -> v::DOUBLE * v::DOUBLE))))"
+).format(d=_EMB_DIM + 1)
+
+
+def _lsh_sql_base() -> str:
+    """DuckDB twin of lsh_bucket_topk at the gate's parameters. The
+    md5-derived hyperplanes are pure functions of (table, bit,
+    component) — data-independent constants — so they embed as literal
+    DOUBLE[] values; signatures, probe masks, candidate buckets and
+    exact rescoring are recomputed independently by DuckDB. Per-vector
+    dot products are sequential in both engines (F.aggregate and
+    list_sum walk the array left to right), so the sign-of-dot
+    signatures agree bit-for-bit."""
+    from pisa_spark.similarity.ann import _hyperplanes_salted
+
+    qids = ", ".join(map(str, _ANN_QUERY_IDS))
+    plane_rows = []
+    for t in range(_LSH_TABLES):
+        planes = _hyperplanes_salted(_EMB_DIM, _LSH_NBITS, salt=f"t{t}")
+        for i in range(_LSH_NBITS):
+            vals = ", ".join(repr(float(x)) for x in planes[i])
+            plane_rows.append(f"({t}, {i}, [{vals}]::DOUBLE[])")
+    probes = (
+        [0]
+        + [1 << i for i in range(_LSH_NBITS)]
+        + [
+            (1 << i) | (1 << j)
+            for i in range(_LSH_NBITS)
+            for j in range(i + 1, _LSH_NBITS)
+        ]
+    )
+    probe_rows = ", ".join(f"({m})" for m in probes)
+    return f"""
+WITH planes(t, i, p) AS (VALUES {", ".join(plane_rows)}),
+sigs AS (
+  SELECT e.vec_id, pl.t,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+                        j -> e.embedding[j]::DOUBLE * pl.p[j])) > 0
+                   THEN 1 << pl.i ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.t
+),
+qsigs AS (
+  SELECT CAST(vec_id AS INTEGER) AS query_id, t, sig
+  FROM sigs WHERE vec_id IN ({qids})
+),
+probes(m) AS (VALUES {probe_rows}),
+cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id
+  FROM qsigs q
+  CROSS JOIN probes pr
+  JOIN sigs s ON s.t = q.t AND s.sig = xor(q.sig, CAST(pr.m AS BIGINT))
+),
+qv AS (SELECT CAST(vec_id AS INTEGER) AS query_id, embedding AS qvec
+       FROM embeddings WHERE vec_id IN ({qids})),
+lsh_scored AS (
+  SELECT c.query_id, c.vec_id, {_SQL_COS} AS cosine
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN qv ON qv.query_id = c.query_id
+),
+lsh_topk AS (
+  SELECT query_id, rank, vec_id, cosine FROM (
+    SELECT query_id, vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC)
+                AS INTEGER) AS rank
+    FROM lsh_scored
+  ) WHERE rank <= 10
+),
+bf_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qv.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY qv.query_id
+                              ORDER BY {_SQL_COS} DESC, e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN qv
+  ) WHERE rank <= 10
+)
+"""
+
+
+def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the IVF path vs exact brute force, per query."""
+    emb = _embeddings(spark, sf_dir)
+    q = _ann_queries(spark, sf_dir)
+    ivf = ivf_topk(emb, q, kmeans_fit(emb, k=8, n_iter=3), k=10, nprobe=4)
+    bf = cosine_topk_bruteforce(emb, q, k=10)
+    hits = ivf.join(
+        bf.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    return (
+        ivf.select("query_id")
+        .distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("h")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("h"), F.lit(0)) / 10.0, 4).alias("recall"),
+        )
+    )
+
+
+def _ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the LSH path vs the exact brute-force path, per
+    query — the approximation quality of ann_lsh_topk as a
+    deterministic, oracle-checkable value."""
+    from pisa_spark.similarity.ann import lsh_bucket_topk
+
+    emb = _embeddings(spark, sf_dir)
+    q = _ann_queries(spark, sf_dir)
+    lsh = lsh_bucket_topk(
+        emb, q, k=10, nbits=_LSH_NBITS, probe_hamming=_LSH_PROBE_H,
+        n_tables=_LSH_TABLES,
+    )
+    bf = cosine_topk_bruteforce(emb, q, k=10)
+    hits = lsh.join(
+        bf.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    return (
+        lsh.select("query_id")
+        .distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("h")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("h"), F.lit(0)) / 10.0, 4).alias("recall"),
+        )
+    )
+
+
 _SQL_REF = """
 WITH inter AS (
   SELECT user_id,
@@ -524,8 +667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")),
         "ann_lsh_topk": lambda spark, sf: lsh_bucket_topk(
             _embeddings(spark, sf), _ann_queries(spark, sf), k=10,
-            nbits=6, probe_hamming=2, n_tables=4,
+            nbits=_LSH_NBITS, probe_hamming=_LSH_PROBE_H, n_tables=_LSH_TABLES,
         ).select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")),
+        "ann_lsh_recall": _ann_lsh_recall,
         # IVF variant: deterministic k-means coarse quantizer + probed
         # buckets (approximate by design -> rows-only check; recall and
         # exactness of returned scores are pytest-asserted vs brute force)
@@ -536,6 +680,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10,
             nprobe=4,
         ).select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")),
+        # IVF recall@10 vs brute force — rows-only by design: the k-means
+        # quantizer's distributed float sums reassociate across
+        # partitions (equal to a serial twin only to ~1e-9), below
+        # hash-compare granularity, so a SQL twin would flake on
+        # assignment ties; the pytest NumPy-reimplementation check
+        # (tests/test_kmeans_ivf.py) is the right oracle for this one
+        "ann_ivf_recall": _ann_ivf_recall,
         # --- text analysis ---
         "text_profiles": lambda spark, sf: doc_profile(_docs(spark, sf)),
         # --- reference-semantic snapshot/recommendation pipeline ---
@@ -826,6 +977,19 @@ SELECT query_id, rank, vec_id, round(cosine, 4) AS cosine FROM (
                                  ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
   FROM scored
 ) WHERE rank <= 10
+""",
+        # full LSH twin: hyperplane signatures, probe masks and bucket
+        # candidates recomputed by DuckDB from embedded plane constants
+        "ann_lsh_topk": _lsh_sql_base()
+        + """
+SELECT query_id, rank, vec_id, round(cosine, 4) AS cosine FROM lsh_topk
+""",
+        "ann_lsh_recall": _lsh_sql_base()
+        + """
+SELECT l.query_id, round(count(b.vec_id) / 10.0, 4) AS recall
+FROM lsh_topk l
+LEFT JOIN bf_topk b ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+GROUP BY l.query_id
 """,
         # --- text analysis ---
         "text_profiles": f"""

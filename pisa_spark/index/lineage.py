@@ -27,7 +27,6 @@ waves ≈ 250 jobs).
 from __future__ import annotations
 
 import math
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,7 +38,7 @@ from pisa_spark.sources import catalog
 
 LINEAGE_SCHEMA = (
     "bucket int, status string, docs long, postings long, blocks long, "
-    "bytes_out long, wall_s double, wave int, ts double"
+    "bytes_out long, wall_s double, wave int, ts double, fp long"
 )
 
 POSTINGS_TABLE = "postings"
@@ -47,24 +46,41 @@ LINEAGE_TABLE = "lineage"
 STATS_TABLE = "corpus_stats"
 
 
-def latest_lineage(spark: SparkSession, index_root: str) -> dict[int, dict]:
-    """Latest lineage row per bucket (append-only table, ts-wins)."""
+def latest_lineage_df(spark: SparkSession, index_root: str) -> DataFrame | None:
+    """Latest lineage row per bucket as a DataFrame (append-only table,
+    ts-wins), reduced IN SPARK — at the design point (~10^6 buckets x
+    several generations) the raw table must never be collected whole."""
     if not catalog.table_exists(index_root, LINEAGE_TABLE):
+        return None
+    from pyspark.sql import Window
+
+    lin = catalog.read_table(spark, index_root, LINEAGE_TABLE)
+    w = Window.partitionBy("bucket").orderBy(F.col("ts").desc())
+    return (
+        lin.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def latest_lineage(spark: SparkSession, index_root: str) -> dict[int, dict]:
+    """Collected form of latest_lineage_df — small-scale/test helper;
+    the build itself only collects pending/stale bucket IDS."""
+    df = latest_lineage_df(spark, index_root)
+    if df is None:
         return {}
-    rows = catalog.read_table(spark, index_root, LINEAGE_TABLE).collect()
-    latest: dict[int, dict] = {}
-    for r in rows:
-        d = r.asDict()
-        if d["bucket"] not in latest or d["ts"] > latest[d["bucket"]]["ts"]:
-            latest[d["bucket"]] = d
-    return latest
+    return {r["bucket"]: r.asDict() for r in df.collect()}
 
 
 def committed_buckets(spark: SparkSession, index_root: str) -> set[int]:
+    df = latest_lineage_df(spark, index_root)
+    if df is None:
+        return set()
     return {
-        b
-        for b, d in latest_lineage(spark, index_root).items()
-        if d["status"] == "committed"
+        r["bucket"]
+        for r in df.filter(F.col("status") == "committed")
+        .select("bucket")
+        .collect()
     }
 
 
@@ -92,9 +108,14 @@ def build_index_resumable(
     When unset, span = ceil(corpus/n_buckets) (fixed-layout build).
 
     A bucket is pending iff it has no committed lineage row OR its
-    current doc count differs from the lineage's (crash resume and
+    current content FINGERPRINT (xor of xxhash64(doc_id, text) over the
+    bucket's docs) differs from the committed row's — count-only change
+    detection would silently serve stale postings for a bucket whose
+    docs changed content while keeping the same count. Crash resume and
     incremental growth fall out of the same rule; dynamic partition
-    overwrite makes per-bucket rebuild idempotent).
+    overwrite makes per-bucket rebuild idempotent. corpus_stats is
+    written only AFTER the last wave commits, so a crashed incremental
+    run leaves the previous consistent (stats, buckets) pair in place.
 
     fail_after_waves: test hook — raise after N waves to simulate a
     mid-build crash (the kill/rerun test of SURVEY §5.2 item 4).
@@ -103,7 +124,12 @@ def build_index_resumable(
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select(
-        "doc_id", tokens_col(F.col("text")).alias("tokens")
+        "doc_id",
+        tokens_col(F.col("text")).alias("tokens"),
+        # per-doc content fingerprint rides along so bucket-change
+        # detection sees CONTENT, not just counts; xor-aggregated per
+        # bucket (order-independent, overflow-free)
+        F.xxhash64(F.col("doc_id"), F.col("text")).alias("doc_fp"),
     ).withColumn("doc_len", F.size("tokens")).cache()
     try:
         stats_row = corpus_stats(toks).collect()[0]
@@ -116,59 +142,60 @@ def build_index_resumable(
         else:
             span = max(1, math.ceil((max_doc + 1) / n_buckets))
 
-        catalog.write_table(
-            spark.createDataFrame(
-                [(n_docs, avgdl, int(stats_row["total_terms"]))],
-                "n_docs long, avgdl double, total_terms long",
-            ),
-            index_root,
-            STATS_TABLE,
+        # pending = never committed OR content fingerprint changed
+        # (growth/repair/in-place edits). The comparison happens IN
+        # SPARK (join of per-bucket state against latest lineage);
+        # only the pending/stale bucket IDS reach the driver.
+        cur = toks.groupBy(
+            ((F.col("doc_id") / span).cast("int")).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("cur_docs"),
+            F.bit_xor("doc_fp").alias("cur_fp"),
         )
-
-        # pending = never committed OR doc count changed (growth/repair)
-        latest = latest_lineage(spark, index_root)
-        current_counts = {
-            r["bucket"]: r["cnt"]
-            for r in toks.groupBy(
-                ((F.col("doc_id") / span).cast("int")).alias("bucket")
+        latest = latest_lineage_df(spark, index_root)
+        if latest is None:
+            pending = sorted(
+                r["bucket"] for r in cur.select("bucket").collect()
             )
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
-        pending = [
-            b
-            for b in range(n_buckets)
-            if (b not in latest or latest[b]["status"] != "committed"
-                or latest[b]["docs"] != current_counts.get(b, 0))
-            and current_counts.get(b, 0) > 0
-        ]
-        # buckets that previously held docs but now hold none (corpus
-        # shrank or ids vanished): dynamic overwrite writes no rows for
-        # them, so their stale partitions are pruned explicitly and a
-        # 'pruned' lineage row records it (Iceberg analog: delete-files
-        # commit for the partition)
-        stale = [
-            b
-            for b, d in latest.items()
-            if d["status"] == "committed"
-            and d["docs"] > 0
-            and current_counts.get(b, 0) == 0
-        ]
-        if stale:
-            import shutil
-
-            for b in stale:
-                shutil.rmtree(
-                    os.path.join(
-                        catalog.table_path(index_root, POSTINGS_TABLE),
-                        f"bucket={b}",
-                    ),
-                    ignore_errors=True,
+            stale = []
+        else:
+            lat = latest.select(
+                "bucket", "status", F.col("fp").alias("old_fp"), "docs"
+            )
+            joined = cur.join(lat, "bucket", "left")
+            pending = sorted(
+                r["bucket"]
+                for r in joined.filter(
+                    F.col("status").isNull()
+                    | (F.col("status") != "committed")
+                    | (F.col("old_fp") != F.col("cur_fp"))
                 )
+                .select("bucket")
+                .collect()
+            )
+            # buckets that previously held docs but now hold none
+            # (corpus shrank or ids vanished): dynamic overwrite writes
+            # no rows for them, so their stale partitions are pruned
+            # explicitly and a 'pruned' lineage row records it (Iceberg
+            # analog: delete-files commit for the partition)
+            stale = sorted(
+                r["bucket"]
+                for r in lat.filter(
+                    (F.col("status") == "committed") & (F.col("docs") > 0)
+                )
+                .join(cur, "bucket", "left_anti")
+                .select("bucket")
+                .collect()
+            )
+        if stale:
+            # atomic manifest commit without the dropped partitions —
+            # no physical delete on the commit path (Iceberg
+            # delete-files semantics; orphans are GC'd out-of-band)
+            catalog.delete_partitions(index_root, POSTINGS_TABLE, stale)
             catalog.write_table(
                 spark.createDataFrame(
                     [
-                        (b, "pruned", 0, 0, 0, 0, 0.0, -1, time.time())
+                        (b, "pruned", 0, 0, 0, 0, 0.0, -1, time.time(), 0)
                         for b in stale
                     ],
                     LINEAGE_SCHEMA,
@@ -215,12 +242,15 @@ def build_index_resumable(
                 )
                 .collect()
             )
-            ndocs_wave = {
-                r["bucket"]: r["cnt"]
+            wave_state = {
+                r["bucket"]: (r["cnt"], r["fp"])
                 for r in wave_toks.groupBy(
                     ((F.col("doc_id") / span).cast("int")).alias("bucket")
                 )
-                .agg(F.count(F.lit(1)).alias("cnt"))
+                .agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.bit_xor("doc_fp").alias("fp"),
+                )
                 .collect()
             }
             stats_by_bucket = {r["bucket"]: r for r in per_bucket}
@@ -228,13 +258,14 @@ def build_index_resumable(
                 (
                     b,
                     "committed",
-                    int(ndocs_wave.get(b, 0)),
+                    int(wave_state.get(b, (0, 0))[0]),
                     int(stats_by_bucket[b]["postings"]) if b in stats_by_bucket else 0,
                     int(stats_by_bucket[b]["blocks"]) if b in stats_by_bucket else 0,
                     int(stats_by_bucket[b]["bytes_out"]) if b in stats_by_bucket else 0,
                     wall / len(wave),
                     wave_no,
                     time.time(),
+                    int(wave_state.get(b, (0, 0))[1]),
                 )
                 for b in wave
             ]
@@ -247,14 +278,31 @@ def build_index_resumable(
             waves_run += 1
             if fail_after_waves is not None and waves_run >= fail_after_waves:
                 raise RuntimeError(f"simulated crash after wave {waves_run}")
+        # stats commit LAST: readers never see new global stats paired
+        # with buckets an interrupted run did not finish
+        catalog.write_table(
+            spark.createDataFrame(
+                [(n_docs, avgdl, int(stats_row["total_terms"]))],
+                "n_docs long, avgdl double, total_terms long",
+            ),
+            index_root,
+            STATS_TABLE,
+        )
         # summarize from latest-per-bucket rows (append-only table may
-        # hold superseded rows after incremental growth rebuilds)
-        final = latest_lineage(spark, index_root)
-        committed = [d for d in final.values() if d["status"] == "committed"]
+        # hold superseded rows after incremental growth rebuilds),
+        # aggregated in Spark — no full-table collect
+        final = latest_lineage_df(spark, index_root).filter(
+            F.col("status") == "committed"
+        )
+        srow = final.agg(
+            F.sum("docs").alias("docs"),
+            F.sum("postings").alias("postings"),
+            F.count(F.lit(1)).alias("buckets"),
+        ).collect()[0]
         return {
-            "docs": sum(d["docs"] for d in committed),
-            "postings": sum(d["postings"] for d in committed),
-            "buckets_done": len(committed),
+            "docs": int(srow["docs"] or 0),
+            "postings": int(srow["postings"] or 0),
+            "buckets_done": int(srow["buckets"]),
             "waves_run": waves_run,
             "n_docs": n_docs,
             "avgdl": avgdl,

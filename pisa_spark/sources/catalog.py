@@ -1,28 +1,69 @@
-"""Table catalog — the single swap point between the parquet-directory
-stand-in used in this sandbox and a real Iceberg catalog.
+"""Table catalog — the single swap point between the manifest-committed
+parquet layout used in this sandbox and a real Iceberg catalog.
 
-Every index artifact goes through these four functions; nothing else in
-the engine touches storage paths. With an Iceberg runtime on the
-cluster, `write_table`/`read_table` become
-``df.writeTo(name).append()`` / ``spark.table(name)`` and commits are
-Iceberg snapshot commits; the layout contract (partition column,
-atomic per-partition visibility) is identical.
+Every index artifact goes through these functions; nothing else in the
+engine touches storage paths. With an Iceberg runtime on the cluster,
+``write_table``/``read_table`` become ``df.writeTo(name).append()`` /
+``spark.table(name)`` and commits are Iceberg snapshot commits; the
+layout contract (partition column, atomic per-partition visibility) is
+identical.
 
-Atomicity in the stand-in: Spark's parquet committer makes each
-``write`` all-or-nothing per output directory (job-level _SUCCESS);
-per-bucket dynamic partition overwrite gives idempotent re-writes of a
-single bucket, which the resumable build (lineage.py) relies on.
+Atomicity model (the stand-in's Iceberg-manifest analog):
+
+* every write lands in a fresh generation directory
+  ``<table>/gen-<id>/`` — data files are INVISIBLE until published;
+* publication is ONE atomic ``os.rename`` of the manifest file
+  (``_manifest.json``), which maps each live partition (or the live
+  dir list, for unpartitioned tables) to its generation;
+* readers resolve the manifest and read only listed paths, so a torn
+  write (crash after data files, before the rename) is simply never
+  seen — proven by tests/test_resume.py::test_torn_write_invisible;
+* partition deletion (``delete_partitions``) publishes a manifest
+  without the dropped entries — no physical delete on the commit path,
+  orphan generations are GC'd out-of-band, exactly Iceberg's
+  delete-files model.
+
+Per-partition replacement stays idempotent: rewriting bucket b points
+its manifest entry at the new generation; content is a pure function of
+the input, so re-running a wave republishes byte-identical data.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import time
+import uuid
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_manifest.json"
 
 
 def table_path(root: str, name: str) -> str:
     return os.path.join(root, name)
+
+
+def _manifest_path(root: str, name: str) -> str:
+    return os.path.join(table_path(root, name), MANIFEST)
+
+
+def _read_manifest(root: str, name: str) -> dict | None:
+    p = _manifest_path(root, name)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _publish(root: str, name: str, manifest: dict) -> None:
+    """The one atomic step: manifest tmp-write + rename."""
+    p = _manifest_path(root, name)
+    tmp = p + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, p)
 
 
 def write_table(
@@ -32,18 +73,88 @@ def write_table(
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
-    w = df.write.mode(mode)
+    """Write df into a fresh generation dir, then atomically publish.
+
+    mode='overwrite' + partition_by: dynamic-partition semantics — only
+    partitions present in df are repointed, others keep their old
+    generation. mode='overwrite' without partition_by: the whole table
+    repoints to the new generation. mode='append': the new generation
+    joins the live dir list.
+    """
+    tp = table_path(root, name)
+    os.makedirs(tp, exist_ok=True)
+    gen = f"gen-{time.time_ns():x}-{uuid.uuid4().hex[:8]}"
+    gen_path = os.path.join(tp, gen)
+    w = df.write.mode("overwrite")
     if partition_by:
-        # dynamic overwrite: only partitions present in df are replaced
-        w = w.option("partitionOverwriteMode", "dynamic").partitionBy(*partition_by)
-    w.parquet(table_path(root, name))
+        if len(partition_by) != 1:
+            raise ValueError("catalog supports a single partition column")
+        w = w.partitionBy(*partition_by)
+    w.parquet(gen_path)
+
+    old = _read_manifest(root, name)
+    if partition_by:
+        pcol = partition_by[0]
+        new_parts = {}
+        for d in os.listdir(gen_path):
+            if d.startswith(f"{pcol}="):
+                new_parts[d.split("=", 1)[1]] = f"{gen}/{d}"
+        if mode == "overwrite":
+            parts = dict((old or {}).get("partitions", {}))
+            parts.update(new_parts)
+        elif mode == "append":
+            raise ValueError("append to a partitioned table is not supported")
+        _publish(root, name, {"partition_col": pcol, "partitions": parts})
+    else:
+        if mode == "append" and old is not None:
+            dirs = list(old.get("dirs", [])) + [gen]
+        else:
+            dirs = [gen]
+        _publish(root, name, {"dirs": dirs})
 
 
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(root, name))
+    m = _read_manifest(root, name)
+    tp = table_path(root, name)
+    if m is None:
+        # legacy/no-manifest directory: plain parquet read
+        return spark.read.parquet(tp)
+    if "partitions" in m:
+        # group live partitions by generation so each read keeps its
+        # basePath (partition column inferred from the dir name)
+        by_gen: dict[str, list[str]] = {}
+        for rel in m["partitions"].values():
+            gen, part = rel.split("/", 1)
+            by_gen.setdefault(gen, []).append(part)
+        frames = [
+            spark.read.option("basePath", os.path.join(tp, gen)).parquet(
+                *[os.path.join(tp, gen, p) for p in sorted(parts)]
+            )
+            for gen, parts in sorted(by_gen.items())
+        ]
+    else:
+        frames = [spark.read.parquet(os.path.join(tp, d)) for d in m["dirs"]]
+    if not frames:
+        raise FileNotFoundError(f"table {name} has no live data")
+    return reduce(lambda a, b: a.unionByName(b), frames)
+
+
+def delete_partitions(root: str, name: str, values: list) -> None:
+    """Publish a manifest without the given partition values — the
+    atomic delete-files commit; data files are left for out-of-band GC."""
+    m = _read_manifest(root, name)
+    if m is None or "partitions" not in m:
+        return
+    drop = {str(v) for v in values}
+    m["partitions"] = {
+        k: v for k, v in m["partitions"].items() if k not in drop
+    }
+    _publish(root, name, m)
 
 
 def table_exists(root: str, name: str) -> bool:
+    if os.path.exists(_manifest_path(root, name)):
+        return True
     p = table_path(root, name)
     return os.path.isdir(p) and any(
         not f.startswith(("_", ".")) for f in os.listdir(p)

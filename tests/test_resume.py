@@ -67,6 +67,71 @@ def test_rerun_noop_and_loaded_index_queryable(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
 
 
+def test_torn_write_invisible(spark, sf_dir, tmp_path):
+    """A crash AFTER data files land but BEFORE the manifest rename must
+    leave the previous committed state fully visible and the torn files
+    invisible (the atomic-commit contract of the catalog seam)."""
+    import os
+
+    root = str(tmp_path / "idx_torn")
+    build_index_resumable(spark, sf_dir, root, n_buckets=8, wave_size=8)
+    before = decode_index(load_index(spark, root)[0].collect())
+
+    # simulate the torn write: a fresh generation dir full of data
+    # files for bucket 0, never published in the manifest
+    tp = catalog.table_path(root, "postings")
+    garbage = spark.createDataFrame(
+        [(0, "tornterm", 0, 0, 0, 1, 1, 1, 1, 1, b"x", b"y", b"z")],
+        "bucket int, term string, block_idx int, first_doc long, max_doc long, "
+        "n int, tf_max int, tf_min int, dl_min int, dl_max int, "
+        "docs binary, tfs binary, dls binary",
+    )
+    garbage.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(tp, "gen-deadbeef-torn")
+    )
+
+    after = decode_index(load_index(spark, root)[0].collect())
+    assert after == before
+    # and a subsequent build (resume) still works and stays identical
+    s = build_index_resumable(spark, sf_dir, root, n_buckets=8, wave_size=8)
+    assert s["waves_run"] == 0
+    assert decode_index(load_index(spark, root)[0].collect()) == before
+
+
+def test_content_change_same_count_rebuilds(spark, sf_dir, tmp_path):
+    """A bucket whose docs changed CONTENT while keeping the same count
+    must be detected as pending (count-only detection served stale
+    postings); untouched buckets must not rebuild."""
+    corpus = str(tmp_path / "corpus_mut")
+    idx = str(tmp_path / "idx_mut")
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full.write.mode("overwrite").parquet(corpus + "/documents.parquet")
+    build_index_resumable(spark, corpus, idx, wave_size=8, docs_per_bucket=64)
+
+    # mutate one doc's text in bucket 2 (doc range 128..191), same count
+    mutated = full.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 130, F.concat(F.col("text"), F.lit(" mutantterm")))
+        .otherwise(F.col("text")),
+    )
+    mutated.write.mode("overwrite").parquet(corpus + "/documents.parquet")
+    s = build_index_resumable(spark, corpus, idx, wave_size=8, docs_per_bucket=64)
+    assert s["waves_run"] == 1, "content change went undetected"
+
+    # rebuilt index equals a clean build of the mutated corpus
+    clean = str(tmp_path / "idx_mut_clean")
+    build_index_resumable(spark, corpus, clean, wave_size=8, docs_per_bucket=64)
+    pa, _ = load_index(spark, idx)
+    pb, _ = load_index(spark, clean)
+    assert decode_index(pa.collect()) == decode_index(pb.collect())
+    # only bucket 2 got a second committed lineage generation
+    lin = catalog.read_table(spark, idx, "lineage")
+    regen = (
+        lin.groupBy("bucket").count().filter(F.col("count") > 1).collect()
+    )
+    assert [r["bucket"] for r in regen] == [2]
+
+
 def test_incremental_growth_appends_buckets(spark, sf_dir, tmp_path):
     """Grow the corpus; only new/changed doc-range buckets rebuild, and
     the result is identical to a from-scratch build (the reference's
