@@ -331,6 +331,99 @@ bf_topk AS (
 """
 
 
+_JSD_K = 8  # clusters in the JSD-weight gate
+
+
+def _jsd_centroids():
+    """Deterministic md5-derived centroid constants (data-independent,
+    so the DuckDB twin embeds the identical values)."""
+    from pisa_spark.similarity.ann import _hyperplanes_salted
+
+    return _hyperplanes_salted(_EMB_DIM, _JSD_K, salt="jsdc")
+
+
+def _ref_jsd_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref op #41 (PISA.py:137-161): JSD between current and previous
+    snapshot cluster-affinity distributions, mean-centered + sigmoid.
+    Previous snapshot = reversed embedding (a deterministic stand-in
+    for the prior model's vectors)."""
+    from pisa_spark.operators.weights import jsd_weights
+
+    emb = _embeddings(spark, sf_dir)
+    prev = emb.select("vec_id", F.reverse("embedding").alias("embedding"))
+    out = jsd_weights(emb, prev, _jsd_centroids())
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.round("jsd", 6).alias("jsd"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+def _jsd_sql() -> str:
+    cents = _jsd_centroids()
+    cent_rows = ", ".join(
+        f"({k}, [{', '.join(repr(float(x)) for x in cents[k])}]::DOUBLE[])"
+        for k in range(_JSD_K)
+    )
+    d1, k1 = _EMB_DIM + 1, _JSD_K + 1
+
+    def affinity(src: str, name: str) -> str:
+        return f"""
+{name}_dots AS (
+  SELECT vec_id, list(dot ORDER BY k) AS dots FROM (
+    SELECT e.vec_id, c.k,
+           list_sum(list_transform(range(1, {d1}),
+                    j -> e.embedding[j]::DOUBLE * c.c[j])) AS dot
+    FROM {src} e CROSS JOIN cents c
+  ) GROUP BY vec_id
+),
+{name} AS (
+  SELECT vec_id, list_transform(es, x -> x / s) AS p FROM (
+    SELECT vec_id, es, list_sum(es) AS s FROM (
+      SELECT vec_id, list_transform(dots, d -> exp(d - mx)) AS es FROM (
+        SELECT vec_id, dots, list_max(dots) AS mx FROM {name}_dots)))
+)"""
+
+    return f"""
+WITH cents(k, c) AS (VALUES {cent_rows}),
+cur AS (SELECT vec_id, embedding FROM embeddings),
+prv AS (SELECT vec_id, list_reverse(embedding) AS embedding FROM embeddings),
+{affinity("cur", "pc")},
+{affinity("prv", "pp")},
+j AS (
+  SELECT pc.vec_id,
+         0.5 * (
+           list_sum(list_transform(range(1, {k1}), i ->
+             pp.p[i] * (ln(pp.p[i] + 1e-10)
+                        - ln((pp.p[i] + pc.p[i]) * 0.5 + 1e-10))))
+         + list_sum(list_transform(range(1, {k1}), i ->
+             pc.p[i] * (ln(pc.p[i] + 1e-10)
+                        - ln((pp.p[i] + pc.p[i]) * 0.5 + 1e-10))))
+         ) AS jsd
+  FROM pc JOIN pp ON pp.vec_id = pc.vec_id
+)
+SELECT vec_id, round(jsd, 6) AS jsd,
+       round(1.0 / (1.0 + exp(-(jsd - mu))), 6) AS weight
+FROM j CROSS JOIN (SELECT avg(jsd) AS mu FROM j)
+"""
+
+
+def _nan_guard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref op #14 (Runner.py:232-234) as a reportable validator: count
+    non-finite values per column of a probe frame that deterministically
+    contains NaNs (sqrt of a shifted value, guarded in both engines)."""
+    from pisa_spark.operators.validate import nonfinite_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    probe = ev.select(
+        F.col("value").cast("double").alias("value"),
+        F.when(F.col("value") < 50, F.lit(float("nan")))
+        .otherwise(F.sqrt(F.col("value") - 50))
+        .alias("risky"),
+    )
+    return nonfinite_counts(probe, ["value", "risky"])
+
+
 def _ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@10 of the IVF path vs exact brute force, per query."""
     emb = _embeddings(spark, sf_dir)
@@ -687,6 +780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assignment ties; the pytest NumPy-reimplementation check
         # (tests/test_kmeans_ivf.py) is the right oracle for this one
         "ann_ivf_recall": _ann_ivf_recall,
+        # --- ref #41 JSD snapshot weights + ref #14 NaN guard ---
+        "ref_jsd_weights": _ref_jsd_weights,
+        "nan_guard_report": _nan_guard_report,
         # --- text analysis ---
         "text_profiles": lambda spark, sf: doc_profile(_docs(spark, sf)),
         # --- reference-semantic snapshot/recommendation pipeline ---
@@ -990,6 +1086,24 @@ SELECT l.query_id, round(count(b.vec_id) / 10.0, 4) AS recall
 FROM lsh_topk l
 LEFT JOIN bf_topk b ON b.query_id = l.query_id AND b.vec_id = l.vec_id
 GROUP BY l.query_id
+""",
+        "ref_jsd_weights": _jsd_sql(),
+        "nan_guard_report": """
+WITH probe AS (
+  SELECT CAST(value AS DOUBLE) AS value,
+         CASE WHEN value < 50 THEN 'NaN'::DOUBLE
+              ELSE sqrt(value - 50) END AS risky
+  FROM events
+)
+SELECT 'value' AS col_name,
+       CAST(sum(CASE WHEN value IS NULL OR isnan(value) OR isinf(value)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite
+FROM probe
+UNION ALL
+SELECT 'risky',
+       CAST(sum(CASE WHEN risky IS NULL OR isnan(risky) OR isinf(risky)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM probe
 """,
         # --- text analysis ---
         "text_profiles": f"""
