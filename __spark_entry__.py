@@ -1199,6 +1199,12 @@ SELECT metric, CAST(k AS INTEGER) AS k, value FROM (
 )
 """,
         # --- multimodal plumbing ---
+        # NOTE: the engine computes over UTF-8 BYTES (np.frombuffer);
+        # this oracle iterates CHARACTERS (ascii(ch), length(text)).
+        # The two agree only because the fixture corpus is pure ASCII —
+        # a contract asserted by tests/test_multimodal_streaming.py::
+        # test_fixture_corpus_is_ascii (DuckDB exposes no per-byte blob
+        # access to write the byte-true twin).
         "media_features": """
 WITH chars AS (
   SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents

@@ -141,3 +141,19 @@ def test_streaming_stateful_sessionize_matches_batch(spark, tmp_path):
         "user_id", "event_id", F.col("session_seq").cast("long").alias("session_seq")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_fixture_corpus_is_ascii(spark):
+    """Contract the media_features oracle relies on: the engine hashes
+    UTF-8 BYTES while the DuckDB twin iterates CHARACTERS — equal only
+    while every fixture doc is pure ASCII (octet_length == char
+    length). If a multi-byte corpus ever lands, this fails before the
+    gate silently diverges."""
+    from pyspark.sql import functions as F
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        non_ascii = docs.filter(
+            F.octet_length("text") != F.length("text")
+        ).count()
+        assert non_ascii == 0, f"{sf}: {non_ascii} non-ASCII docs"
