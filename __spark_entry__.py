@@ -35,6 +35,7 @@ from pisa_spark.index.build import (  # noqa: E402
 )
 from pisa_spark.dedup.dedup import (  # noqa: E402
     embedding_near_pairs,
+    embedding_near_pairs_lsh,
     exact_duplicates,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -254,6 +255,32 @@ _SQL_COS = (
 ).format(d=_EMB_DIM + 1)
 
 
+def _planes_values(nbits: int, n_tables: int) -> str:
+    """Hyperplane constants as a VALUES list — pure functions of
+    (table, bit, component), data-independent, shared verbatim by the
+    engine and every LSH oracle twin."""
+    from pisa_spark.similarity.ann import _hyperplanes_salted
+
+    plane_rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes_salted(_EMB_DIM, nbits, salt=f"t{t}")
+        for i in range(nbits):
+            vals = ", ".join(repr(float(x)) for x in planes[i])
+            plane_rows.append(f"({t}, {i}, [{vals}]::DOUBLE[])")
+    return ", ".join(plane_rows)
+
+
+_SQL_SIGS = f"""
+sigs AS (
+  SELECT e.vec_id, pl.t,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+                        j -> e.embedding[j]::DOUBLE * pl.p[j])) > 0
+                   THEN 1 << pl.i ELSE 0 END) AS BIGINT) AS sig
+  FROM embeddings e CROSS JOIN planes pl
+  GROUP BY e.vec_id, pl.t
+)"""
+
+
 def _lsh_sql_base() -> str:
     """DuckDB twin of lsh_bucket_topk at the gate's parameters. The
     md5-derived hyperplanes are pure functions of (table, bit,
@@ -263,15 +290,7 @@ def _lsh_sql_base() -> str:
     dot products are sequential in both engines (F.aggregate and
     list_sum walk the array left to right), so the sign-of-dot
     signatures agree bit-for-bit."""
-    from pisa_spark.similarity.ann import _hyperplanes_salted
-
     qids = ", ".join(map(str, _ANN_QUERY_IDS))
-    plane_rows = []
-    for t in range(_LSH_TABLES):
-        planes = _hyperplanes_salted(_EMB_DIM, _LSH_NBITS, salt=f"t{t}")
-        for i in range(_LSH_NBITS):
-            vals = ", ".join(repr(float(x)) for x in planes[i])
-            plane_rows.append(f"({t}, {i}, [{vals}]::DOUBLE[])")
     probes = (
         [0]
         + [1 << i for i in range(_LSH_NBITS)]
@@ -283,15 +302,8 @@ def _lsh_sql_base() -> str:
     )
     probe_rows = ", ".join(f"({m})" for m in probes)
     return f"""
-WITH planes(t, i, p) AS (VALUES {", ".join(plane_rows)}),
-sigs AS (
-  SELECT e.vec_id, pl.t,
-         CAST(sum(CASE WHEN list_sum(list_transform(range(1, {_EMB_DIM + 1}),
-                        j -> e.embedding[j]::DOUBLE * pl.p[j])) > 0
-                   THEN 1 << pl.i ELSE 0 END) AS BIGINT) AS sig
-  FROM embeddings e CROSS JOIN planes pl
-  GROUP BY e.vec_id, pl.t
-),
+WITH planes(t, i, p) AS (VALUES {_planes_values(_LSH_NBITS, _LSH_TABLES)}),
+{_SQL_SIGS},
 qsigs AS (
   SELECT CAST(vec_id AS INTEGER) AS query_id, t, sig
   FROM sigs WHERE vec_id IN ({qids})
@@ -754,6 +766,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": lambda spark, sf: embedding_near_pairs(
             _embeddings(spark, sf), threshold=0.4
         ).select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine")),
+        # scale path: LSH bucket candidates -> exact cosine, one call
+        "dedup_embedding_lsh": lambda spark, sf: embedding_near_pairs_lsh(
+            _embeddings(spark, sf), threshold=0.4,
+            nbits=_LSH_NBITS, n_tables=_LSH_TABLES,
+        ).select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine")),
         # --- similarity search ---
         "ann_cosine_topk": lambda spark, sf: cosine_topk_bruteforce(
             _embeddings(spark, sf), _ann_queries(spark, sf), k=10
@@ -1086,6 +1103,28 @@ SELECT l.query_id, round(count(b.vec_id) / 10.0, 4) AS recall
 FROM lsh_topk l
 LEFT JOIN bf_topk b ON b.query_id = l.query_id AND b.vec_id = l.vec_id
 GROUP BY l.query_id
+""",
+        "dedup_embedding_lsh": f"""
+WITH planes(t, i, p) AS (VALUES {_planes_values(_LSH_NBITS, _LSH_TABLES)}),
+{_SQL_SIGS},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a
+  JOIN sigs b ON b.t = a.t AND b.sig = a.sig AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         list_sum(list_transform(range(1, {_EMB_DIM + 1}),
+                  i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(ea.embedding, v -> v::DOUBLE * v::DOUBLE)))
+            * sqrt(list_sum(list_transform(eb.embedding, v -> v::DOUBLE * v::DOUBLE))))
+           AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, round(cosine, 4) AS cosine
+FROM scored WHERE cosine >= 0.4
 """,
         "ref_jsd_weights": _jsd_sql(),
         "nan_guard_report": """

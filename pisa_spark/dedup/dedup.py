@@ -396,3 +396,60 @@ def embedding_near_pairs(
     return pairs.select(
         "vec_a", "vec_b", cosine_expr(F.col("emb_a"), F.col("emb_b")).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def embedding_near_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup pairs, wired as ONE call:
+    random-hyperplane LSH bucket candidates -> exact cosine filter.
+
+    Each vector gets n_tables independent nbits-bit signatures
+    (deterministic md5-derived hyperplanes, similarity.ann); a pair is
+    a candidate iff SOME table's signatures are equal — n_tables
+    key-equi self-joins on (table, signature), never an all-pairs
+    product. Candidates are scored exactly and filtered at
+    ``threshold``. Recall < 1 by construction (a high-cosine pair can
+    straddle hyperplanes in every table); raise n_tables / lower nbits
+    to trade cost for recall. Deterministic across engines — the DuckDB
+    gate twin recomputes the identical signatures."""
+    from pisa_spark.similarity.ann import _hyperplanes_salted, signature_col
+
+    cols = [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_emb")]
+    for t in range(n_tables):
+        planes = _hyperplanes_salted(dim, nbits, salt=f"t{t}")
+        cols.append(signature_col(F.col(vec_col), planes).alias(f"sig{t}"))
+    tagged = embeddings.select(*cols)
+    pieces = []
+    for t in range(n_tables):
+        a = tagged.select(
+            F.col("vec_id").alias("vec_a"), F.col("_emb").alias("emb_a"),
+            F.col(f"sig{t}").alias("sig"),
+        )
+        b = tagged.select(
+            F.col("vec_id").alias("vec_b"), F.col("_emb").alias("emb_b"),
+            F.col(f"sig{t}").alias("sig"),
+        )
+        pieces.append(
+            a.join(b, "sig")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "emb_a", "emb_b")
+        )
+    cand = pieces[0]
+    for p in pieces[1:]:
+        cand = cand.unionByName(p)
+    return (
+        cand.dropDuplicates(["vec_a", "vec_b"])
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_expr(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -385,6 +385,7 @@ def bm25_topk_wand(
     two_phase: bool = False,
     sample_buckets: int = 2,
     term_dfs: dict[str, int] | None = None,
+    pre_arranged: bool = False,
 ) -> DataFrame:
     """Block-max WAND top-k over the compressed index.
 
@@ -399,6 +400,13 @@ def bm25_topk_wand(
     lower bound on the global k-th score, so phase-2 pruning is exact;
     at 10^12 docs this skips decoding for the vast majority of blocks
     of head terms while only metadata (block_max_score) is scanned.
+
+    pre_arranged: the input already holds every bucket wholly inside
+    one partition (the serving layout: the catalog stores postings
+    partitioned by bucket, and parquet files below maxPartitionBytes
+    are never split) — skip the per-query repartition shuffle. REQUIRED
+    invariant: a bucket must not span partitions, or per-doc scores
+    would be summed per fragment instead of per bucket.
 
     Plan shape: scan (term-pruned: only blocks of query terms survive,
     pushed to the parquet/Iceberg scan) -> per-bucket kernel -> global
@@ -416,10 +424,13 @@ def bm25_topk_wand(
             r["term"]: int(r["df"])
             for r in pruned.groupBy("term").agg(F.sum("n").alias("df")).collect()
         }
-    # keep bucket co-location: one kernel call sees whole buckets;
-    # explicit count so AQE can't collapse the scoring stage's DOP
-    n_part = max(postings.sparkSession.sparkContext.defaultParallelism, 8)
-    arranged = pruned.repartition(n_part, "bucket")
+    if pre_arranged:
+        arranged = pruned
+    else:
+        # keep bucket co-location: one kernel call sees whole buckets;
+        # explicit count so AQE can't collapse the scoring stage's DOP
+        n_part = max(postings.sparkSession.sparkContext.defaultParallelism, 8)
+        arranged = pruned.repartition(n_part, "bucket")
     thresholds: dict[int, float] = {}
     if two_phase:
         sample = arranged.filter(F.col("bucket") < sample_buckets)

@@ -90,6 +90,19 @@ def test_dataframe_path_matches_oracle(spark, sf_dir, built, oracle):
         assert_matches(rows, oracle, subset)
 
 
+def test_pre_arranged_serving_path_matches(built, oracle):
+    """pre_arranged=True (shuffle-free serving path over bucket-
+    co-located partitions) must be rank-identical to the default path."""
+    postings, stats = built
+    arranged = postings.repartition(8, "bucket")
+    for two_phase in (False, True):
+        rows = bm25_topk_wand(
+            arranged, QUERIES, stats["n_docs"], stats["avgdl"], k=10,
+            two_phase=two_phase, pre_arranged=True,
+        ).collect()
+        assert_matches(rows, oracle, QUERIES)
+
+
 def test_mixed_idf_single_query_two_phase(built, oracle):
     """Single-query latency mode + two-phase threshold: the exact repro
     of the unsound negative-idf prune (batch mode masks it because the

@@ -110,3 +110,22 @@ def test_embedding_near_pairs_symmetric_free(spark, sf_dir):
     pairs = embedding_near_pairs(emb, threshold=0.3)
     assert pairs.filter(F.col("vec_a") >= F.col("vec_b")).count() == 0
     assert pairs.filter(F.col("cosine") < 0.3).count() == 0
+
+
+def test_embedding_lsh_pairs_subset_with_recall(spark, sf_dir):
+    """LSH-composed near-dup pairs: always a subset of the exact
+    all-pairs answer (same threshold, exact rescoring) with decent
+    recall on very-high-cosine pairs."""
+    from pisa_spark.dedup.dedup import embedding_near_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the synthetic embeddings top out near cosine ~0.6; 0.4 keeps a
+    # non-trivial exact answer (66 pairs at sf0.001)
+    exact = embedding_near_pairs(emb, threshold=0.4).cache()
+    lsh = embedding_near_pairs_lsh(emb, threshold=0.4, nbits=4, n_tables=8).cache()
+    assert lsh.join(exact, ["vec_a", "vec_b"], "left_anti").count() == 0
+    n_exact, n_lsh = exact.count(), lsh.count()
+    assert n_exact > 0
+    # 4-bit x 8-table amplification at cosine ~0.5: expected recall
+    # ~0.8; assert a conservative floor (deterministic, not flaky)
+    assert n_lsh / n_exact >= 0.3, (n_lsh, n_exact)
