@@ -121,6 +121,23 @@ def assign_doc_ids(pages: DataFrame) -> DataFrame:
     return global_positions(pages, ["url"], "doc_id")
 
 
+def build_docs_from_pages(pages: DataFrame) -> DataFrame:
+    """The corpus front door of the north rule: raw pages
+    (url, warc_ts, html, text, lang) -> dense-id documents
+    (doc_id, text, url), ready for the resumable index build.
+
+    Composition: vectorized HTML->text extraction (byte-identical per
+    url) -> two-phase deterministic doc-id assignment in url order
+    (operators/ids.py — no single-partition sort). Everything is a
+    narrow map except the one range exchange the id assignment needs.
+    """
+    extracted = with_extracted_text(pages)
+    with_ids = assign_doc_ids(extracted.select("url", "extracted"))
+    return with_ids.select(
+        "doc_id", F.col("extracted").alias("text"), "url"
+    )
+
+
 def parse_query(q: str) -> dict:
     """Parse a query string into the engine's query dict (SURVEY T12).
 

@@ -86,15 +86,20 @@ def committed_buckets(spark: SparkSession, index_root: str) -> set[int]:
 
 def build_index_resumable(
     spark: SparkSession,
-    sf_dir: str,
+    sf_dir: str | None,
     index_root: str,
     n_buckets: int = 32,
     wave_size: int = 8,
     block_size: int = BLOCK_SIZE,
     fail_after_waves: int | None = None,
     docs_per_bucket: int | None = None,
+    docs_df: DataFrame | None = None,
 ) -> dict:
     """Build (or resume, or incrementally extend) the persistent index.
+
+    Input is either ``sf_dir`` (documents.parquet inside it) or an
+    explicit ``docs_df`` with columns (doc_id, text) — e.g. the
+    extracted pages corpus from corpus.build_docs_from_pages.
 
     docs_per_bucket: when set, the bucket span is FIXED (the cluster
     design: ~1M docs per bucket at 10^12 scale) and the bucket count
@@ -122,8 +127,9 @@ def build_index_resumable(
 
     Returns summary metrics {docs, postings, waves_run, buckets_done}.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = docs.select(
+    if docs_df is None:
+        docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs_df.select(
         "doc_id",
         tokens_col(F.col("text")).alias("tokens"),
         # per-doc content fingerprint rides along so bucket-change

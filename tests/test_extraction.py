@@ -52,3 +52,37 @@ def test_parse_query():
     assert parse_query("+data +join") == {"terms": ["data", "join"], "conjunctive": True}
     assert parse_query("Data, JOIN!") == {"terms": ["data", "join"], "conjunctive": False}
     assert parse_query("") == {"terms": [], "conjunctive": False}
+
+
+def test_pages_to_index_end_to_end(spark, sf_dir, tmp_path):
+    """North-rule front door: raw pages -> extraction -> dense ids ->
+    resumable index. Scores must equal the documents-driven build
+    (doc ids live in url order, so compare score multisets per query,
+    which are id-space independent)."""
+    from pisa_spark.corpus import build_docs_from_pages, pages_from_documents
+    from pisa_spark.index.lineage import build_index_resumable, load_index
+    from pisa_spark.query.bm25 import bm25_topk_wand
+
+    pages = pages_from_documents(spark, sf_dir)
+    docs = build_docs_from_pages(pages)
+    root = str(tmp_path / "idx_pages")
+    s = build_index_resumable(
+        spark, None, root, n_buckets=8, wave_size=8, docs_df=docs
+    )
+    assert s["docs"] == 500
+
+    postings, stats = load_index(spark, root)
+    q = [{"query_id": 0, "terms": ["data", "join"], "conjunctive": False}]
+    got = bm25_topk_wand(
+        postings, q, stats["n_docs"], stats["avgdl"], k=10
+    ).collect()
+
+    from pisa_spark.index.build import build_index_dataframes
+
+    mem_postings, _, _, mem_stats = build_index_dataframes(spark, sf_dir, n_buckets=8)
+    expect = bm25_topk_wand(
+        mem_postings, q, mem_stats["n_docs"], mem_stats["avgdl"], k=10
+    ).collect()
+    assert sorted(round(r["score"], 6) for r in got) == sorted(
+        round(r["score"], 6) for r in expect
+    )
