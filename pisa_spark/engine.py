@@ -1,0 +1,109 @@
+"""User-facing facade: build, load, and query a persistent BM25 index.
+
+The reference user's whole workflow (build corpus snapshots, then ask
+top-k queries — /root/reference/src/main.py) in three calls:
+
+    eng = SearchEngine.build(spark, "/data/corpus", "/data/index")
+    eng = SearchEngine.load(spark, "/data/index")       # later sessions
+    eng.search("data +join", k=10).show()               # parse -> WAND
+
+``search`` accepts the reference-style query string (whitespace terms,
+'+' anywhere makes the query conjunctive — corpus.parse_query) or a
+prebuilt {terms, conjunctive} dict. Loaded indexes serve shuffle-free:
+postings are re-arranged bucket-co-located once and cached, so each
+query is a term-pruned scan + per-bucket WAND kernel + k-row merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pisa_spark.corpus import parse_query
+from pisa_spark.index.lineage import build_index_resumable, load_index
+from pisa_spark.query.bm25 import bm25_topk_wand
+
+
+class SearchEngine:
+    def __init__(
+        self, spark: SparkSession, postings: DataFrame, stats: dict,
+        pre_arranged: bool = False,
+    ):
+        self.spark = spark
+        self.postings = postings
+        self.stats = stats
+        self._pre_arranged = pre_arranged
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        corpus_dir: str,
+        index_root: str,
+        docs_df: DataFrame | None = None,
+        **build_kwargs,
+    ) -> "SearchEngine":
+        """Build (or resume/extend) the persistent index, then load it.
+        corpus_dir holds documents.parquet; pass docs_df instead for a
+        pages-derived corpus (corpus.build_docs_from_pages)."""
+        build_index_resumable(
+            spark, corpus_dir, index_root, docs_df=docs_df, **build_kwargs
+        )
+        return cls.load(spark, index_root)
+
+    @classmethod
+    def load(cls, spark: SparkSession, index_root: str) -> "SearchEngine":
+        """Load the serving index: bucket-co-located, cached."""
+        postings, stats = load_index(spark, index_root)
+        n_part = max(spark.sparkContext.defaultParallelism, 8)
+        arranged = postings.repartition(n_part, "bucket").cache()
+        return cls(spark, arranged, stats, pre_arranged=True)
+
+    # -- querying ----------------------------------------------------------
+
+    def _normalize(self, queries) -> list[dict]:
+        out = []
+        for i, q in enumerate(queries):
+            if isinstance(q, str):
+                q = parse_query(q)
+            out.append(
+                {
+                    "query_id": q.get("query_id", i),
+                    "terms": q["terms"],
+                    "conjunctive": q.get("conjunctive", False),
+                }
+            )
+        return out
+
+    def search(self, query, k: int = 10, two_phase: bool = True) -> DataFrame:
+        """One query (string or dict) -> (query_id, rank, doc_id, score)."""
+        return self.search_batch([query], k=k, two_phase=two_phase)
+
+    def search_batch(
+        self, queries, k: int = 10, two_phase: bool = False
+    ) -> DataFrame:
+        """Batch of queries in one pass (shared per-term decode)."""
+        return bm25_topk_wand(
+            self.postings,
+            self._normalize(queries),
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            k=k,
+            two_phase=two_phase,
+            pre_arranged=self._pre_arranged,
+        )
+
+    # -- metadata ----------------------------------------------------------
+
+    def corpus_stats(self) -> dict:
+        return dict(self.stats)
+
+    def term_stats(self, terms: list[str]) -> DataFrame:
+        """(term, df) for the given terms, from block metadata."""
+        return (
+            self.postings.filter(F.col("term").isin(list(terms)))
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+        )

@@ -1,0 +1,46 @@
+"""SearchEngine facade: build/load/search parity with the direct API."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pisa_spark.engine import SearchEngine
+from tests.oracle import Bm25Oracle
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("engine") / "idx")
+    return SearchEngine.build(spark, sf_dir, root, n_buckets=8, wave_size=8)
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    return Bm25Oracle(sf_dir)
+
+
+def test_search_string_queries(eng, oracle):
+    rows = eng.search("data join", k=10).collect()
+    expect = oracle.topk(["data", "join"], k=10)
+    assert [(r["rank"], r["doc_id"]) for r in sorted(rows, key=lambda r: r["rank"])] \
+        == [(r, d) for r, d, _ in expect]
+    # '+' makes it conjunctive
+    rows_and = eng.search("+window merge scan", k=10).collect()
+    expect_and = oracle.topk(["window", "merge", "scan"], k=10, conjunctive=True)
+    assert [(r["rank"], r["doc_id"]) for r in sorted(rows_and, key=lambda r: r["rank"])] \
+        == [(r, d) for r, d, _ in expect_and]
+
+
+def test_search_batch(eng, oracle):
+    got = eng.search_batch(["data join", "the"], k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    assert sorted(by_q[0]) == [(r, d) for r, d, _ in oracle.topk(["data", "join"], k=5)]
+    assert sorted(by_q[1]) == [(r, d) for r, d, _ in oracle.topk(["the"], k=5)]
+
+
+def test_load_and_metadata(spark, eng, sf_dir, tmp_path_factory):
+    stats = eng.corpus_stats()
+    assert stats["n_docs"] == 500 and stats["avgdl"] > 0
+    ts = {r["term"]: r["df"] for r in eng.term_stats(["data", "zzz"]).collect()}
+    assert ts.get("data", 0) > 0 and "zzz" not in ts
