@@ -139,6 +139,53 @@ def streaming_sessionize(events: DataFrame, gap_minutes: float = 30.0) -> DataFr
     )
 
 
+def stream_index_ingest(
+    docs_stream: DataFrame,
+    corpus_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    docs_per_bucket: int = 64,
+    wave_size: int = 8,
+):
+    """Streaming front of the resumable index build (the T18 spine made
+    literal): each micro-batch of documents (doc_id, text) is appended
+    to the staging corpus snapshot, then the incremental build runs —
+    the per-bucket content fingerprints make it rebuild ONLY the
+    doc-range buckets the batch touched (new ranges + at most one
+    boundary bucket), committing waves + lineage exactly like the batch
+    path, with manifest-atomic visibility.
+
+    foreachBatch is the right hook: the inner build is a batch job, so
+    the whole existing lineage/resume machinery composes unchanged; a
+    crash between corpus append and build is healed by the next batch
+    (or a manual build) because pending-bucket detection is stateless.
+    Returns the started StreamingQuery (availableNow trigger — drains
+    what's there and stops; swap the trigger for continuous ingest).
+    """
+    from pisa_spark.index.lineage import build_index_resumable
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.select("doc_id", "text").write.mode("append").parquet(
+            f"{corpus_dir}/documents.parquet"
+        )
+        build_index_resumable(
+            batch_df.sparkSession,
+            corpus_dir,
+            index_root,
+            wave_size=wave_size,
+            docs_per_bucket=docs_per_bucket,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -157,3 +157,53 @@ def test_fixture_corpus_is_ascii(spark):
             F.octet_length("text") != F.length("text")
         ).count()
         assert non_ascii == 0, f"{sf}: {non_ascii} non-ASCII docs"
+
+
+def test_stream_index_ingest_matches_clean_build(spark, sf_dir, tmp_path):
+    """Documents arriving as a stream of drops build, micro-batch by
+    micro-batch, an index identical to a clean batch build of the full
+    corpus — the streaming spine of the resumable build."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pisa_spark.index.lineage import build_index_resumable, load_index
+    from pisa_spark.sources import catalog
+    from pisa_spark.streaming.ingest import stream_index_ingest
+    from tests.test_index_build import decode_index
+
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    drops = str(tmp_path / "drops")
+    corpus = str(tmp_path / "corpus_stream")
+    idx = str(tmp_path / "idx_stream")
+    ckpt = str(tmp_path / "ckpt")
+    os_dirs = [(0, 200), (200, 400), (400, 500)]
+    import os
+
+    os.makedirs(drops, exist_ok=True)
+    for i, (lo, hi) in enumerate(os_dirs):
+        tmp_out = str(tmp_path / f"tmp_drop{i}")
+        full.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select("doc_id", "text").coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(tmp_out + "/part-*.parquet")[0]
+        shutil.copy(part, f"{drops}/drop{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    q = stream_index_ingest(stream, corpus, idx, ckpt, docs_per_bucket=64)
+    q.awaitTermination()
+
+    clean = str(tmp_path / "idx_clean_stream")
+    build_index_resumable(spark, sf_dir, clean, wave_size=8, docs_per_bucket=64)
+    pa, stats_a = load_index(spark, idx)
+    pb, stats_b = load_index(spark, clean)
+    assert decode_index(pa.collect()) == decode_index(pb.collect())
+    assert stats_a == stats_b
+    # lineage shows multiple generations only for boundary buckets
+    lin = catalog.read_table(spark, idx, "lineage")
+    assert lin.filter(F.col("status") == "committed").count() >= 8
