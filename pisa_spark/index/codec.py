@@ -101,6 +101,48 @@ def delta_decode_docids(data: bytes) -> np.ndarray:
     return np.cumsum(deltas)
 
 
+def bitpack_encode(values: np.ndarray) -> bytes:
+    """SIMD-BP128-style binary packing: the whole block packs at ONE bit
+    width b = max bitlength (header byte), values laid LSB-first into a
+    contiguous little-endian bit stream. Fully vectorized: bit matrix ->
+    np.packbits; no per-integer Python.
+
+    Wire format: [width:1B][count:4B LE][packed bits]. Compared to
+    varint this wins on dense uniform blocks (posting deltas inside one
+    doc-range bucket) and supports O(1) random access at a fixed width;
+    varint wins on skewed magnitude mixes. The index's wire format
+    stays varint (blocks concatenate losslessly there — see
+    _decode_blocks_vectorized); this codec is the drop-in alternative
+    for fixed-width payload experiments.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    width = int(v.max()).bit_length()
+    header = bytes([width]) + int(n).to_bytes(4, "little")
+    if width == 0:
+        return header
+    bits = ((v[:, None] >> np.arange(width, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.uint8
+    )
+    return header + np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def bitpack_decode(data: bytes) -> np.ndarray:
+    """Inverse of :func:`bitpack_encode` -> uint64 array."""
+    if len(data) == 0:
+        return np.empty(0, dtype=np.uint64)
+    width = data[0]
+    n = int.from_bytes(data[1:5], "little")
+    if width == 0:
+        return np.zeros(n, dtype=np.uint64)
+    raw = np.frombuffer(data, dtype=np.uint8, offset=5)
+    bits = np.unpackbits(raw, bitorder="little", count=n * width).reshape(n, width)
+    weights = (np.uint64(1) << np.arange(width, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+
+
 def encode_payload(values: np.ndarray, minus_one: bool = False) -> bytes:
     """Varint-encode a parallel payload column (tf or doc_len).
 
