@@ -57,6 +57,18 @@ def main() -> None:
         "negative_samples plan regressed to a cross product"
     )
 
+    from pisa_spark.corpus import pages_from_documents
+    from pisa_spark.operators.ids import global_positions
+
+    pages = pages_from_documents(spark, sf).select("url", "lang")
+    ids_plan = fmt(global_positions(pages, ["url"], "doc_id"))
+    assert "rangepartitioning" in ids_plan.lower(), (
+        "id assignment lost its range exchange"
+    )
+    assert "singlepartition" not in ids_plan.lower(), (
+        "id assignment regressed to a single-partition sort"
+    )
+
     out = f"""# PLANS — physical plan evidence (.explain("formatted"), real output)
 
 Regenerate with `python scripts/dump_plans.py`. What to check, per plan:
@@ -104,6 +116,19 @@ file.
 
 ```
 {neg_plan}
+```
+
+## 5. Two-phase dense-id assignment (no single-partition sort)
+
+Look for: `Exchange rangepartitioning(url ...)` (the range exchange
+totally orders partitions) feeding `Sort` + `MapInPandas` — and NO
+`Exchange SinglePartition` anywhere, which is what a global
+`row_number()` Window would have planned (one task holding the whole
+corpus). The dump script asserts both properties before writing this
+file.
+
+```
+{ids_plan}
 ```
 """
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
