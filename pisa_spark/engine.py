@@ -54,11 +54,19 @@ class SearchEngine:
         return cls.load(spark, index_root)
 
     @classmethod
-    def load(cls, spark: SparkSession, index_root: str) -> "SearchEngine":
-        """Load the serving index: bucket-co-located, cached."""
+    def load(
+        cls, spark: SparkSession, index_root: str, cache: bool = True
+    ) -> "SearchEngine":
+        """Load the serving index bucket-co-located. cache=True pins it
+        in executor memory (right when the working set fits — e.g. one
+        shard of a sharded deployment); cache=False leaves queries as
+        term-pruned scans straight off the catalog files, the mode for
+        an index far bigger than cluster memory."""
         postings, stats = load_index(spark, index_root)
         n_part = max(spark.sparkContext.defaultParallelism, 8)
-        arranged = postings.repartition(n_part, "bucket").cache()
+        arranged = postings.repartition(n_part, "bucket")
+        if cache:
+            arranged = arranged.cache()
         return cls(spark, arranged, stats, pre_arranged=True)
 
     # -- querying ----------------------------------------------------------

@@ -116,6 +116,24 @@ def test_mixed_idf_single_query_two_phase(built, oracle):
         assert_matches(rows, oracle, q)
 
 
+def test_precomputed_term_dfs_matches(built, oracle):
+    """term_dfs passed from a precollected stats table (the bench/
+    serving path) must not change any ranking."""
+    from pisa_spark.index.build import term_document_frequency, term_frequencies
+    from pisa_spark.corpus import tokenize_documents
+
+    postings, stats = built
+    tf = term_frequencies(tokenize_documents(postings.sparkSession,
+                                             "/root/testdata/sf0.001"))
+    dfs = {r["term"]: int(r["df"])
+           for r in term_document_frequency(tf).collect()}
+    rows = bm25_topk_wand(
+        postings, QUERIES, stats["n_docs"], stats["avgdl"], k=10,
+        two_phase=True, term_dfs=dfs,
+    ).collect()
+    assert_matches(rows, oracle, QUERIES)
+
+
 def test_k100(built, oracle):
     postings, stats = built
     q = [{"query_id": 0, "terms": ["data", "join"], "conjunctive": False}]
