@@ -103,6 +103,34 @@ class SearchEngine:
             pre_arranged=self._pre_arranged,
         )
 
+    # -- document fetch (forward index) ------------------------------------
+
+    def with_corpus(self, corpus_dir: str) -> "SearchEngine":
+        """Attach the corpus snapshot as the doc store (the forward
+        index): search results can then be joined back to text."""
+        self._corpus_dir = corpus_dir
+        return self
+
+    def fetch_docs(self, doc_ids: list[int]) -> DataFrame:
+        """(doc_id, text) for the given ids — an IN filter that reaches
+        the parquet scan (PushedFilters), no full corpus read."""
+        docs = self.spark.read.parquet(f"{self._corpus_dir}/documents.parquet")
+        return docs.select("doc_id", "text").filter(
+            F.col("doc_id").isin([int(i) for i in doc_ids])
+        )
+
+    def search_with_docs(self, query, k: int = 10) -> DataFrame:
+        """search() plus the matching document text — top-k ids are tiny,
+        so the doc join is a broadcast of k rows against the id-pruned
+        corpus scan."""
+        hits = self.search(query, k=k)
+        docs = self.spark.read.parquet(
+            f"{self._corpus_dir}/documents.parquet"
+        ).select("doc_id", "text")
+        return F.broadcast(hits).join(docs, "doc_id").select(
+            "query_id", "rank", "doc_id", "score", "text"
+        )
+
     # -- metadata ----------------------------------------------------------
 
     def corpus_stats(self) -> dict:

@@ -39,6 +39,21 @@ def test_search_batch(eng, oracle):
     assert sorted(by_q[1]) == [(r, d) for r, d, _ in oracle.topk(["the"], k=5)]
 
 
+def test_search_with_docs(eng, sf_dir, spark):
+    eng.with_corpus(sf_dir)
+    rows = eng.search_with_docs("data join", k=5).collect()
+    assert len(rows) == 5
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in rows:
+        assert r["text"] == texts[r["doc_id"]]
+    ids = [r["doc_id"] for r in rows]
+    fetched = eng.fetch_docs(ids).collect()
+    assert sorted(r["doc_id"] for r in fetched) == sorted(ids)
+
+
 def test_load_and_metadata(spark, eng, sf_dir, tmp_path_factory):
     stats = eng.corpus_stats()
     assert stats["n_docs"] == 500 and stats["avgdl"] > 0

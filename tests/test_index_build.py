@@ -140,3 +140,38 @@ def test_empty_and_single_token_docs(spark):
         int(row[0]), float(row[1]), k=10,
     ).collect()
     assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == [2, 3]
+
+
+def test_head_term_skew_bounded_per_task(spark):
+    """T8 skew evidence: a stop-word occurring in EVERY doc never
+    concentrates in one (bucket, term) group — doc-range bucketing
+    splits its postings structurally, so the largest group (= the unit
+    one task's collect must hold) is bounded by the bucket span, not
+    the term's document frequency."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pisa_spark.index.build import build_postings
+
+    n_docs = 4000
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("everywhere filler"), (F.col("id") % 7).cast("string")).alias("text"),
+    )
+    from pisa_spark.corpus import tokens_col
+
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    n_buckets = 16
+    blocks = build_postings(
+        toks, n_docs, 2.0, n_buckets=n_buckets, max_doc_id=n_docs - 1
+    ).toPandas()
+    head = blocks[blocks["term"] == "everywhere"]
+    per_bucket = head.groupby("bucket")["n"].sum()
+    # the head term (df == n_docs) is split across ALL buckets...
+    assert len(per_bucket) == n_buckets
+    # ...and no bucket holds more than the bucket span
+    assert per_bucket.max() <= -(-n_docs // n_buckets)
+    # global df is still exactly recoverable from block metadata
+    assert head["n"].sum() == n_docs
