@@ -26,7 +26,6 @@ by conjunctive filtering (/root/reference/src/Inference.py:233-238).
 
 from __future__ import annotations
 
-import heapq
 from typing import Iterator
 
 import numpy as np

@@ -148,7 +148,6 @@ def test_head_term_skew_bounded_per_task(spark):
     splits its postings structurally, so the largest group (= the unit
     one task's collect must hold) is bounded by the bucket span, not
     the term's document frequency."""
-    import pandas as pd
     from pyspark.sql import functions as F
 
     from pisa_spark.index.build import build_postings
