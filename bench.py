@@ -66,18 +66,26 @@ def main() -> None:
     postings, _, _, stats = build_index_dataframes(spark, sf_dir, n_buckets=32)
     n_part = max(spark.sparkContext.defaultParallelism, 8)
     postings = postings.repartition(n_part, "bucket").cache()
-    agg = postings.agg(
-        F.sum("n").alias("postings"),
-        F.count(F.lit(1)).alias("blocks"),
-        (
-            F.sum(F.octet_length("docs"))
-            + F.sum(F.octet_length("tfs"))
-            + F.sum(F.octet_length("dls"))
-        ).alias("payload_bytes"),
-    ).collect()[0]
-    term_dfs = {
-        r["term"]: int(r["df"])
-        for r in postings.groupBy("term").agg(F.sum("n").alias("df")).collect()
+    # ONE job materializes the cache and yields both the per-term stats
+    # (the df side table) and, summed driver-side, the global counters
+    per_term = (
+        postings.groupBy("term")
+        .agg(
+            F.sum("n").alias("df"),
+            F.count(F.lit(1)).alias("blocks"),
+            (
+                F.sum(F.octet_length("docs"))
+                + F.sum(F.octet_length("tfs"))
+                + F.sum(F.octet_length("dls"))
+            ).alias("payload_bytes"),
+        )
+        .collect()
+    )
+    term_dfs = {r["term"]: int(r["df"]) for r in per_term}
+    agg = {
+        "postings": sum(r["df"] for r in per_term),
+        "blocks": sum(r["blocks"] for r in per_term),
+        "payload_bytes": sum(r["payload_bytes"] for r in per_term),
     }
     t_build = time.perf_counter() - t0
     timings["index_build"] = round(t_build, 4)
