@@ -33,6 +33,7 @@ class SearchEngine:
         self.postings = postings
         self.stats = stats
         self._pre_arranged = pre_arranged
+        self._corpus_dir: str | None = None
 
     # -- construction ------------------------------------------------------
 
@@ -111,10 +112,17 @@ class SearchEngine:
         self._corpus_dir = corpus_dir
         return self
 
+    def _corpus(self) -> str:
+        if self._corpus_dir is None:
+            raise ValueError(
+                "no doc store attached — call with_corpus(corpus_dir) first"
+            )
+        return self._corpus_dir
+
     def fetch_docs(self, doc_ids: list[int]) -> DataFrame:
         """(doc_id, text) for the given ids — an IN filter that reaches
         the parquet scan (PushedFilters), no full corpus read."""
-        docs = self.spark.read.parquet(f"{self._corpus_dir}/documents.parquet")
+        docs = self.spark.read.parquet(f"{self._corpus()}/documents.parquet")
         return docs.select("doc_id", "text").filter(
             F.col("doc_id").isin([int(i) for i in doc_ids])
         )
@@ -125,7 +133,7 @@ class SearchEngine:
         corpus scan."""
         hits = self.search(query, k=k)
         docs = self.spark.read.parquet(
-            f"{self._corpus_dir}/documents.parquet"
+            f"{self._corpus()}/documents.parquet"
         ).select("doc_id", "text")
         return F.broadcast(hits).join(docs, "doc_id").select(
             "query_id", "rank", "doc_id", "score", "text"

@@ -118,9 +118,15 @@ def build_index_resumable(
     detection would silently serve stale postings for a bucket whose
     docs changed content while keeping the same count. Crash resume and
     incremental growth fall out of the same rule; dynamic partition
-    overwrite makes per-bucket rebuild idempotent. corpus_stats is
-    written only AFTER the last wave commits, so a crashed incremental
-    run leaves the previous consistent (stats, buckets) pair in place.
+    overwrite makes per-bucket rebuild idempotent.
+
+    Commit ordering: waves publish bucket content as they complete (the
+    wave is the atomicity unit — a half-upgraded index IS readable, by
+    design, since blocks carry no stats-dependent values); corpus_stats
+    commits only AFTER the last wave, so global stats never run AHEAD
+    of data. A reader of a mid-upgrade index scores new+old buckets
+    with the previous (still mutually consistent) n_docs/avgdl — a
+    bounded-staleness snapshot, never a torn one.
 
     fail_after_waves: test hook — raise after N waves to simulate a
     mid-build crash (the kill/rerun test of SURVEY §5.2 item 4).

@@ -46,11 +46,15 @@ def global_positions(
     order of ``order_cols`` (which must uniquely identify rows — ties
     would make the rank, and therefore the ids, ill-defined).
 
-    The range-partitioned sorted intermediate stays persisted
+    The range-partitioned sorted intermediate is persisted
     (MEMORY_AND_DISK) because phases 2 and 3 must observe the same
-    physical partition layout; at cluster scale the equivalent is
+    physical partition layout; the RESULT is then localCheckpointed
+    (eager) and the intermediate unpersisted before returning, so one
+    call pins exactly one copy — the id'd output — and the Context
+    Cleaner releases it on GC. At cluster scale the equivalent is
     writing the sorted snapshot to the catalog once and assigning ids
-    off that immutable copy.
+    off that immutable copy (localCheckpoint is not resilient to
+    executor loss).
     """
     spark = df.sparkSession
     if n_partitions is None:
@@ -91,6 +95,10 @@ def global_positions(
             seen += n
             yield pdf
 
-    return arranged.withColumn("__pid", F.spark_partition_id()).mapInPandas(
-        add_ids, schema=out_schema
+    out = (
+        arranged.withColumn("__pid", F.spark_partition_id())
+        .mapInPandas(add_ids, schema=out_schema)
+        .localCheckpoint(eager=True)
     )
+    arranged.unpersist()
+    return out

@@ -21,7 +21,9 @@ def nonfinite_counts(df: DataFrame, cols: list[str]) -> DataFrame:
     aggregation pass over the input (no per-column jobs)."""
     agg = df.agg(
         *[
-            F.sum(_nonfinite(c).cast("long")).alias(c)
+            # coalesce: SUM over zero rows is NULL; an empty frame is
+            # vacuously finite, not an error
+            F.coalesce(F.sum(_nonfinite(c).cast("long")), F.lit(0)).alias(c)
             for c in cols
         ]
     )

@@ -79,8 +79,12 @@ def write_table(
     partitions present in df are repointed, others keep their old
     generation. mode='overwrite' without partition_by: the whole table
     repoints to the new generation. mode='append': the new generation
-    joins the live dir list.
+    joins the live dir list (unpartitioned tables only).
     """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"catalog supports overwrite/append, not {mode!r}")
+    if partition_by and mode == "append":
+        raise ValueError("append to a partitioned table is not supported")
     tp = table_path(root, name)
     os.makedirs(tp, exist_ok=True)
     gen = f"gen-{time.time_ns():x}-{uuid.uuid4().hex[:8]}"
@@ -99,11 +103,8 @@ def write_table(
         for d in os.listdir(gen_path):
             if d.startswith(f"{pcol}="):
                 new_parts[d.split("=", 1)[1]] = f"{gen}/{d}"
-        if mode == "overwrite":
-            parts = dict((old or {}).get("partitions", {}))
-            parts.update(new_parts)
-        elif mode == "append":
-            raise ValueError("append to a partitioned table is not supported")
+        parts = dict((old or {}).get("partitions", {}))
+        parts.update(new_parts)
         _publish(root, name, {"partition_col": pcol, "partitions": parts})
     else:
         if mode == "append" and old is not None:
@@ -113,12 +114,28 @@ def write_table(
         _publish(root, name, {"dirs": dirs})
 
 
+def _legacy_files(tp: str) -> bool:
+    """True iff the dir holds plain parquet files written OUTSIDE the
+    manifest protocol (pre-manifest layout). Unpublished ``gen-*`` dirs
+    do NOT count — a torn first write must stay invisible."""
+    if not os.path.isdir(tp):
+        return False
+    return any(
+        not f.startswith(("gen-", "_", ".")) for f in os.listdir(tp)
+    )
+
+
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     m = _read_manifest(root, name)
     tp = table_path(root, name)
     if m is None:
-        # legacy/no-manifest directory: plain parquet read
-        return spark.read.parquet(tp)
+        if _legacy_files(tp):
+            # legacy/no-manifest directory: plain parquet read
+            return spark.read.parquet(tp)
+        raise FileNotFoundError(
+            f"table {name} has no published manifest (a torn first write"
+            " is invisible by design)"
+        )
     if "partitions" in m:
         # group live partitions by generation so each read keeps its
         # basePath (partition column inferred from the dir name)
@@ -155,7 +172,4 @@ def delete_partitions(root: str, name: str, values: list) -> None:
 def table_exists(root: str, name: str) -> bool:
     if os.path.exists(_manifest_path(root, name)):
         return True
-    p = table_path(root, name)
-    return os.path.isdir(p) and any(
-        not f.startswith(("_", ".")) for f in os.listdir(p)
-    )
+    return _legacy_files(table_path(root, name))

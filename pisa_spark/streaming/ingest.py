@@ -159,17 +159,28 @@ def stream_index_ingest(
     the whole existing lineage/resume machinery composes unchanged; a
     crash between corpus append and build is healed by the next batch
     (or a manual build) because pending-bucket detection is stateless.
-    Returns the started StreamingQuery (availableNow trigger — drains
-    what's there and stops; swap the trigger for continuous ingest).
+    foreachBatch is AT-LEAST-ONCE, so the corpus append must be
+    idempotent: a replayed micro-batch is anti-joined against already-
+    ingested doc_ids before appending (append-only contract — a replay
+    can never re-add or mutate an existing doc). Returns the started
+    StreamingQuery (availableNow trigger — drains what's there and
+    stops; swap the trigger for continuous ingest).
     """
+    import os
+
     from pisa_spark.index.lineage import build_index_resumable
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_df.select("doc_id", "text").write.mode("append").parquet(
-            f"{corpus_dir}/documents.parquet"
-        )
+        out = f"{corpus_dir}/documents.parquet"
+        new = batch_df.select("doc_id", "text")
+        if os.path.isdir(out):
+            existing = batch_df.sparkSession.read.parquet(out).select("doc_id")
+            new = new.join(existing, "doc_id", "left_anti")
+        if new.isEmpty():
+            return  # pure replay — corpus and index already reflect it
+        new.write.mode("append").parquet(out)
         build_index_resumable(
             batch_df.sparkSession,
             corpus_dir,

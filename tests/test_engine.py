@@ -59,3 +59,13 @@ def test_load_and_metadata(spark, eng, sf_dir, tmp_path_factory):
     assert stats["n_docs"] == 500 and stats["avgdl"] > 0
     ts = {r["term"]: r["df"] for r in eng.term_stats(["data", "zzz"]).collect()}
     assert ts.get("data", 0) > 0 and "zzz" not in ts
+
+
+def test_missing_corpus_raises_clearly(eng):
+    import pytest as _pytest
+
+    from pisa_spark.engine import SearchEngine
+
+    fresh = SearchEngine(eng.spark, eng.postings, eng.stats, pre_arranged=True)
+    with _pytest.raises(ValueError, match="with_corpus"):
+        fresh.fetch_docs([1, 2])

@@ -174,3 +174,69 @@ def test_incremental_growth_appends_buckets(spark, sf_dir, tmp_path):
         mem_postings, q, mem_stats["n_docs"], mem_stats["avgdl"], k=10
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+
+
+def test_torn_first_write_invisible(spark, tmp_path):
+    """A torn FIRST write (generation dir exists, manifest never
+    published) must read as 'no table', not as the torn data."""
+    import os
+
+    import pytest as _pytest
+
+    root = str(tmp_path / "idx_first_torn")
+    tp = catalog.table_path(root, "postings")
+    garbage = spark.createDataFrame([(1, "x")], "a int, b string")
+    garbage.write.parquet(os.path.join(tp, "gen-torn-first"))
+    assert not catalog.table_exists(root, "postings")
+    with _pytest.raises(FileNotFoundError):
+        catalog.read_table(spark, root, "postings")
+
+
+def test_catalog_rejects_unknown_modes(spark, tmp_path):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], "a int")
+    with _pytest.raises(ValueError):
+        catalog.write_table(df, str(tmp_path), "t", mode="error")
+    with _pytest.raises(ValueError):
+        catalog.write_table(
+            df, str(tmp_path), "t", partition_by=["a"], mode="append"
+        )
+    # nothing was published by the failed calls
+    assert not catalog.table_exists(str(tmp_path), "t")
+
+
+def test_streaming_replay_does_not_duplicate(spark, sf_dir, tmp_path):
+    """At-least-once delivery: re-streaming the SAME drops through a
+    fresh checkpoint (the worst-case replay) must leave corpus and
+    index unchanged — the ingest anti-join makes appends idempotent."""
+    import glob
+    import os
+    import shutil
+
+    from pisa_spark.streaming.ingest import stream_index_ingest
+
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    drops = str(tmp_path / "drops_r")
+    corpus = str(tmp_path / "corpus_r")
+    idx = str(tmp_path / "idx_r")
+    os.makedirs(drops, exist_ok=True)
+    tmp_out = str(tmp_path / "tmp_drop_r")
+    full.select("doc_id", "text").coalesce(1).write.parquet(tmp_out)
+    shutil.copy(glob.glob(tmp_out + "/part-*.parquet")[0], f"{drops}/d.parquet")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops)
+        )
+        q = stream_index_ingest(stream, corpus, idx, ckpt, docs_per_bucket=64)
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    before = decode_index(load_index(spark, idx)[0].collect())
+    n_before = spark.read.parquet(f"{corpus}/documents.parquet").count()
+    run(str(tmp_path / "ck2"))  # fresh checkpoint = full replay
+    assert spark.read.parquet(f"{corpus}/documents.parquet").count() == n_before
+    assert decode_index(load_index(spark, idx)[0].collect()) == before

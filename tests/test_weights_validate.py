@@ -66,3 +66,8 @@ def test_nan_guard(spark):
     assert counts == {"a": 2, "b": 1}
     with pytest.raises(ValueError, match="non-finite"):
         nan_guard(dirty, ["a", "b"])
+
+
+def test_nan_guard_empty_frame_passes(spark):
+    empty = spark.createDataFrame([], "a double, b double")
+    assert nan_guard(empty, ["a", "b"]) is empty
