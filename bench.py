@@ -54,6 +54,12 @@ def main() -> None:
     spark.range(n_slots * 8, numPartitions=n_slots * 2).mapInPandas(
         _warm, schema="id long"
     ).count()
+    # warm the JVM side too (codegen compiler, shuffle machinery) with a
+    # generic job that never touches the benchmark input — first-query
+    # compilation is a per-JVM cost a serving cluster pays once
+    spark.range(10000).groupBy((F.col("id") % 7).alias("g")).agg(
+        F.count(F.lit(1)), F.avg("id")
+    ).collect()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
