@@ -47,7 +47,10 @@ from pisa_spark.functions.multimodal import (  # noqa: E402
     extract_media_features,
     media_from_documents,
 )
-from pisa_spark.functions.text import doc_profile  # noqa: E402
+from pisa_spark.functions.text import (  # noqa: E402
+    doc_profile,
+    winnowing_fingerprints,
+)
 from pisa_spark.operators.graph import (  # noqa: E402
     negative_samples,
     normalized_edges,
@@ -802,6 +805,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nan_guard_report": _nan_guard_report,
         # --- text analysis ---
         "text_profiles": lambda spark, sf: doc_profile(_docs(spark, sf)),
+        # rolling-hash winnowing fingerprints (k-gram hash, window-min)
+        "text_winnowing": lambda spark, sf: winnowing_fingerprints(
+            _docs(spark, sf), k=5, w=4
+        ),
         # --- reference-semantic snapshot/recommendation pipeline ---
         "ref_split_counts": lambda spark, sf: _ref_blocks(spark, sf)
         .groupBy("snapshot_idx", "block_type")
@@ -1181,6 +1188,33 @@ SELECT doc_id,
        , 6) AS quality,
        md5(array_to_string(tokens, ' ')) AS fingerprint
 FROM hits
+""",
+        "text_winnowing": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, len(tokens) - 4 + 1),
+                        i -> array_to_string(tokens[i:i+4], ' ')) AS gs
+  FROM toks WHERE len(tokens) >= 8
+),
+hashes AS (
+  SELECT doc_id,
+         list_transform(gs,
+             g -> CAST('0x'||substring(md5('wf:'||g),1,8) AS BIGINT)) AS hs
+  FROM grams
+),
+wmins AS (
+  SELECT doc_id,
+         list_transform(range(1, len(hs) - 3 + 1),
+                        j -> list_min(hs[j:j+3])) AS ms
+  FROM hashes
+)
+SELECT DISTINCT doc_id, unnest(ms) AS fp FROM wmins
 """,
         # --- reference-semantic snapshot/recommendation pipeline ---
         "ref_split_counts": _SQL_REF

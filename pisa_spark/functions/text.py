@@ -96,6 +96,44 @@ def content_fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(tokens_col(text), " "))
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer et
+    al., SIGMOD'03 — the MOSS scheme): hash every positional token
+    k-gram, slide a window of ``w`` consecutive k-gram hashes, keep
+    each window's minimum; the DISTINCT selected hashes are the doc's
+    fingerprint set. Guarantees every match of length >= k+w-1 tokens
+    shares a fingerprint, while storing ~1/w of the k-gram hashes.
+
+    Output: one row per selected hash (doc_id, fp) — set semantics.
+    Pure array higher-order functions over the md5 hash family (no
+    explode before the final set, no UDF); identical arithmetic in the
+    DuckDB oracle. Docs with fewer than k tokens produce no rows.
+    """
+    from pisa_spark.dedup.dedup import hash64
+
+    toks = tokens_col(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    hashes = F.transform(grams, lambda g: hash64(g, salt="wf:"))
+    wmins = F.transform(
+        F.sequence(F.lit(1), F.size(hashes) - (w - 1)),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    fps = F.array_sort(F.array_distinct(wmins))
+    # guard: F.sequence descends when start > stop, so a doc must have
+    # at least one full window (>= k+w-1 tokens) before fps is evaluated
+    return docs.filter(F.size(toks) >= k + w - 1).select(
+        "doc_id", F.explode(fps).alias("fp")
+    )
+
+
 def doc_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience projection: one row per doc with every text metric."""
     t = F.col(text_col)

@@ -75,3 +75,29 @@ def test_doc_profile_schema(spark, sf_dir):
         "doc_id", "n_tokens", "n_subwords", "lang_guess", "quality", "fingerprint"
     ]
     assert prof.count() == docs.count()
+
+
+def test_winnowing_guarantee_and_compression(spark):
+    """Winnowing contract: docs sharing a token run of >= k+w-1 share
+    at least one fingerprint; the selected set is ~1/w of all k-grams."""
+    from pisa_spark.functions.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = k+w-1
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three " + shared + " four five six"),
+            (1, "seven eight nine ten " + shared + " eleven"),
+            (2, "totally different words with no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared run produced no common fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    # compression: far fewer fingerprints than k-grams
+    n_tokens = 14
+    n_grams = n_tokens - 4
+    assert len(by_doc[0]) < n_grams
