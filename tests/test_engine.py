@@ -69,3 +69,15 @@ def test_missing_corpus_raises_clearly(eng):
     fresh = SearchEngine(eng.spark, eng.postings, eng.stats, pre_arranged=True)
     with _pytest.raises(ValueError, match="with_corpus"):
         fresh.fetch_docs([1, 2])
+
+
+def test_edge_queries(eng):
+    # empty query -> empty result, no error
+    assert eng.search("").count() == 0
+    # absent term OR -> empty; absent term AND with present term -> empty
+    assert eng.search("zzzabsent").count() == 0
+    assert eng.search("+data zzzabsent").count() == 0
+    # duplicate terms score once (same as the single-term query)
+    a = sorted(map(tuple, eng.search("data data data", k=5).collect()))
+    b = sorted(map(tuple, eng.search("data", k=5).collect()))
+    assert a == b
