@@ -111,10 +111,30 @@ def main() -> None:
         term_dfs=term_dfs, pre_arranged=True,
     ).collect()
     timings["q_batch_all"] = round(time.perf_counter() - t0, 4)
+    # 64-query throughput batch (union-masked shared decode per term)
+    vocab = sorted(term_dfs, key=term_dfs.get, reverse=True)[:16]
+    big_batch = [
+        {
+            "query_id": 100 + i,
+            "terms": [vocab[i % 16], vocab[(i * 7 + 3) % 16]]
+            + ([vocab[(i * 5 + 11) % 16]] if i % 2 else []),
+            "conjunctive": i % 4 == 3,
+        }
+        for i in range(64)
+    ]
+    t0 = time.perf_counter()
+    bm25_topk_wand(
+        postings, big_batch, stats["n_docs"], stats["avgdl"], k=10,
+        term_dfs=term_dfs, pre_arranged=True,
+    ).collect()
+    t_big = time.perf_counter() - t0
+    timings["q_batch64"] = round(t_big, 4)
 
     total = time.perf_counter() - t_all
     lat = sorted(
-        v for k, v in timings.items() if k.startswith("q") and k != "q_batch_all"
+        v
+        for k, v in timings.items()
+        if k.startswith("q") and not k.startswith("q_batch")
     )
     p50 = lat[len(lat) // 2]
     p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
@@ -131,6 +151,7 @@ def main() -> None:
         "payload_bytes": int(agg["payload_bytes"]),
         "latency_p50_s": p50,
         "latency_p95_s": p95,
+        "batch64_queries_per_s": round(64 / t_big, 2),
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
     spark.stop()
