@@ -169,6 +169,52 @@ def delete_partitions(root: str, name: str, values: list) -> None:
     _publish(root, name, m)
 
 
+def vacuum(root: str, name: str) -> list[str]:
+    """Out-of-band GC: delete generation dirs (and stale manifest
+    tmp files) no longer referenced by the published manifest. Safe at
+    any time — readers resolve the manifest first, and an unreferenced
+    generation can never become referenced again (writes always create
+    fresh generations). Returns the removed dir names."""
+    import shutil
+
+    m = _read_manifest(root, name)
+    tp = table_path(root, name)
+    if m is None or not os.path.isdir(tp):
+        return []
+    removed = []
+    if "partitions" in m:
+        # partition-level GC: a generation usually stays half-live
+        # after an incremental rebuild (only the rebuilt buckets
+        # repointed) — collect its superseded partition dirs, then the
+        # generation itself once empty
+        live_rel = set(m["partitions"].values())
+        pcol = m["partition_col"]
+        for d in list(os.listdir(tp)):
+            if not d.startswith("gen-"):
+                continue
+            gen_full = os.path.join(tp, d)
+            for sub in list(os.listdir(gen_full)):
+                if sub.startswith(f"{pcol}=") and f"{d}/{sub}" not in live_rel:
+                    shutil.rmtree(os.path.join(gen_full, sub), ignore_errors=True)
+                    removed.append(f"{d}/{sub}")
+            if not any(
+                s.startswith(f"{pcol}=") for s in os.listdir(gen_full)
+            ):
+                shutil.rmtree(gen_full, ignore_errors=True)
+                removed.append(d)
+    else:
+        live = set(m.get("dirs", []))
+        for d in list(os.listdir(tp)):
+            if d.startswith("gen-") and d not in live:
+                shutil.rmtree(os.path.join(tp, d), ignore_errors=True)
+                removed.append(d)
+    for d in list(os.listdir(tp)):
+        if d.startswith(MANIFEST + ".tmp-"):
+            os.remove(os.path.join(tp, d))
+            removed.append(d)
+    return removed
+
+
 def table_exists(root: str, name: str) -> bool:
     if os.path.exists(_manifest_path(root, name)):
         return True

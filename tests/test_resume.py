@@ -240,3 +240,31 @@ def test_streaming_replay_does_not_duplicate(spark, sf_dir, tmp_path):
     run(str(tmp_path / "ck2"))  # fresh checkpoint = full replay
     assert spark.read.parquet(f"{corpus}/documents.parquet").count() == n_before
     assert decode_index(load_index(spark, idx)[0].collect()) == before
+
+
+def test_vacuum_removes_superseded_generations(spark, sf_dir, tmp_path):
+    """After an incremental rebuild supersedes a bucket's generation,
+    vacuum deletes exactly the unreferenced dirs and reads are
+    unchanged."""
+    corpus = str(tmp_path / "corpus_v")
+    idx = str(tmp_path / "idx_v")
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full.write.mode("overwrite").parquet(corpus + "/documents.parquet")
+    build_index_resumable(spark, corpus, idx, wave_size=8, docs_per_bucket=64)
+
+    mutated = full.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 10, F.concat(F.col("text"), F.lit(" vterm")))
+        .otherwise(F.col("text")),
+    )
+    mutated.write.mode("overwrite").parquet(corpus + "/documents.parquet")
+    build_index_resumable(spark, corpus, idx, wave_size=8, docs_per_bucket=64)
+
+    before = decode_index(load_index(spark, idx)[0].collect())
+    removed = catalog.vacuum(idx, "postings")
+    # the rebuilt bucket's OLD partition dir is superseded and collected
+    # (both generations stay: each still holds live partitions)
+    assert any("bucket=0" in r for r in removed), removed
+    assert decode_index(load_index(spark, idx)[0].collect()) == before
+    # vacuum again: nothing left to collect
+    assert catalog.vacuum(idx, "postings") == []
