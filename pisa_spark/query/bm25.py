@@ -140,30 +140,34 @@ def _block_bounds(
     per bucket and shared by every query in the batch.
 
     block_max_score is derived at query time from per-block (tf, dl)
-    corner stats under the CURRENT avgdl/df (factor monotone +tf/-dl):
-    idf > 0 -> idf * factor(tf_max, dl_min)
-    idf < 0 -> idf * factor(tf_min, dl_max)   (factor always > 0)
-    """
-    from pisa_spark.index.build import bm25_tf_factor
+    corner stats under the CURRENT avgdl/df (the score is monotone
+    +tf/-dl): idf > 0 -> score(tf_max, dl_min); idf < 0 ->
+    score(tf_min, dl_max).
 
+    The bound is computed by the SAME function (_bm25_np, same float
+    association) as the scorer, so a posting that attains the block's
+    corners gets a bound bit-identical to its score — an independently
+    associated formula can land one ulp below an achieved score used as
+    a two-phase threshold and unsoundly skip the block/bucket holding
+    the true top doc (caught by tests/test_wand_fuzz.py).
+    """
     idf, bmax = {}, {}
     for t in terms:
         dfreq = float(term_dfs[t])
         idf[t] = float(np.log((n_docs - dfreq + 0.5) / (dfreq + 0.5)))
         g = by_term[t]
         if idf[t] >= 0:
-            f = bm25_tf_factor(
+            bmax[t] = _bm25_np(
                 g["tf_max"].to_numpy(np.float64),
                 g["dl_min"].to_numpy(np.float64),
-                avgdl,
+                dfreq, n_docs, avgdl,
             )
         else:
-            f = bm25_tf_factor(
+            bmax[t] = _bm25_np(
                 g["tf_min"].to_numpy(np.float64),
                 g["dl_max"].to_numpy(np.float64),
-                avgdl,
+                dfreq, n_docs, avgdl,
             )
-        bmax[t] = idf[t] * f
     return idf, bmax
 
 
@@ -205,14 +209,19 @@ def _query_keep_masks(
         pos_sum = sum(pos.values())
         others = {t: pos_sum - pos[t] for t in present}
         best_bound = max(term_max[t] + others[t] for t in present)
-    if best_bound < threshold:
+    # epsilon slack: bound/threshold arithmetic can disagree with the
+    # scorer by a few ulps in MIXED-corner and multi-term summations;
+    # slack only ever KEEPS more blocks (never drops), so pruning stays
+    # sound while a hair less aggressive
+    eps = 1e-9 * max(1.0, abs(threshold)) if np.isfinite(threshold) else 0.0
+    if best_bound < threshold - eps:
         return None
     masks: dict[str, np.ndarray] = {}
     for t in present:
         if not conjunctive and idf[t] < 0:
             masks[t] = np.ones(len(bmax[t]), bool)
             continue
-        m = bmax[t] + others[t] >= threshold
+        m = bmax[t] + others[t] >= threshold - eps
         if conjunctive and not m.any():
             return None
         masks[t] = m

@@ -1,0 +1,166 @@
+"""Randomized exactness fuzz for the WAND kernel internals — no Spark.
+
+wand_kernel is a plain Python closure over pandas frames, so hundreds
+of random corpora can be pushed through it directly and compared to a
+naive dense scorer. This hammers the soundness-critical region (block
+pruning with negative-idf terms, tight thresholds, batch union-decode,
+conjunctive filtering) far harder than the fixture corpus can.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pisa_spark.index import codec
+from pisa_spark.index.build import BM25_B, BM25_K1
+from pisa_spark.query.bm25 import wand_kernel
+
+BLOCK = 4  # tiny blocks force multi-block terms and real pruning
+
+
+def make_blocks(rng, n_docs, vocab, n_buckets=2):
+    """Random corpus -> (block frame rows, dense tf matrix, doc_lens)."""
+    tf = (rng.random((n_docs, len(vocab))) < rng.uniform(0.1, 0.9, len(vocab))) * (
+        1 + rng.integers(0, 3, (n_docs, len(vocab)))
+    )
+    doc_len = np.maximum(tf.sum(axis=1), 1)
+    span = -(-n_docs // n_buckets)
+    rows = []
+    for ti, term in enumerate(vocab):
+        docs = np.flatnonzero(tf[:, ti])
+        if docs.size == 0:
+            continue
+        for b in range(n_buckets):
+            bd = docs[(docs >= b * span) & (docs < (b + 1) * span)]
+            for s in range(0, bd.size, BLOCK):
+                d = bd[s : s + BLOCK]
+                tfs = tf[d, ti]
+                dls = doc_len[d]
+                rows.append(
+                    {
+                        "bucket": b,
+                        "term": term,
+                        "block_idx": s // BLOCK,
+                        "first_doc": int(d[0]),
+                        "max_doc": int(d[-1]),
+                        "n": int(d.size),
+                        "tf_max": int(tfs.max()),
+                        "tf_min": int(tfs.min()),
+                        "dl_min": int(dls.min()),
+                        "dl_max": int(dls.max()),
+                        "docs": codec.delta_encode_docids(d.astype(np.int64)),
+                        "tfs": codec.encode_payload(
+                            tfs.astype(np.int64), minus_one=True
+                        ),
+                        "dls": codec.encode_payload(dls.astype(np.int64)),
+                    }
+                )
+    return pd.DataFrame(rows), tf, doc_len
+
+
+def naive_topk(tf, doc_len, terms, conjunctive, k, n_docs, avgdl):
+    terms = list(dict.fromkeys(terms))
+    scores = np.zeros(tf.shape[0])
+    matched = np.zeros(tf.shape[0], dtype=int)
+    for ti in terms:
+        col = tf[:, ti]
+        df = (col > 0).sum()
+        if df == 0:
+            if conjunctive:
+                return []
+            continue
+        idf = np.log((n_docs - df + 0.5) / (df + 0.5))
+        has = col > 0
+        denom = col + BM25_K1 * (1.0 - BM25_B + BM25_B * doc_len / avgdl)
+        scores = scores + np.where(
+            has, idf * (col * (BM25_K1 + 1.0)) / denom, 0.0
+        )
+        matched += has
+    ok = matched == len(terms) if conjunctive else matched > 0
+    # round before ranking: naive vs kernel float summation can differ
+    # at ~1e-16, which must not flip tie ordering in the comparison
+    cand = sorted(
+        ((d, scores[d]) for d in np.flatnonzero(ok)),
+        key=lambda x: (-round(x[1], 9), x[0]),
+    )
+    return cand[:k]
+
+
+def run_kernel(blocks, queries, n_docs, avgdl, k, term_dfs, thresholds):
+    kern = wand_kernel(queries, float(n_docs), float(avgdl), k, term_dfs, thresholds)
+    frames = list(kern(iter([blocks])))
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["query_id", "doc_id", "score"]
+    )
+    result = {}
+    for qid, g in out.groupby("query_id"):
+        cand = sorted(
+            zip(g["doc_id"], g["score"]), key=lambda x: (-round(x[1], 9), x[0])
+        )
+        result[int(qid)] = cand[:k]
+    return result
+
+
+@pytest.mark.parametrize("seed", range(40))
+def test_wand_kernel_exact_under_fuzz(seed):
+    rng = np.random.default_rng(seed)
+    n_docs = int(rng.integers(8, 60))
+    vocab = list("abcdefg"[: rng.integers(3, 7)])
+    blocks, tf, doc_len = make_blocks(rng, n_docs, vocab)
+    n_total = n_docs
+    avgdl = float(doc_len.mean())
+    term_dfs = {t: int((tf[:, i] > 0).sum()) for i, t in enumerate(vocab)}
+    term_dfs = {t: d for t, d in term_dfs.items() if d > 0}
+    k = int(rng.integers(1, 8))
+
+    queries = []
+    for qid in range(4):
+        nt = int(rng.integers(1, 4))
+        terms = [vocab[rng.integers(0, len(vocab))] for _ in range(nt)]
+        if rng.random() < 0.3:
+            terms.append(terms[0])  # duplicate term
+        queries.append(
+            {
+                "query_id": qid,
+                "terms": [t for t in terms if t in term_dfs] or [vocab[0]],
+                "conjunctive": bool(rng.random() < 0.4),
+            }
+        )
+
+    expected = {
+        q["query_id"]: naive_topk(
+            tf, doc_len,
+            [vocab.index(t) for t in q["terms"]],
+            q["conjunctive"], k, n_total, avgdl,
+        )
+        for q in queries
+    }
+
+    # thresholds exactly as production derives them: the kernel's OWN
+    # k-th score from an unpruned pass (bit-identical arithmetic — the
+    # two-phase bootstrap contract), plus a slightly slack variant
+    phase1 = run_kernel(blocks, queries, n_total, avgdl, k, term_dfs, {})
+    kth = {
+        qid: (cand[k - 1][1] if len(cand) >= k else -np.inf)
+        for qid, cand in phase1.items()
+    }
+    for thr in (
+        {},
+        {qid: v for qid, v in kth.items() if v != -np.inf},
+        {qid: v - 1e-6 for qid, v in kth.items() if v != -np.inf},
+    ):
+        # batch mode (all queries -> union decode) and single mode
+        for qset in ([queries], [[q] for q in queries]):
+            for qs in qset:
+                got = run_kernel(
+                    blocks, qs, n_total, avgdl, k, term_dfs, thr
+                )
+                for q in qs:
+                    qid = q["query_id"]
+                    g = got.get(qid, [])
+                    e = expected[qid]
+                    assert [d for d, _ in g] == [d for d, _ in e], (
+                        f"seed={seed} thr={bool(thr)} q={q} got={g} want={e}"
+                    )
+                    for (_, sg), (_, se) in zip(g, e):
+                        assert abs(sg - se) < 1e-9
