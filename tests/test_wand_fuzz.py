@@ -164,3 +164,52 @@ def test_wand_kernel_exact_under_fuzz(seed):
                     )
                     for (_, sg), (_, se) in zip(g, e):
                         assert abs(sg - se) < 1e-9
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_encode_groups_batch_split_invariance(seed):
+    """_encode_groups must emit identical blocks no matter how Arrow
+    splits the partition-sorted input into batches (the tail-group
+    carry-over logic is the tricky part)."""
+    from pisa_spark.index.build import _encode_groups
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for bucket in range(rng.integers(1, 4)):
+        for term in "xyz"[: rng.integers(1, 4)]:
+            docs = np.sort(
+                rng.choice(np.arange(100), size=rng.integers(1, 30), replace=False)
+            )
+            for d in docs:
+                rows.append(
+                    {
+                        "bucket": bucket,
+                        "term": term,
+                        "doc_id": int(d),
+                        "tf": int(rng.integers(1, 5)),
+                        "doc_len": int(rng.integers(1, 40)),
+                    }
+                )
+    pdf = pd.DataFrame(rows).sort_values(["bucket", "term", "doc_id"]).reset_index(
+        drop=True
+    )
+
+    def blocks(chunks):
+        frames = list(_encode_groups(iter(chunks), block_size=4))
+        out = pd.concat(frames, ignore_index=True)
+        return sorted(
+            map(tuple, out.itertuples(index=False)),
+            key=lambda r: (r[0], r[1], r[2]),
+        )
+
+    whole = blocks([pdf])
+    # random split points, including pathological 1-row batches
+    n = len(pdf)
+    cuts = np.sort(rng.choice(np.arange(1, n), size=min(n - 1, 7), replace=False))
+    parts = [
+        pdf.iloc[a:b].reset_index(drop=True)
+        for a, b in zip(np.concatenate(([0], cuts)), np.concatenate((cuts, [n])))
+    ]
+    assert blocks(parts) == whole
+    one_row = [pdf.iloc[i : i + 1].reset_index(drop=True) for i in range(n)]
+    assert blocks(one_row) == whole
