@@ -190,6 +190,43 @@ def _bm25_df(
 # same sf_dir in one session; rebuild the index / split blocks once
 _MEMO: dict = {}
 
+# phrase gate queries: bigrams verified present in the synthetic corpus
+# at sf0.001 and sf0.01, plus a repeated-token phrase and a no-match
+_PHRASES = [
+    (0, ["order", "fast"]),
+    (1, ["order", "order"]),
+    (2, ["zzz", "absent"]),
+]
+
+
+def _built_pos_index(spark: SparkSession, sf_dir: str):
+    """Memoized positional index (with_positions=True)."""
+    key = ("posidx", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        from pisa_spark.index.build import build_postings
+
+        toks = _tokens(spark, sf_dir)
+        row = toks.agg(
+            F.count(F.lit(1)), F.avg("doc_len"), F.max("doc_id")
+        ).collect()[0]
+        postings = build_postings(
+            toks, int(row[0]), float(row[1]), n_buckets=16,
+            max_doc_id=int(row[2]), with_positions=True,
+        ).cache()
+        _MEMO[key] = (postings, int(row[0]), float(row[1]))
+    return _MEMO[key]
+
+
+def _bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pisa_spark.query.bm25 import bm25_phrase_topk
+
+    postings, n_docs, avgdl = _built_pos_index(spark, sf_dir)
+    queries = [{"query_id": qid, "terms": p} for qid, p in _PHRASES]
+    out = bm25_phrase_topk(postings, queries, n_docs, avgdl, k=10)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
 
 def _built_index(spark: SparkSession, sf_dir: str):
     # keyed by application id: a recreated session must not serve plans
@@ -747,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_mixed_idf_wand": lambda spark, sf: _bm25_wand(
             spark, sf, _MIXED_QUERIES, False
         ),
+        "bm25_phrase_topk": _bm25_phrase,
         # --- dedup family ---
         "dedup_exact": lambda spark, sf: exact_duplicates(
             _docs_with_dups(spark, sf)
@@ -1008,6 +1046,40 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_topk_or_wand": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_wand": _bm25_sql(_AND_QUERIES, conjunctive=True),
         "bm25_mixed_idf_wand": _bm25_sql(_MIXED_QUERIES, conjunctive=False),
+        "bm25_phrase_topk": f"""
+{_SQL_BASE},
+q(query_id, p) AS (VALUES {", ".join(
+    f"({qid}, {p!r}::VARCHAR[])" for qid, p in _PHRASES
+)}),
+matched AS (
+  SELECT q.query_id, t.doc_id
+  FROM toks t CROSS JOIN q
+  WHERE len(t.tokens) >= len(q.p)
+    AND len(list_filter(range(1, len(t.tokens) - len(q.p) + 2),
+            i -> t.tokens[i:i+len(q.p)-1] = q.p)) > 0
+),
+qterms AS (SELECT query_id, unnest(list_distinct(p)) AS term FROM q),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM matched m
+  JOIN qterms qt ON qt.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dfreq ON dfreq.term = qt.term
+  JOIN doclen ON doclen.doc_id = m.doc_id
+  CROSS JOIN stats
+  GROUP BY m.query_id, m.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
         # --- dedup family ---
         "dedup_exact": """
 WITH all_docs AS (

@@ -104,6 +104,26 @@ class SearchEngine:
             pre_arranged=self._pre_arranged,
         )
 
+    def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
+        """Exact consecutive-token phrase top-k. Requires a positional
+        index (build with with_positions=True)."""
+        if "poss" not in self.postings.columns:
+            raise ValueError(
+                "phrase search needs a positional index — build with"
+                " with_positions=True"
+            )
+        from pisa_spark.query.bm25 import bm25_phrase_topk
+
+        terms = parse_query(phrase)["terms"]
+        return bm25_phrase_topk(
+            self.postings,
+            [{"query_id": 0, "terms": terms}],
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            k=k,
+            pre_arranged=self._pre_arranged,
+        )
+
     # -- document fetch (forward index) ------------------------------------
 
     def with_corpus(self, corpus_dir: str) -> "SearchEngine":

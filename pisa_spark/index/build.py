@@ -67,6 +67,13 @@ POSTINGS_SCHEMA = (
     "docs binary, tfs binary, dls binary"
 )
 
+# positional layout (with_positions=True): one extra payload column.
+# ``poss`` concatenates each posting's within-doc token positions in
+# doc order; per posting the first position is absolute and later ones
+# are stored as diff-1 (strictly increasing); segment lengths are the
+# (decoded) tfs, so no extra count column is needed.
+POSTINGS_POS_SCHEMA = POSTINGS_SCHEMA + ", poss binary"
+
 
 def term_frequencies(tokens_df: DataFrame) -> DataFrame:
     """(doc_id, tokens, doc_len) -> (doc_id, term, tf, doc_len).
@@ -81,6 +88,25 @@ def term_frequencies(tokens_df: DataFrame) -> DataFrame:
         )
         .groupBy("doc_id", "term", "doc_len")
         .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def term_frequencies_with_positions(tokens_df: DataFrame) -> DataFrame:
+    """(doc_id, tokens, doc_len) -> (doc_id, term, tf, doc_len,
+    positions:array<int> sorted) — the positional variant: posexplode
+    keeps the 0-based token offset, sort_array makes the per-(doc,term)
+    position list deterministic."""
+    return (
+        tokens_df.select(
+            "doc_id", "doc_len", F.posexplode("tokens").alias("pos", "term")
+        )
+        .groupBy("doc_id", "term", "doc_len")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias(
+                "positions"
+            ),
+        )
     )
 
 
@@ -138,10 +164,27 @@ def bm25_tf_factor(tf, dl, avgdl: float):
     )
 
 
+def _encode_positions(pos_lists: list) -> bytes:
+    """Per-posting position arrays -> one varint byte string: each
+    posting's first position absolute, later ones diff-1 (strictly
+    increasing). Segment lengths = tfs, so decode needs no counts."""
+    deltas = []
+    for p in pos_lists:
+        a = np.asarray(p, dtype=np.int64)
+        d = a.copy()
+        d[1:] = np.diff(a) - 1
+        deltas.append(d)
+    return codec.varint_encode(
+        np.concatenate(deltas).astype(np.uint64) if deltas else
+        np.empty(0, np.uint64)
+    )
+
+
 def _encode_one_group(
     out: dict[str, list],
     g: pd.DataFrame,
     block_size: int,
+    with_positions: bool = False,
 ) -> None:
     bucket = int(g["bucket"].iloc[0])
     term = g["term"].iloc[0]
@@ -167,11 +210,16 @@ def _encode_one_group(
         out["docs"].append(codec.delta_encode_docids(d))
         out["tfs"].append(codec.encode_payload(tfs[sl], minus_one=True))
         out["dls"].append(codec.encode_payload(dls[sl]))
+        if with_positions:
+            out["poss"].append(
+                _encode_positions(list(g["positions"].iloc[sl]))
+            )
 
 
 def _encode_groups(
     pdf_iter: Iterator[pd.DataFrame],
     block_size: int,
+    with_positions: bool = False,
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: rows (bucket, term, doc_id, tf, doc_len)
     sorted by (bucket, term, doc_id) within the partition -> one row per
@@ -184,6 +232,7 @@ def _encode_groups(
     stays O(one group) = O(docs in one bucket), which the bucket span
     bounds by construction.
     """
+    cols = _OUT_COLS + ["poss"] if with_positions else _OUT_COLS
     leftover: pd.DataFrame | None = None
     for pdf in pdf_iter:
         if pdf.empty:
@@ -199,13 +248,13 @@ def _encode_groups(
         head = pdf[~tail_mask]
         if head.empty:
             continue
-        out: dict[str, list] = {c: [] for c in _OUT_COLS}
+        out: dict[str, list] = {c: [] for c in cols}
         for _, g in head.groupby(["bucket", "term"], sort=False):
-            _encode_one_group(out, g, block_size)
+            _encode_one_group(out, g, block_size, with_positions)
         yield pd.DataFrame(out)
     if leftover is not None and not leftover.empty:
-        out = {c: [] for c in _OUT_COLS}
-        _encode_one_group(out, leftover, block_size)
+        out = {c: [] for c in cols}
+        _encode_one_group(out, leftover, block_size, with_positions)
         yield pd.DataFrame(out)
 
 
@@ -217,6 +266,7 @@ def build_postings(
     max_doc_id: int | None = None,
     block_size: int = BLOCK_SIZE,
     span: int | None = None,
+    with_positions: bool = False,
 ) -> DataFrame:
     """tokens -> compressed posting-block DataFrame (see module doc).
 
@@ -225,12 +275,22 @@ def build_postings(
     a mapInPandas encoder streams blocks out. Blocks are df-free (see
     bm25_tf_factor) so no df join touches the big relation — document
     frequency lives in the small term_stats side table.
+
+    with_positions: additionally carry each posting's within-doc token
+    positions (``poss`` payload column) — the positional index phrase
+    queries need. Same single shuffle; the shuffle rows carry the
+    per-(doc,term) position arrays instead of bare counts.
     """
     if max_doc_id is None:
         max_doc_id = n_docs
     if span is None:
         span = max(1, math.ceil((max_doc_id + 1) / n_buckets))
-    tf = term_frequencies(tokens_df)
+    if with_positions:
+        tf = term_frequencies_with_positions(tokens_df)
+        schema = POSTINGS_POS_SCHEMA
+    else:
+        tf = term_frequencies(tokens_df)
+        schema = POSTINGS_SCHEMA
     tf_b = tf.withColumn("bucket", (F.col("doc_id") / F.lit(span)).cast("int"))
     # explicit partition count: the encode stage is the Python-side hot
     # path — AQE must not coalesce it below the core count (it would,
@@ -241,8 +301,9 @@ def build_postings(
         "bucket", "term", "doc_id"
     )
     bs = int(block_size)
+    wp = bool(with_positions)
     return arranged.mapInPandas(
-        lambda it: _encode_groups(it, bs), schema=POSTINGS_SCHEMA
+        lambda it: _encode_groups(it, bs, wp), schema=schema
     )
 
 

@@ -94,6 +94,7 @@ def build_index_resumable(
     fail_after_waves: int | None = None,
     docs_per_bucket: int | None = None,
     docs_df: DataFrame | None = None,
+    with_positions: bool = False,
 ) -> dict:
     """Build (or resume, or incrementally extend) the persistent index.
 
@@ -232,6 +233,7 @@ def build_index_resumable(
             postings = build_postings(
                 wave_toks, n_docs, avgdl, n_buckets=n_buckets,
                 max_doc_id=max_doc, block_size=block_size, span=span,
+                with_positions=with_positions,
             )
             catalog.write_table(
                 postings, index_root, POSTINGS_TABLE, partition_by=["bucket"],

@@ -105,6 +105,22 @@ def _bm25_np(tf: np.ndarray, dl: np.ndarray, dfreq: float, n_docs: float, avgdl:
     return idf * (tf * (BM25_K1 + 1.0)) / denom
 
 
+def _segmented_delta_decode(deltas: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Rebuild per-segment increasing sequences from concatenated
+    deltas (first-in-segment absolute, later ones diff-1): a single
+    cumsum with per-segment prefix subtraction — no per-segment loop."""
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    adj = deltas + 1
+    adj[starts] = deltas[starts]
+    cs = np.cumsum(adj)
+    seg_prefix = (
+        np.concatenate(([0], cs[starts[1:] - 1]))
+        if starts.size > 1
+        else np.zeros(1, np.int64)
+    )
+    return cs - np.repeat(seg_prefix, lens)
+
+
 def _decode_blocks_vectorized(
     g: pd.DataFrame,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -117,16 +133,19 @@ def _decode_blocks_vectorized(
     """
     ns = g["n"].to_numpy(np.int64)
     deltas = codec.varint_decode(b"".join(g["docs"])).astype(np.int64)
-    starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
-    # non-first-in-block deltas were stored as diff-1
-    adj = deltas + 1
-    adj[starts] = deltas[starts]
-    cs = np.cumsum(adj)
-    seg_prefix = np.concatenate(([0], cs[starts[1:] - 1])) if starts.size > 1 else np.zeros(1, np.int64)
-    docs = cs - np.repeat(seg_prefix, ns)
+    docs = _segmented_delta_decode(deltas, ns)
     tfs = codec.varint_decode(b"".join(g["tfs"])).astype(np.int64) + 1
     dls = codec.varint_decode(b"".join(g["dls"])).astype(np.int64)
     return docs, tfs, dls
+
+
+def _decode_positions(g: pd.DataFrame, tfs: np.ndarray) -> np.ndarray:
+    """Decode the ``poss`` payload: one position array aligned with the
+    decoded postings' token occurrences; segment lengths are the tfs
+    (each posting holds exactly tf positions, first absolute, later
+    diff-1)."""
+    deltas = codec.varint_decode(b"".join(g["poss"])).astype(np.int64)
+    return _segmented_delta_decode(deltas, tfs)
 
 
 def _block_bounds(
@@ -456,6 +475,165 @@ def bm25_topk_wand(
         thresholds = {r["query_id"]: r["kth"] for r in kth if r["cnt"] >= k}
     partial = arranged.mapInPandas(
         wand_kernel(queries, float(n_docs), float(avgdl), k, term_dfs, thresholds),
+        schema=TOPK_RESULT_SCHEMA,
+    )
+    return topk_window(partial, k)
+
+
+# ---------------------------------------------------------------------------
+# Phrase queries over the positional index
+# ---------------------------------------------------------------------------
+
+
+def _phrase_match_docs(
+    per_term: dict, tokens: list[str], cand: np.ndarray
+) -> np.ndarray:
+    """Docs in ``cand`` containing the exact consecutive token sequence.
+
+    per_term[t] = (docs, tfs, positions) with positions aligned to the
+    postings' token occurrences (np.repeat(docs, tfs) gives each
+    occurrence's doc). Verification is one sorted-set intersection per
+    phrase slot: occurrence keys local_doc * 2^32 + (pos - slot) — an
+    occurrence of tokens[j] at pos can anchor a phrase starting at
+    pos - j — intersected across slots; survivors are phrase starts.
+    Fully vectorized across all candidate docs at once.
+    """
+    valid: np.ndarray | None = None
+    for j, t in enumerate(tokens):
+        docs, tfs, poss = per_term[t]
+        occ_docs = np.repeat(docs, tfs)
+        keep = np.isin(occ_docs, cand)
+        if j > 0:
+            keep &= poss >= j
+        od, op = occ_docs[keep], poss[keep]
+        # bucket-local dense doc index keeps the composite key in int64
+        local = np.searchsorted(cand, od)
+        keys = np.unique(local * (1 << 32) + (op - j))
+        valid = keys if valid is None else valid[np.isin(valid, keys)]
+        if valid.size == 0:
+            return np.empty(0, np.int64)
+    return cand[np.unique(valid >> 32)]
+
+
+def phrase_kernel(
+    phrases: list[dict],
+    n_docs: float,
+    avgdl: float,
+    k: int,
+    term_dfs: dict[str, int],
+):
+    """mapInPandas kernel for phrase top-k over the positional index.
+
+    phrases: [{query_id, terms: [ordered tokens]}]. Per bucket: decode
+    the phrase's terms (docs/tfs/dls/positions), take conjunctive
+    candidates (docs matching ALL distinct terms), verify adjacency via
+    the slot-shifted occurrence-key intersection, score survivors with
+    the standard BM25 sum over the phrase's DISTINCT terms, trim to the
+    bucket-local top-k. No block pruning: every posting of a phrase
+    term must be consulted for positions anyway.
+    """
+
+    def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if not chunks:
+            return
+        all_blocks = pd.concat(chunks, ignore_index=True)
+        out_frames = []
+        for _, bucket_blocks in all_blocks.groupby("bucket", sort=False):
+            by_term = dict(tuple(bucket_blocks.groupby("term", sort=False)))
+            decoded: dict[str, tuple] = {}
+            for q in phrases:
+                tokens = list(q["terms"])
+                distinct = list(dict.fromkeys(tokens))
+                if not tokens or any(t not in by_term for t in distinct):
+                    continue
+                for t in distinct:
+                    if t not in decoded:
+                        g = by_term[t]
+                        docs, tfs, dls = _decode_blocks_vectorized(g)
+                        poss = _decode_positions(g, tfs)
+                        decoded[t] = (docs, tfs, dls, poss)
+                # conjunctive candidates over distinct terms
+                all_docs = np.concatenate([decoded[t][0] for t in distinct])
+                uniq, inv = np.unique(all_docs, return_inverse=True)
+                cand = uniq[np.bincount(inv) == len(distinct)]
+                if cand.size == 0:
+                    continue
+                matched = _phrase_match_docs(
+                    {t: (decoded[t][0], decoded[t][1], decoded[t][3])
+                     for t in distinct},
+                    tokens,
+                    cand,
+                )
+                if matched.size == 0:
+                    continue
+                # score survivors: BM25 sum over distinct terms
+                doc_parts, score_parts = [], []
+                for t in distinct:
+                    docs, tfs, dls, _ = decoded[t]
+                    m = np.isin(docs, matched)
+                    doc_parts.append(docs[m])
+                    score_parts.append(
+                        _bm25_np(tfs[m], dls[m], float(term_dfs[t]),
+                                 n_docs, avgdl)
+                    )
+                docs_out, scores_out = _accumulate_topk(
+                    doc_parts, score_parts, len(distinct), True, k
+                )
+                if docs_out.size:
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(
+                                    docs_out.size, q["query_id"], np.int32
+                                ),
+                                "doc_id": docs_out,
+                                "score": scores_out,
+                            }
+                        )
+                    )
+        if out_frames:
+            yield pd.concat(out_frames, ignore_index=True)
+        else:
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.array([], dtype="int32"),
+                    "doc_id": pd.array([], dtype="int64"),
+                    "score": pd.array([], dtype="float64"),
+                }
+            )
+
+    return kernel
+
+
+def bm25_phrase_topk(
+    postings: DataFrame,
+    phrases: list[dict],
+    n_docs: float,
+    avgdl: float,
+    k: int = 10,
+    term_dfs: dict[str, int] | None = None,
+    pre_arranged: bool = False,
+) -> DataFrame:
+    """Exact phrase top-k over the positional index (with_positions
+    build): docs containing the consecutive token sequence, ranked by
+    the BM25 score of the phrase's distinct terms, ties
+    (score DESC, doc_id ASC). Same plan shape as bm25_topk_wand:
+    term-pruned scan -> per-bucket kernel -> k-row top-k merge."""
+    all_terms = sorted({t for q in phrases for t in q["terms"]})
+    pruned = postings.filter(F.col("term").isin(all_terms))
+    if term_dfs is None:
+        term_dfs = {
+            r["term"]: int(r["df"])
+            for r in pruned.groupBy("term").agg(F.sum("n").alias("df")).collect()
+        }
+    if pre_arranged:
+        arranged = pruned
+    else:
+        n_part = max(postings.sparkSession.sparkContext.defaultParallelism, 8)
+        arranged = pruned.repartition(n_part, "bucket")
+    partial = arranged.mapInPandas(
+        phrase_kernel(phrases, float(n_docs), float(avgdl), k, term_dfs),
         schema=TOPK_RESULT_SCHEMA,
     )
     return topk_window(partial, k)

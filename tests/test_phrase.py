@@ -1,0 +1,147 @@
+"""Phrase queries over the positional index: exact consecutive-token
+matching, BM25-ranked, vs an independent Python oracle."""
+
+import collections
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pisa_spark.corpus import tokens_col
+from pisa_spark.index.build import BM25_B, BM25_K1, build_postings
+from pisa_spark.query.bm25 import bm25_phrase_topk
+from tests.oracle import load_corpus
+
+
+def naive_phrase_topk(tok, phrase, k=10):
+    """Dict/loop reimplementation: docs containing the consecutive
+    sequence, scored by BM25 over the phrase's distinct terms."""
+    n_docs = len(tok)
+    avgdl = sum(len(v) for v in tok.values()) / n_docs
+    df = collections.Counter()
+    for ts in tok.values():
+        df.update(set(ts))
+    distinct = list(dict.fromkeys(phrase))
+    out = []
+    m = len(phrase)
+    for d, ts in sorted(tok.items()):
+        hit = any(ts[i : i + m] == phrase for i in range(len(ts) - m + 1))
+        if not hit:
+            continue
+        c = collections.Counter(ts)
+        s = 0.0
+        for t in distinct:
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * c[t] * (BM25_K1 + 1) / (
+                c[t] + BM25_K1 * (1 - BM25_B + BM25_B * len(ts) / avgdl)
+            )
+        out.append((d, s))
+    out.sort(key=lambda x: (-round(x[1], 9), x[0]))
+    return out[:k]
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    row = toks.agg(
+        F.count(F.lit(1)), F.avg("doc_len"), F.max("doc_id")
+    ).collect()[0]
+    postings = build_postings(
+        toks, int(row[0]), float(row[1]), n_buckets=8,
+        max_doc_id=int(row[2]), with_positions=True,
+    ).cache()
+    return postings, int(row[0]), float(row[1])
+
+
+@pytest.fixture(scope="module")
+def tok(sf_dir):
+    return load_corpus(sf_dir)
+
+
+def pick_phrases(tok):
+    """Phrases guaranteed to exist: consecutive token runs from real
+    docs, plus a nonexistent one."""
+    docs = sorted(tok)
+    ts0 = tok[docs[0]]
+    ts1 = tok[docs[len(docs) // 2]]
+    return [
+        ts0[0:2],           # bigram from doc 0
+        ts1[3:6],           # trigram mid-corpus
+        ["zzz", "absent"],  # no match
+        [ts0[0]],           # single-token phrase == single-term query
+    ]
+
+
+def test_phrase_topk_matches_naive(pos_index, tok):
+    postings, n_docs, avgdl = pos_index
+    phrases = pick_phrases(tok)
+    queries = [
+        {"query_id": i, "terms": p} for i, p in enumerate(phrases)
+    ]
+    rows = bm25_phrase_topk(postings, queries, n_docs, avgdl, k=10).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for i, p in enumerate(phrases):
+        expect = naive_phrase_topk(tok, p, k=10)
+        have = sorted(got.get(i, []))
+        assert [(d) for _, d, _ in have] == [d for d, _ in expect], (
+            f"phrase {p}: {have} != {expect}"
+        )
+        for (_, _, sg), (_, se) in zip(have, expect):
+            assert abs(sg - se) < 1e-9
+
+
+def test_phrase_repeated_token(spark):
+    """Repeated tokens in the phrase must anchor on the SAME term's
+    positions at different offsets ('rep rep' matches only consecutive
+    repeats)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "rep one rep two"),
+            (1, "one rep rep two"),
+            (2, "rep rep rep"),
+            (3, "norep at all"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    row = toks.agg(F.count(F.lit(1)), F.avg("doc_len"), F.max("doc_id")).collect()[0]
+    postings = build_postings(
+        toks, int(row[0]), float(row[1]), n_buckets=2,
+        max_doc_id=int(row[2]), with_positions=True,
+    )
+    rows = bm25_phrase_topk(
+        postings,
+        [{"query_id": 0, "terms": ["rep", "rep"]}],
+        int(row[0]), float(row[1]), k=10,
+    ).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
+
+
+def test_persistent_positional_index_and_facade(spark, sf_dir, tmp_path, tok):
+    """with_positions flows through the resumable build; the facade's
+    search_phrase serves off the loaded index and matches the naive
+    oracle; a non-positional engine refuses clearly."""
+    from pisa_spark.engine import SearchEngine
+
+    root = str(tmp_path / "pos_idx")
+    eng = SearchEngine.build(
+        spark, sf_dir, root, n_buckets=8, wave_size=8, with_positions=True
+    )
+    phrase = pick_phrases(tok)[0]
+    rows = eng.search_phrase(" ".join(phrase), k=10).collect()
+    expect = naive_phrase_topk(tok, phrase, k=10)
+    got = sorted(((r["rank"], r["doc_id"]) for r in rows))
+    assert [d for _, d in got] == [d for d, _ in expect]
+
+    plain = SearchEngine.build(
+        spark, sf_dir, str(tmp_path / "plain_idx"), n_buckets=8, wave_size=8
+    )
+    with pytest.raises(ValueError, match="positional"):
+        plain.search_phrase("order fast")
