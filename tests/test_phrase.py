@@ -145,3 +145,104 @@ def test_persistent_positional_index_and_facade(spark, sf_dir, tmp_path, tok):
     )
     with pytest.raises(ValueError, match="positional"):
         plain.search_phrase("order fast")
+
+
+# ---------------------------------------------------------------------------
+# Spark-free kernel fuzz: random token sequences vs naive sequence scan
+# ---------------------------------------------------------------------------
+
+
+def _blocks_with_positions(docs_tokens, n_buckets=2, block=3):
+    import numpy as np
+    import pandas as pd
+
+    from pisa_spark.index import codec
+    from pisa_spark.index.build import _encode_positions
+
+    n_docs = len(docs_tokens)
+    span = -(-n_docs // n_buckets)
+    vocab = sorted({t for ts in docs_tokens for t in ts})
+    rows = []
+    for term in vocab:
+        entries = []  # (doc, tf, dl, positions)
+        for d, ts in enumerate(docs_tokens):
+            pos = [i for i, t in enumerate(ts) if t == term]
+            if pos:
+                entries.append((d, len(pos), len(ts), pos))
+        for b in range(n_buckets):
+            be = [e for e in entries if b * span <= e[0] < (b + 1) * span]
+            for s in range(0, len(be), block):
+                ch = be[s : s + block]
+                d = np.array([e[0] for e in ch], dtype=np.int64)
+                tfs = np.array([e[1] for e in ch], dtype=np.int64)
+                dls = np.array([e[2] for e in ch], dtype=np.int64)
+                rows.append(
+                    {
+                        "bucket": b, "term": term, "block_idx": s // block,
+                        "first_doc": int(d[0]), "max_doc": int(d[-1]),
+                        "n": int(d.size),
+                        "tf_max": int(tfs.max()), "tf_min": int(tfs.min()),
+                        "dl_min": int(dls.min()), "dl_max": int(dls.max()),
+                        "docs": codec.delta_encode_docids(d),
+                        "tfs": codec.encode_payload(tfs, minus_one=True),
+                        "dls": codec.encode_payload(dls),
+                        "poss": _encode_positions([e[3] for e in ch]),
+                    }
+                )
+    import pandas as pd
+
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_phrase_kernel_fuzz(seed):
+    import numpy as np
+    import pandas as pd
+
+    from pisa_spark.query.bm25 import phrase_kernel
+
+    rng = np.random.default_rng(seed)
+    vocab = list("abcd"[: rng.integers(2, 5)])
+    docs_tokens = [
+        [vocab[rng.integers(0, len(vocab))] for _ in range(rng.integers(1, 12))]
+        for _ in range(rng.integers(4, 25))
+    ]
+    blocks = _blocks_with_positions(docs_tokens)
+    n_docs = len(docs_tokens)
+    avgdl = sum(len(ts) for ts in docs_tokens) / n_docs
+    term_dfs = {
+        t: sum(1 for ts in docs_tokens if t in ts) for t in vocab
+    }
+    tok = {d: ts for d, ts in enumerate(docs_tokens)}
+    queries = []
+    for qid in range(5):
+        m = int(rng.integers(1, 4))
+        # half the time sample a REAL consecutive run (guaranteed hits)
+        if rng.random() < 0.5:
+            src = docs_tokens[rng.integers(0, n_docs)]
+            if len(src) >= m:
+                i = rng.integers(0, len(src) - m + 1)
+                phrase = src[i : i + m]
+            else:
+                phrase = src[:]
+        else:
+            phrase = [vocab[rng.integers(0, len(vocab))] for _ in range(m)]
+        queries.append({"query_id": qid, "terms": phrase})
+
+    k = int(rng.integers(1, 6))
+    kern = phrase_kernel(queries, float(n_docs), float(avgdl), k, term_dfs)
+    frames = list(kern(iter([blocks])))
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["query_id", "doc_id", "score"]
+    )
+    for q in queries:
+        g = out[out["query_id"] == q["query_id"]]
+        cand = sorted(
+            zip(g["doc_id"], g["score"]), key=lambda x: (-round(x[1], 9), x[0])
+        )[:k]
+        expect = naive_phrase_topk(tok, q["terms"], k=k)
+        assert [d for d, _ in cand] == [d for d, _ in expect], (
+            f"seed={seed} q={q['terms']} got={cand} want={expect}"
+        )
+        for (_, sg), (_, se) in zip(cand, expect):
+            assert abs(sg - se) < 1e-9
