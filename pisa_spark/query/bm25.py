@@ -524,13 +524,18 @@ def phrase_kernel(
 ):
     """mapInPandas kernel for phrase top-k over the positional index.
 
-    phrases: [{query_id, terms: [ordered tokens]}]. Per bucket: decode
-    the phrase's terms (docs/tfs/dls/positions), take conjunctive
-    candidates (docs matching ALL distinct terms), verify adjacency via
-    the slot-shifted occurrence-key intersection, score survivors with
-    the standard BM25 sum over the phrase's DISTINCT terms, trim to the
-    bucket-local top-k. No block pruning: every posting of a phrase
-    term must be consulted for positions anyway.
+    phrases: [{query_id, terms: [ordered tokens]}]. Per bucket: a
+    rarest-first posting-list intersection with BLOCK-RANGE SKIPPING —
+    the skip-pointer use the (first_doc, max_doc) metadata exists for:
+    the rarest term decodes fully and seeds the candidate set; every
+    later term decodes ONLY blocks whose doc range intersects the
+    current candidates (searchsorted on block bounds), then the
+    candidate set shrinks by intersection. A phrase pairing a rare term
+    with a stop-word therefore decodes ~df(rare) postings of the
+    stop-word, not its whole posting list. Survivors get adjacency
+    verified via the slot-shifted occurrence-key intersection and are
+    scored with the standard BM25 sum over the phrase's DISTINCT
+    terms; bucket-local top-k out.
     """
 
     def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -541,23 +546,36 @@ def phrase_kernel(
         out_frames = []
         for _, bucket_blocks in all_blocks.groupby("bucket", sort=False):
             by_term = dict(tuple(bucket_blocks.groupby("term", sort=False)))
-            decoded: dict[str, tuple] = {}
             for q in phrases:
                 tokens = list(q["terms"])
                 distinct = list(dict.fromkeys(tokens))
                 if not tokens or any(t not in by_term for t in distinct):
                     continue
-                for t in distinct:
-                    if t not in decoded:
-                        g = by_term[t]
-                        docs, tfs, dls = _decode_blocks_vectorized(g)
-                        poss = _decode_positions(g, tfs)
-                        decoded[t] = (docs, tfs, dls, poss)
-                # conjunctive candidates over distinct terms
-                all_docs = np.concatenate([decoded[t][0] for t in distinct])
-                uniq, inv = np.unique(all_docs, return_inverse=True)
-                cand = uniq[np.bincount(inv) == len(distinct)]
-                if cand.size == 0:
+                decoded: dict[str, tuple] = {}
+                cand: np.ndarray | None = None
+                for t in sorted(distinct, key=lambda u: term_dfs[u]):
+                    g = by_term[t]
+                    if cand is not None:
+                        fd = g["first_doc"].to_numpy(np.int64)
+                        md = g["max_doc"].to_numpy(np.int64)
+                        # block skip: keep only blocks whose doc range
+                        # holds at least one surviving candidate
+                        keep = np.searchsorted(cand, md, "right") > (
+                            np.searchsorted(cand, fd, "left")
+                        )
+                        if not keep.any():
+                            cand = np.empty(0, np.int64)
+                            break
+                        g = g[keep]
+                    docs, tfs, dls = _decode_blocks_vectorized(g)
+                    poss = _decode_positions(g, tfs)
+                    decoded[t] = (docs, tfs, dls, poss)
+                    cand = docs if cand is None else np.intersect1d(
+                        cand, docs, assume_unique=True
+                    )
+                    if cand.size == 0:
+                        break
+                if cand is None or cand.size == 0:
                     continue
                 matched = _phrase_match_docs(
                     {t: (decoded[t][0], decoded[t][1], decoded[t][3])
