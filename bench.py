@@ -113,11 +113,12 @@ def main() -> None:
     timings["q_batch_all"] = round(time.perf_counter() - t0, 4)
     # 64-query throughput batch (union-masked shared decode per term)
     vocab = sorted(term_dfs, key=term_dfs.get, reverse=True)[:16]
+    nv = len(vocab)
     big_batch = [
         {
             "query_id": 100 + i,
-            "terms": [vocab[i % 16], vocab[(i * 7 + 3) % 16]]
-            + ([vocab[(i * 5 + 11) % 16]] if i % 2 else []),
+            "terms": [vocab[i % nv], vocab[(i * 7 + 3) % nv]]
+            + ([vocab[(i * 5 + 11) % nv]] if i % 2 else []),
             "conjunctive": i % 4 == 3,
         }
         for i in range(64)

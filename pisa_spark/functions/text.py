@@ -112,7 +112,10 @@ def winnowing_fingerprints(
     Output: one row per selected hash (doc_id, fp) — set semantics.
     Pure array higher-order functions over the md5 hash family (no
     explode before the final set, no UDF); identical arithmetic in the
-    DuckDB oracle. Docs with fewer than k tokens produce no rows.
+    DuckDB oracle. Docs with fewer than k+w-1 tokens (i.e. less than
+    one full window) produce no rows — the winnowing guarantee only
+    speaks to matches of at least that length, and the DuckDB twin
+    applies the same threshold.
     """
     from pisa_spark.dedup.dedup import hash64
 

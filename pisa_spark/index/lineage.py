@@ -243,16 +243,22 @@ def build_index_resumable(
             written = catalog.read_table(spark, index_root, POSTINGS_TABLE).filter(
                 F.col("bucket").isin(wave)
             )
+            payload = (
+                F.sum(F.octet_length("docs"))
+                + F.sum(F.octet_length("tfs"))
+                + F.sum(F.octet_length("dls"))
+            )
+            if with_positions:
+                # the positions payload is usually the LARGEST column
+                # (one varint per token occurrence) — bytes_out must
+                # include it or positional index sizes underreport
+                payload = payload + F.sum(F.octet_length("poss"))
             per_bucket = (
                 written.groupBy("bucket")
                 .agg(
                     F.sum("n").alias("postings"),
                     F.count(F.lit(1)).alias("blocks"),
-                    (
-                        F.sum(F.octet_length("docs"))
-                        + F.sum(F.octet_length("tfs"))
-                        + F.sum(F.octet_length("dls"))
-                    ).alias("bytes_out"),
+                    payload.alias("bytes_out"),
                 )
                 .collect()
             )

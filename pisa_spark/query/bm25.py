@@ -278,6 +278,36 @@ def _accumulate_topk(
     return uniq, sums
 
 
+def _arrange_pruned(
+    postings: DataFrame,
+    terms: list[str],
+    term_dfs: dict[str, int] | None,
+    pre_arranged: bool,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Shared query-driver prologue: term-pruned scan (PushedFilters),
+    df derivation from block metadata when not supplied, bucket
+    co-location unless the input is already arranged."""
+    pruned = postings.filter(F.col("term").isin(list(terms)))
+    if term_dfs is None:
+        term_dfs = {
+            r["term"]: int(r["df"])
+            for r in pruned.groupBy("term").agg(F.sum("n").alias("df")).collect()
+        }
+    if pre_arranged:
+        arranged = pruned
+    else:
+        n_part = max(postings.sparkSession.sparkContext.defaultParallelism, 8)
+        arranged = pruned.repartition(n_part, "bucket")
+    return arranged, term_dfs
+
+
+_EMPTY_TOPK_FRAME = {
+    "query_id": pd.array([], dtype="int32"),
+    "doc_id": pd.array([], dtype="int64"),
+    "score": pd.array([], dtype="float64"),
+}
+
+
 def wand_kernel(
     queries: list[dict],
     n_docs: float,
@@ -392,13 +422,7 @@ def wand_kernel(
         if out_frames:
             yield pd.concat(out_frames, ignore_index=True)
         else:
-            yield pd.DataFrame(
-                {
-                    "query_id": pd.array([], dtype="int32"),
-                    "doc_id": pd.array([], dtype="int64"),
-                    "score": pd.array([], dtype="float64"),
-                }
-            )
+            yield pd.DataFrame(_EMPTY_TOPK_FRAME)
 
     return kernel
 
@@ -441,23 +465,11 @@ def bm25_topk_wand(
     """
     all_terms = sorted({t for q in queries for t in q["terms"]})
     # no cache: the term-pruned parquet scan (PushedFilters) is cheaper
-    # to re-run than to materialize, and caching per call would leak
-    pruned = postings.filter(F.col("term").isin(all_terms))
-    # document frequency of the query terms only: every posting sits in
-    # exactly one block, so df = sum(n) over the term's blocks — a tiny
-    # metadata aggregation over the already-pruned scan, no side table
-    if term_dfs is None:
-        term_dfs = {
-            r["term"]: int(r["df"])
-            for r in pruned.groupBy("term").agg(F.sum("n").alias("df")).collect()
-        }
-    if pre_arranged:
-        arranged = pruned
-    else:
-        # keep bucket co-location: one kernel call sees whole buckets;
-        # explicit count so AQE can't collapse the scoring stage's DOP
-        n_part = max(postings.sparkSession.sparkContext.defaultParallelism, 8)
-        arranged = pruned.repartition(n_part, "bucket")
+    # to re-run than to materialize, and caching per call would leak;
+    # df = sum(n) over the term's blocks when not supplied
+    arranged, term_dfs = _arrange_pruned(
+        postings, all_terms, term_dfs, pre_arranged
+    )
     thresholds: dict[int, float] = {}
     if two_phase:
         sample = arranged.filter(F.col("bucket") < sample_buckets)
@@ -554,7 +566,12 @@ def phrase_kernel(
                 decoded: dict[str, tuple] = {}
                 cand: np.ndarray | None = None
                 for t in sorted(distinct, key=lambda u: term_dfs[u]):
-                    g = by_term[t]
+                    # blocks arrive in scan/shuffle order, which is NOT
+                    # guaranteed to be doc order (a split parquet file
+                    # interleaves); sort by range so the decoded docs
+                    # are globally sorted — searchsorted block skipping
+                    # and candidate indexing depend on it
+                    g = by_term[t].sort_values("first_doc")
                     if cand is not None:
                         fd = g["first_doc"].to_numpy(np.int64)
                         md = g["max_doc"].to_numpy(np.int64)
@@ -613,13 +630,7 @@ def phrase_kernel(
         if out_frames:
             yield pd.concat(out_frames, ignore_index=True)
         else:
-            yield pd.DataFrame(
-                {
-                    "query_id": pd.array([], dtype="int32"),
-                    "doc_id": pd.array([], dtype="int64"),
-                    "score": pd.array([], dtype="float64"),
-                }
-            )
+            yield pd.DataFrame(_EMPTY_TOPK_FRAME)
 
     return kernel
 
@@ -639,17 +650,9 @@ def bm25_phrase_topk(
     (score DESC, doc_id ASC). Same plan shape as bm25_topk_wand:
     term-pruned scan -> per-bucket kernel -> k-row top-k merge."""
     all_terms = sorted({t for q in phrases for t in q["terms"]})
-    pruned = postings.filter(F.col("term").isin(all_terms))
-    if term_dfs is None:
-        term_dfs = {
-            r["term"]: int(r["df"])
-            for r in pruned.groupBy("term").agg(F.sum("n").alias("df")).collect()
-        }
-    if pre_arranged:
-        arranged = pruned
-    else:
-        n_part = max(postings.sparkSession.sparkContext.defaultParallelism, 8)
-        arranged = pruned.repartition(n_part, "bucket")
+    arranged, term_dfs = _arrange_pruned(
+        postings, all_terms, term_dfs, pre_arranged
+    )
     partial = arranged.mapInPandas(
         phrase_kernel(phrases, float(n_docs), float(avgdl), k, term_dfs),
         schema=TOPK_RESULT_SCHEMA,

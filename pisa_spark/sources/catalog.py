@@ -169,13 +169,27 @@ def delete_partitions(root: str, name: str, values: list) -> None:
     _publish(root, name, m)
 
 
-def vacuum(root: str, name: str) -> list[str]:
+def vacuum(root: str, name: str, min_age_s: float = 3600.0) -> list[str]:
     """Out-of-band GC: delete generation dirs (and stale manifest
-    tmp files) no longer referenced by the published manifest. Safe at
-    any time — readers resolve the manifest first, and an unreferenced
-    generation can never become referenced again (writes always create
-    fresh generations). Returns the removed dir names."""
+    tmp files) no longer referenced by the published manifest.
+
+    Safe for READERS at any time (they resolve the manifest first, and
+    a once-referenced generation can never become referenced again) —
+    but an IN-FLIGHT write_table has an unreferenced generation between
+    its data write and its manifest publish, so vacuum skips anything
+    younger than ``min_age_s`` (default 1h, far above any commit
+    window). Run with min_age_s=0 only under external writer exclusion.
+    Returns the removed dir names."""
     import shutil
+    import time as _time
+
+    cutoff = _time.time() - min_age_s
+
+    def _old(p: str) -> bool:
+        try:
+            return os.path.getmtime(p) < cutoff
+        except OSError:
+            return False
 
     m = _read_manifest(root, name)
     tp = table_path(root, name)
@@ -193,6 +207,8 @@ def vacuum(root: str, name: str) -> list[str]:
             if not d.startswith("gen-"):
                 continue
             gen_full = os.path.join(tp, d)
+            if not _old(gen_full):
+                continue
             for sub in list(os.listdir(gen_full)):
                 if sub.startswith(f"{pcol}=") and f"{d}/{sub}" not in live_rel:
                     shutil.rmtree(os.path.join(gen_full, sub), ignore_errors=True)
@@ -206,12 +222,17 @@ def vacuum(root: str, name: str) -> list[str]:
         live = set(m.get("dirs", []))
         for d in list(os.listdir(tp)):
             if d.startswith("gen-") and d not in live:
-                shutil.rmtree(os.path.join(tp, d), ignore_errors=True)
+                full = os.path.join(tp, d)
+                if not _old(full):
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
                 removed.append(d)
     for d in list(os.listdir(tp)):
         if d.startswith(MANIFEST + ".tmp-"):
-            os.remove(os.path.join(tp, d))
-            removed.append(d)
+            full = os.path.join(tp, d)
+            if _old(full):
+                os.remove(full)
+                removed.append(d)
     return removed
 
 

@@ -230,6 +230,10 @@ def test_phrase_kernel_fuzz(seed):
         queries.append({"query_id": qid, "terms": phrase})
 
     k = int(rng.integers(1, 6))
+    # block rows arrive in arbitrary scan/shuffle order in production —
+    # shuffle them to prove the kernel re-sorts per term (regression
+    # for the searchsorted-over-unsorted-blocks bug)
+    blocks = blocks.sample(frac=1.0, random_state=seed).reset_index(drop=True)
     kern = phrase_kernel(queries, float(n_docs), float(avgdl), k, term_dfs)
     frames = list(kern(iter([blocks])))
     out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(

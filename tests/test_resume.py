@@ -261,10 +261,10 @@ def test_vacuum_removes_superseded_generations(spark, sf_dir, tmp_path):
     build_index_resumable(spark, corpus, idx, wave_size=8, docs_per_bucket=64)
 
     before = decode_index(load_index(spark, idx)[0].collect())
-    removed = catalog.vacuum(idx, "postings")
+    removed = catalog.vacuum(idx, "postings", min_age_s=0)
     # the rebuilt bucket's OLD partition dir is superseded and collected
     # (both generations stay: each still holds live partitions)
     assert any("bucket=0" in r for r in removed), removed
     assert decode_index(load_index(spark, idx)[0].collect()) == before
     # vacuum again: nothing left to collect
-    assert catalog.vacuum(idx, "postings") == []
+    assert catalog.vacuum(idx, "postings", min_age_s=0) == []
