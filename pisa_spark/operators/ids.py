@@ -41,6 +41,7 @@ def global_positions(
     order_cols: list[str],
     out_col: str,
     n_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Append ``out_col`` = 0-based dense rank of the row in the total
     order of ``order_cols`` (which must uniquely identify rows — ties
@@ -95,10 +96,14 @@ def global_positions(
             seen += n
             yield pdf
 
-    out = (
-        arranged.withColumn("__pid", F.spark_partition_id())
-        .mapInPandas(add_ids, schema=out_schema)
-        .localCheckpoint(eager=True)
+    out = arranged.withColumn("__pid", F.spark_partition_id()).mapInPandas(
+        add_ids, schema=out_schema
     )
+    if not materialize:
+        # plan-inspection/testing mode: the caller sees the live plan
+        # (range exchange + sort + kernel) instead of the checkpoint
+        # scan, and owns the persisted intermediate's lifecycle
+        return out
+    out = out.localCheckpoint(eager=True)
     arranged.unpersist()
     return out

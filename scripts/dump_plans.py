@@ -61,7 +61,7 @@ def main() -> None:
     from pisa_spark.operators.ids import global_positions
 
     pages = pages_from_documents(spark, sf).select("url", "lang")
-    ids_plan = fmt(global_positions(pages, ["url"], "doc_id"))
+    ids_plan = fmt(global_positions(pages, ["url"], "doc_id", materialize=False))
     assert "rangepartitioning" in ids_plan.lower(), (
         "id assignment lost its range exchange"
     )
@@ -125,7 +125,9 @@ totally orders partitions) feeding `Sort` + `MapInPandas` — and NO
 `Exchange SinglePartition` anywhere, which is what a global
 `row_number()` Window would have planned (one task holding the whole
 corpus). The dump script asserts both properties before writing this
-file.
+file. (Dumped with materialize=False: the production default eagerly
+localCheckpoints the result, which truncates the visible lineage to a
+checkpoint scan — same physical work, invisible plan.)
 
 ```
 {ids_plan}
