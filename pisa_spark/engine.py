@@ -147,17 +147,41 @@ class SearchEngine:
             F.col("doc_id").isin([int(i) for i in doc_ids])
         )
 
-    def search_with_docs(self, query, k: int = 10) -> DataFrame:
+    def search_with_docs(
+        self, query, k: int = 10, snippet_window: int | None = None
+    ) -> DataFrame:
         """search() plus the matching document text — top-k ids are tiny,
         so the doc join is a broadcast of k rows against the id-pruned
-        corpus scan."""
+        corpus scan. snippet_window=N adds a ``snippet`` column: N
+        tokens of context around the first query-term hit (pure array
+        expressions, no extra job)."""
+        from pisa_spark.corpus import parse_query, tokens_col
+
         hits = self.search(query, k=k)
         docs = self.spark.read.parquet(
             f"{self._corpus()}/documents.parquet"
         ).select("doc_id", "text")
-        return F.broadcast(hits).join(docs, "doc_id").select(
+        out = F.broadcast(hits).join(docs, "doc_id").select(
             "query_id", "rank", "doc_id", "score", "text"
         )
+        if snippet_window is None:
+            return out
+        terms = (
+            parse_query(query)["terms"] if isinstance(query, str)
+            else list(query["terms"])
+        )
+        toks = tokens_col(F.col("text"))
+        qarr = F.array(*[F.lit(t) for t in terms])
+        # 1-based position of the first token that is any query term
+        first = F.array_position(
+            F.transform(toks, lambda t: F.array_contains(qarr, t)), True
+        )
+        start = F.greatest(first - snippet_window // 2, F.lit(1))
+        snippet = F.when(
+            first > 0,
+            F.array_join(F.slice(toks, start, snippet_window), " "),
+        ).otherwise(F.array_join(F.slice(toks, 1, snippet_window), " "))
+        return out.withColumn("snippet", snippet)
 
     # -- metadata ----------------------------------------------------------
 

@@ -1,7 +1,7 @@
 """SearchEngine facade: build/load/search parity with the direct API."""
 
 import pytest
-from pyspark.sql import functions as F
+
 
 from pisa_spark.engine import SearchEngine
 from tests.oracle import Bm25Oracle
@@ -81,3 +81,14 @@ def test_edge_queries(eng):
     a = sorted(map(tuple, eng.search("data data data", k=5).collect()))
     b = sorted(map(tuple, eng.search("data", k=5).collect()))
     assert a == b
+
+
+def test_snippets(eng, sf_dir):
+    eng.with_corpus(sf_dir)
+    rows = eng.search_with_docs("data join", k=5, snippet_window=6).collect()
+    assert len(rows) == 5
+    for r in rows:
+        words = r["snippet"].split(" ")
+        assert len(words) <= 6
+        # the snippet window contains a query term (hits always match)
+        assert any(w in ("data", "join") for w in words), r["snippet"]

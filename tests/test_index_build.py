@@ -12,7 +12,6 @@ from pisa_spark.index.build import (
     BLOCK_SIZE,
     build_index_dataframes,
     build_postings,
-    term_frequencies,
 )
 from tests.oracle import Bm25Oracle
 
