@@ -39,6 +39,7 @@ from pisa_spark.dedup.dedup import (  # noqa: E402
     exact_duplicates,
     minhash_lsh_candidates,
     minhash_signatures,
+    near_duplicate_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_pairs,
@@ -807,6 +808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": lambda spark, sf: embedding_near_pairs(
             _embeddings(spark, sf), threshold=0.4
         ).select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine")),
+        # scale path: MinHash LSH candidates -> exact Jaccard, one call
+        "dedup_pipeline_pairs": lambda spark, sf: near_duplicate_pairs(
+            _docs(spark, sf), threshold=0.3
+        ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")),
         # scale path: LSH bucket candidates -> exact cosine, one call
         "dedup_embedding_lsh": lambda spark, sf: embedding_near_pairs_lsh(
             _embeddings(spark, sf), threshold=0.4,
@@ -1112,6 +1117,29 @@ SELECT doc_a, doc_b,
                              i -> sig_a[i] = sig_b[i])) * 1.0 / len(sig_a), 6)
          AS est_jaccard
 FROM pairs
+""",
+        "dedup_pipeline_pairs": _SQL_MINHASH
+        + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter) >= 0.3
 """,
         "dedup_simhash": _SQL_SIMHASH + "SELECT doc_id, simhash FROM fp",
         "dedup_simhash_pairs": _SQL_SIMHASH

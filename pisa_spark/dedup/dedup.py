@@ -202,6 +202,31 @@ def minhash_lsh_candidates(
     )
 
 
+def near_duplicate_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Scale path for text near-dup, wired as ONE call: MinHash
+    signatures -> LSH band-bucket candidates -> exact n-gram Jaccard
+    verification restricted to the candidates. Output
+    (doc_a, doc_b, jaccard >= threshold); recall is governed by the
+    (n_hashes, n_bands) S-curve — pairs the LSH misses are absent, but
+    every emitted jaccard is exact. No stage touches an all-pairs
+    product: signatures are a narrow map, candidates a band-key
+    equi-join, verification a shingle equi-join pre-filtered to
+    candidate pairs."""
+    sigs = minhash_signatures(docs, n_hashes, shingle_n, text_col)
+    cands = minhash_lsh_candidates(sigs, n_bands)
+    return ngram_jaccard_pairs(
+        docs, threshold, shingle_n, text_col,
+        candidates=cands.select("doc_a", "doc_b"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

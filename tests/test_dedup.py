@@ -129,3 +129,20 @@ def test_embedding_lsh_pairs_subset_with_recall(spark, sf_dir):
     # 4-bit x 8-table amplification at cosine ~0.5: expected recall
     # ~0.8; assert a conservative floor (deterministic, not flaky)
     assert n_lsh / n_exact >= 0.3, (n_lsh, n_exact)
+
+
+def test_near_duplicate_pairs_one_call(docs):
+    """Composed text near-dup: subset of the exact all-pairs answer
+    with exact jaccard values; high-jaccard pairs always recalled
+    (1-(1-j^4)^4 ~ 1 at j >= 0.9 for 4x4 banding)."""
+    from pisa_spark.dedup.dedup import near_duplicate_pairs
+
+    composed = near_duplicate_pairs(docs, threshold=0.3).cache()
+    exact = ngram_jaccard_pairs(docs, threshold=0.3).cache()
+    assert composed.join(exact, ["doc_a", "doc_b"], "left_anti").count() == 0
+    joined = composed.join(
+        exact.withColumnRenamed("jaccard", "jx"), ["doc_a", "doc_b"]
+    )
+    assert joined.filter(F.abs(F.col("jaccard") - F.col("jx")) > 1e-9).count() == 0
+    high = ngram_jaccard_pairs(docs, threshold=0.9)
+    assert high.join(composed, ["doc_a", "doc_b"], "left_anti").count() == 0
