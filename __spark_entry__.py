@@ -384,6 +384,113 @@ bf_topk AS (
 """
 
 
+def _ivf_sql_base() -> str:
+    """DuckDB twin of the FULL IVF path: the deterministic k-means loop
+    (k=8, 3 iterations, init = 8 smallest vec_ids), final corpus bucket
+    assignment, nprobe=4 probe selection and exact cosine rescoring —
+    all replayed independently from the parquet data. Cross-engine
+    equality holds because of the quantization contract in
+    similarity/kmeans.py: every squared distance is rounded to 9 dp
+    before an argmin (ties -> lowest cluster, row_number here, F.least
+    over (d, c) structs there) and every updated centroid component to
+    6 dp (half-away rounding = DuckDB round = Spark F.round), so the
+    order-dependent float sums of both engines collapse to the same
+    decimals. Init centroids are raw float->double (exact)."""
+    d1 = _EMB_DIM + 1
+    qids = ", ".join(map(str, _ANN_QUERY_IDS))
+
+    def dist2(vec: str, cent: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {d1}), j -> "
+            f"({vec}[j]::DOUBLE - {cent}[j]) * ({vec}[j]::DOUBLE - {cent}[j])"
+            f")), 9)"
+        )
+
+    parts = [
+        f"""
+WITH cents0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
+         list_transform(embedding, v -> v::DOUBLE) AS cent
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+)"""
+    ]
+    for t in range(1, 4):
+        prev = f"cents{t - 1}"
+        parts.append(
+            f""",
+assign{t} AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, ct.c,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist2("e.embedding", "ct.cent")} ASC,
+                                       ct.c ASC) AS rn
+    FROM embeddings e CROSS JOIN {prev} ct
+  ) WHERE rn = 1
+),
+upd{t} AS (
+  SELECT c, list(m ORDER BY j) AS cent FROM (
+    SELECT a.c, j.j AS j,
+           round(sum(e.embedding[j.j]::DOUBLE) / count(*), 6) AS m
+    FROM assign{t} a JOIN embeddings e USING (vec_id), range(1, {d1}) AS j(j)
+    GROUP BY a.c, j.j
+  ) GROUP BY c
+),
+cents{t} AS (
+  SELECT p.c, COALESCE(u.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN upd{t} u ON u.c = p.c
+)"""
+        )
+    parts.append(
+        f""",
+buckets AS (
+  SELECT vec_id, c FROM (
+    SELECT e.vec_id, ct.c,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist2("e.embedding", "ct.cent")} ASC,
+                                       ct.c ASC) AS rn
+    FROM embeddings e CROSS JOIN cents3 ct
+  ) WHERE rn = 1
+),
+qv AS (SELECT CAST(vec_id AS INTEGER) AS query_id, embedding AS qvec
+       FROM embeddings WHERE vec_id IN ({qids})),
+qprobe AS (
+  SELECT query_id, c FROM (
+    SELECT q.query_id, ct.c,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {dist2("q.qvec", "ct.cent")} ASC,
+                                       ct.c ASC) AS rn
+    FROM qv q CROSS JOIN cents3 ct
+  ) WHERE rn <= 4
+),
+ivf_scored AS (
+  SELECT qp.query_id, b.vec_id, {_SQL_COS} AS cosine
+  FROM qprobe qp
+  JOIN buckets b ON b.c = qp.c
+  JOIN embeddings e ON e.vec_id = b.vec_id
+  JOIN qv ON qv.query_id = qp.query_id
+),
+ivf_topk AS (
+  SELECT query_id, rank, vec_id, cosine FROM (
+    SELECT query_id, vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC)
+                AS INTEGER) AS rank
+    FROM ivf_scored
+  ) WHERE rank <= 10
+),
+bf_topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qv.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY qv.query_id
+                              ORDER BY {_SQL_COS} DESC, e.vec_id ASC) AS rank
+    FROM embeddings e CROSS JOIN qv
+  ) WHERE rank <= 10
+)
+"""
+    )
+    return "".join(parts)
+
+
 _JSD_K = 8  # clusters in the JSD-weight gate
 
 
@@ -827,8 +934,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")),
         "ann_lsh_recall": _ann_lsh_recall,
         # IVF variant: deterministic k-means coarse quantizer + probed
-        # buckets (approximate by design -> rows-only check; recall and
-        # exactness of returned scores are pytest-asserted vs brute force)
+        # buckets. Fully oracled since the quantization contract
+        # (similarity/kmeans.py: centroids rounded to 6 dp per update,
+        # squared distances to 9 dp before every argmin) collapsed the
+        # distributed float reassociation below decimal granularity —
+        # the DuckDB twin replays the entire 3-iteration k-means loop,
+        # final bucket assignment, probe selection and exact rescoring.
         "ann_ivf_topk": lambda spark, sf: ivf_topk(
             _embeddings(spark, sf),
             _ann_queries(spark, sf),
@@ -836,12 +947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k=10,
             nprobe=4,
         ).select("query_id", "rank", "vec_id", F.round("cosine", 4).alias("cosine")),
-        # IVF recall@10 vs brute force — rows-only by design: the k-means
-        # quantizer's distributed float sums reassociate across
-        # partitions (equal to a serial twin only to ~1e-9), below
-        # hash-compare granularity, so a SQL twin would flake on
-        # assignment ties; the pytest NumPy-reimplementation check
-        # (tests/test_kmeans_ivf.py) is the right oracle for this one
         "ann_ivf_recall": _ann_ivf_recall,
         # --- ref #41 JSD snapshot weights + ref #14 NaN guard ---
         "ref_jsd_weights": _ref_jsd_weights,
@@ -1211,6 +1316,19 @@ FROM lsh_topk l
 LEFT JOIN bf_topk b ON b.query_id = l.query_id AND b.vec_id = l.vec_id
 GROUP BY l.query_id
 """,
+        # full IVF twin: 3-iteration k-means, bucket assignment, probe
+        # selection and rescoring replayed by DuckDB (see _ivf_sql_base)
+        "ann_ivf_topk": _ivf_sql_base()
+        + """
+SELECT query_id, rank, vec_id, round(cosine, 4) AS cosine FROM ivf_topk
+""",
+        "ann_ivf_recall": _ivf_sql_base()
+        + """
+SELECT l.query_id, round(count(b.vec_id) / 10.0, 4) AS recall
+FROM ivf_topk l
+LEFT JOIN bf_topk b ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+GROUP BY l.query_id
+""",
         "dedup_embedding_lsh": f"""
 WITH planes(t, i, p) AS (VALUES {_planes_values(_LSH_NBITS, _LSH_TABLES)}),
 {_SQL_SIGS},
@@ -1532,15 +1650,26 @@ items AS (
 ),
 n AS (SELECT count(*) AS n_items FROM items),
 draws AS (
-  SELECT u.user_id, j.j,
-         CAST('0x'||substring(md5('neg:'||u.user_id||':'||j.j),1,8)
+  -- full 64-bit hash from two md5 halves (HUGEINT-composed, wrapped to
+  -- signed BIGINT = the engine's shiftleft(hi,32)|lo two's complement)
+  SELECT user_id, j,
+         CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                   THEN v - 18446744073709551616::HUGEINT ELSE v END
               AS BIGINT) AS h
-  FROM (SELECT DISTINCT user_id FROM inter) u, range(1, 21) AS j(j)
+  FROM (
+    SELECT u.user_id, j.j,
+           CAST('0x'||substring(md5('neg:'||u.user_id||':'||j.j),1,8)
+                AS BIGINT)::HUGEINT * 4294967296::HUGEINT
+           + CAST('0x'||substring(md5('neg:'||u.user_id||':'||j.j),9,8)
+                AS BIGINT)::HUGEINT AS v
+    FROM (SELECT DISTINCT user_id FROM inter) u, range(1, 21) AS j(j)
+  )
 ),
 cand AS (
+  -- pmod: ((h % n) + n) % n keeps the signed hash non-negative
   SELECT d.user_id, i.item_id, d.j
   FROM draws d CROSS JOIN n
-  JOIN items i ON i.idx = d.h % n.n_items
+  JOIN items i ON i.idx = ((d.h % n.n_items) + n.n_items) % n.n_items
 ),
 unseen AS (
   SELECT c.* FROM cand c

@@ -131,7 +131,47 @@ def main() -> None:
     t_big = time.perf_counter() - t0
     timings["q_batch64"] = round(t_big, 4)
 
+    # headline total stops here: round-over-round comparability of
+    # "value" (the entries below are additive diagnostics, timed but
+    # not counted into the suite total)
     total = time.perf_counter() - t_all
+
+    # batch64 with two-phase thresholds (phase-1 sample bootstrap then
+    # pruned phase-2) — the union-mask decode honors per-query
+    # thresholds, so this measures whether pruning pays in batch mode
+    t0 = time.perf_counter()
+    bm25_topk_wand(
+        postings, big_batch, stats["n_docs"], stats["avgdl"], k=10,
+        two_phase=True, term_dfs=term_dfs, pre_arranged=True,
+    ).collect()
+    t_big2 = time.perf_counter() - t0
+    timings["q_batch64_2p"] = round(t_big2, 4)
+
+    # positional build + phrase query: the with_positions=True cost and
+    # the poss payload size (one varint per token occurrence)
+    from pisa_spark.query.bm25 import bm25_phrase_topk
+
+    t0 = time.perf_counter()
+    pos_postings, _, _, pos_stats = build_index_dataframes(
+        spark, sf_dir, n_buckets=32, with_positions=True
+    )
+    pos_postings = pos_postings.repartition(n_part, "bucket").cache()
+    pos_agg = pos_postings.agg(
+        (
+            F.sum(F.octet_length("docs")) + F.sum(F.octet_length("tfs"))
+            + F.sum(F.octet_length("dls"))
+        ).alias("base_bytes"),
+        F.sum(F.octet_length("poss")).alias("poss_bytes"),
+    ).collect()[0]
+    t_pos_build = time.perf_counter() - t0
+    timings["index_build_positional"] = round(t_pos_build, 4)
+    t0 = time.perf_counter()
+    bm25_phrase_topk(
+        pos_postings,
+        [{"query_id": 0, "terms": ["of", "the"]}],
+        pos_stats["n_docs"], pos_stats["avgdl"], k=10, pre_arranged=True,
+    ).collect()
+    timings["phrase_of_the"] = round(time.perf_counter() - t0, 4)
     lat = sorted(
         v
         for k, v in timings.items()
@@ -153,6 +193,11 @@ def main() -> None:
         "latency_p50_s": p50,
         "latency_p95_s": p95,
         "batch64_queries_per_s": round(64 / t_big, 2),
+        "batch64_2p_queries_per_s": round(64 / t_big2, 2),
+        "positional_payload_bytes": int(
+            pos_agg["base_bytes"] + pos_agg["poss_bytes"]
+        ),
+        "poss_bytes": int(pos_agg["poss_bytes"]),
         "cores": os.environ.get("SPARK_GRAFT_CPUS", "*"),
     }
     spark.stop()

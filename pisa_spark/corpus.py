@@ -79,7 +79,7 @@ def extract_text(html: pd.Series) -> pd.Series:
     the reference's all-vectorized scoring path
     (/root/reference/src/Inference.py:227-240) — no per-row Python.
     """
-    s = html.map(lambda b: b.decode("utf-8"), na_action="ignore")
+    s = html.str.decode("utf-8")
     # pandas .str ops are columnar over the block; regex anchored to the
     # template so malformed rows fall through unchanged-minus-tags.
     body = s.str.replace(r"^.*?<body><p>", "", n=1, regex=True)

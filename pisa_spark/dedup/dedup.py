@@ -6,7 +6,7 @@ exists in the DuckDB oracle — engine and oracle share every bit):
 
 * exact            — hash-groupBy on normalized text, keep min doc_id
 * minhash + LSH    — shingle -> H minhashes -> B bands -> bucket join
-* simhash          — 16-bit sign-of-weighted-bit-sums fingerprint
+* simhash          — 64-bit sign-of-weighted-bit-sums fingerprint
 * n-gram jaccard   — exact pairwise Jaccard over shingle sets
 * embedding cosine — near-dup pairs by cosine over embedding vectors
 
@@ -244,35 +244,46 @@ def simhash(
     the long negative; both engines treat >> as arithmetic shift and
     bit_count ignores sign, so parity holds across the full width.
 
-    Two hash-aggregations (doc,token) then (doc); bits unrolled as an
-    array expression — no UDF, identical arithmetic in the oracle."""
+    Three hash-aggregations, all on NARROW rows: (doc,token) tf, then
+    (doc,bit) signed sums over an exploded bit axis, then a (doc)
+    bit_or composing the fingerprint. The exploded-bit shape replaces
+    round 2's 64 unrolled when/otherwise sum columns — the shuffle row
+    carried 64 partial sums per doc and the generated code 64 aggregate
+    buffers; here each row is (doc_id, bit, contrib) and map-side
+    partial aggregation compresses to <=bits rows per doc per
+    partition. Structurally identical to the DuckDB twin's
+    range(0,64) join — no UDF, identical arithmetic in the oracle."""
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.col(text_col))).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     h = tf.withColumn("h", hash_wide(F.col("token"), salt="sh:"))
-    contribs = h.select(
-        "doc_id",
-        *[
-            (
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-                .otherwise(-F.col("tf"))
-            ).alias(f"b{i}")
-            for i in range(bits)
-        ],
+    sums = (
+        h.select(
+            "doc_id", "tf", "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        )
+        .select(
+            "doc_id",
+            "bit",
+            F.when(F.expr("shiftright(h, bit) & 1") == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+            .alias("contrib"),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
     )
-    sums = contribs.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+    # shiftleft(1L, 63) wraps into the sign bit by definition (no
+    # overflow); bit_or composes the disjoint bits — safe under ANSI
+    # where a SUM of bit values could overflow-error
+    bit_val = F.when(
+        F.col("s") > 0, F.expr("shiftleft(1L, bit)")
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        sums.groupBy("doc_id")
+        .agg(F.bit_or(bit_val).alias("simhash"))
+        .select("doc_id", "simhash")
     )
-    fp = None
-    for i in range(bits):
-        # shiftleft(1L, i) wraps at bit 63 (sign bit) — 2**63 would
-        # overflow a long literal; OR composes the disjoint bits
-        bit = F.when(
-            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp.bitwiseOR(bit)
-    return sums.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -343,22 +354,43 @@ def ngram_jaccard_pairs(
     candidates: optional (doc_a, doc_b) pre-filter (e.g. LSH output) —
     REQUIRED at scale; without it the shingle self-join is exact but
     only viable when shingle df is modest (oracle-scale corpora).
-    Plan: explode distinct shingles -> self-join on shingle ->
-    pair-count = |A∩B| -> sizes join -> Jaccard filter."""
+
+    When candidates IS given the restriction is applied BELOW the
+    self-join, not just on its output: the exploded shingle relation is
+    semi-joined to the candidate doc-id set on both sides (so only
+    shingles of candidate docs enter the join at all), and the
+    candidate pair set is joined onto (doc_a, doc_b) BEFORE the
+    pair-count aggregate (so non-candidate collisions on head shingles
+    are dropped pre-shuffle). Work, not just output, is then bounded
+    by |candidates| — the verification stage a 10^12-doc pipeline
+    needs after LSH. Restricting to candidate docs cannot change any
+    candidate pair's intersection count (both endpoints are candidate
+    docs by construction), so results are identical to the unfiltered
+    plan and the DuckDB oracle twin composes unchanged.
+
+    Plan: explode distinct shingles [-> semi-join candidate docs] ->
+    self-join on shingle [-> join candidate pairs] -> pair-count =
+    |A∩B| -> sizes join -> Jaccard filter."""
     sh = docs.select(
         "doc_id", F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
     )
+    if candidates is not None:
+        cand_pairs = candidates.select("doc_a", "doc_b")
+        cand_docs = (
+            cand_pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(cand_pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh = sh.join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    pair_rel = a.join(b, "sh").filter(F.col("doc_a") < F.col("doc_b"))
     if candidates is not None:
-        inter = inter.join(candidates.select("doc_a", "doc_b"), ["doc_a", "doc_b"])
+        pair_rel = pair_rel.join(cand_pairs, ["doc_a", "doc_b"])
+    inter = pair_rel.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).alias("n_inter")
+    )
     jac = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")

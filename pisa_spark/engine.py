@@ -62,13 +62,37 @@ class SearchEngine:
         in executor memory (right when the working set fits — e.g. one
         shard of a sharded deployment); cache=False leaves queries as
         term-pruned scans straight off the catalog files, the mode for
-        an index far bigger than cluster memory."""
+        an index far bigger than cluster memory.
+
+        cache=False is genuinely shuffle-free: the build writes each
+        bucket as ONE data file (lineage.py clusters by bucket before
+        the partitioned write), and a file smaller than
+        spark.sql.files.maxPartitionBytes is never split across scan
+        tasks, so the stored layout already satisfies the WAND kernel's
+        bucket-wholly-in-one-partition invariant. The invariant is
+        VERIFIED against the manifest here (file counts + sizes); an
+        index written by an older build that violates it falls back to
+        a per-query bucket repartition (correct, one extra shuffle)."""
+        from pisa_spark.index.lineage import POSTINGS_TABLE
+        from pisa_spark.sources import catalog
+
         postings, stats = load_index(spark, index_root)
-        n_part = max(spark.sparkContext.defaultParallelism, 8)
-        arranged = postings.repartition(n_part, "bucket")
         if cache:
-            arranged = arranged.cache()
-        return cls(spark, arranged, stats, pre_arranged=True)
+            n_part = max(spark.sparkContext.defaultParallelism, 8)
+            arranged = postings.repartition(n_part, "bucket").cache()
+            return cls(spark, arranged, stats, pre_arranged=True)
+        max_bytes_conf = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728b"
+        )
+        max_split = int("".join(c for c in str(max_bytes_conf) if c.isdigit()))
+        try:
+            n_files, biggest = catalog.partition_file_stats(
+                index_root, POSTINGS_TABLE
+            )
+            stored_ok = n_files <= 1 and biggest < max_split
+        except (FileNotFoundError, OSError):
+            stored_ok = False
+        return cls(spark, postings, stats, pre_arranged=stored_ok)
 
     # -- querying ----------------------------------------------------------
 
@@ -139,11 +163,21 @@ class SearchEngine:
             )
         return self._corpus_dir
 
+    def _docs_df(self) -> DataFrame:
+        """The forward index, resolved through the manifest catalog so
+        a manifest-committed corpus (e.g. the streaming staging table)
+        gets atomic-visibility reads; a plain parquet dir (driver
+        testdata) falls through to the catalog's legacy direct read."""
+        from pisa_spark.sources import catalog
+
+        return catalog.read_table(
+            self.spark, self._corpus(), "documents.parquet"
+        )
+
     def fetch_docs(self, doc_ids: list[int]) -> DataFrame:
         """(doc_id, text) for the given ids — an IN filter that reaches
         the parquet scan (PushedFilters), no full corpus read."""
-        docs = self.spark.read.parquet(f"{self._corpus()}/documents.parquet")
-        return docs.select("doc_id", "text").filter(
+        return self._docs_df().select("doc_id", "text").filter(
             F.col("doc_id").isin([int(i) for i in doc_ids])
         )
 
@@ -158,9 +192,7 @@ class SearchEngine:
         from pisa_spark.corpus import parse_query, tokens_col
 
         hits = self.search(query, k=k)
-        docs = self.spark.read.parquet(
-            f"{self._corpus()}/documents.parquet"
-        ).select("doc_id", "text")
+        docs = self._docs_df().select("doc_id", "text")
         out = F.broadcast(hits).join(docs, "doc_id").select(
             "query_id", "rank", "doc_id", "score", "text"
         )

@@ -312,6 +312,7 @@ def build_index_dataframes(
     sf_dir: str,
     n_buckets: int = 32,
     block_size: int = BLOCK_SIZE,
+    with_positions: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """documents.parquet -> (postings, term_stats, corpus_stats, stats_dict)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -333,6 +334,7 @@ def build_index_dataframes(
     postings = build_postings(
         toks, stats["n_docs"], stats["avgdl"], n_buckets=n_buckets,
         max_doc_id=stats_row["max_doc"], block_size=block_size,
+        with_positions=with_positions,
     )
     tstats = term_document_frequency(term_frequencies(toks))
     return postings, tstats, corpus_stats(toks), stats

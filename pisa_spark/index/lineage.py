@@ -135,7 +135,11 @@ def build_index_resumable(
     Returns summary metrics {docs, postings, waves_run, buckets_done}.
     """
     if docs_df is None:
-        docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # catalog read: a manifest-committed corpus (e.g. the streaming
+        # staging table) resolves its live generations atomically; a
+        # plain parquet dir (driver testdata) falls through to a direct
+        # read via the catalog's legacy path
+        docs_df = catalog.read_table(spark, sf_dir, "documents.parquet")
     toks = docs_df.select(
         "doc_id",
         tokens_col(F.col("text")).alias("tokens"),
@@ -235,9 +239,21 @@ def build_index_resumable(
                 max_doc_id=max_doc, block_size=block_size, span=span,
                 with_positions=with_positions,
             )
+            # claim_partitions: a wave bucket that yields ZERO posting
+            # rows (all its docs tokenize empty) writes no bucket= dir;
+            # claiming it drops any stale old-generation partition in
+            # the same atomic publish instead of serving it forever.
+            # repartition("bucket") clusters each bucket into ONE task
+            # before the partitioned write -> exactly one data file per
+            # bucket dir. That stored layout is the serving contract:
+            # SearchEngine.load(cache=False) reads it shuffle-free
+            # (a bucket can never span scan partitions when each bucket
+            # is one sub-maxPartitionBytes file). Iceberg analog: write
+            # clustered by partition spec.
             catalog.write_table(
-                postings, index_root, POSTINGS_TABLE, partition_by=["bucket"],
-                mode="overwrite",
+                postings.repartition(len(wave), "bucket"),
+                index_root, POSTINGS_TABLE, partition_by=["bucket"],
+                mode="overwrite", claim_partitions=wave,
             )
             wall = time.perf_counter() - t0
             written = catalog.read_table(spark, index_root, POSTINGS_TABLE).filter(

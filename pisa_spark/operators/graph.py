@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pisa_spark.dedup.dedup import hash64
+from pisa_spark.dedup.dedup import hash_wide
 
 
 def normalized_edges(interactions: DataFrame) -> DataFrame:
@@ -58,9 +58,12 @@ def negative_samples(
        assignment, operators/ids.py — no global sort);
     2. each user makes ``n_per_user * oversample`` draws
        j = 1..n_draws; draw j picks item index
-       hash64('neg:' || user || ':' || j) % |I| — the candidate
-       relation is |U| * n_draws rows, NEVER the |U| x |I| cross
-       product the naive hash-gate would evaluate;
+       pmod(hash_wide('neg:' || user || ':' || j), |I|) — full 64-bit
+       hash so item universes beyond 2^32 are all drawable (pmod keeps
+       the signed hash non-negative; oracle twin wraps HUGEINT
+       identically). The candidate relation is |U| * n_draws rows,
+       NEVER the |U| x |I| cross product the naive hash-gate would
+       evaluate;
     3. duplicate draws keep their first j, seen items are rejected
        with a left_anti join, and the first ``n_per_user`` survivors
        in draw order win.
@@ -84,13 +87,13 @@ def negative_samples(
         "user_id",
         F.explode(F.sequence(F.lit(1), F.lit(n_draws))).alias("j"),
     )
-    h = hash64(
+    h = hash_wide(
         F.concat(
             F.col("user_id").cast("string"), F.lit(":"), F.col("j").cast("string")
         ),
         salt="neg:",
     )
-    cand = draws.withColumn("idx", h % F.lit(n_items))
+    cand = draws.withColumn("idx", F.pmod(h, F.lit(n_items)))
     if n_items < 5_000_000:
         items_idx = F.broadcast(items_idx)
     cand = cand.join(items_idx, "idx").select("user_id", "item_id", "j")

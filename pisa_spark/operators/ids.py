@@ -42,6 +42,7 @@ def global_positions(
     out_col: str,
     n_partitions: int | None = None,
     materialize: bool = True,
+    snapshot: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = 0-based dense rank of the row in the total
     order of ``order_cols`` (which must uniquely identify rows — ties
@@ -52,11 +53,19 @@ def global_positions(
     physical partition layout; the RESULT is then localCheckpointed
     (eager) and the intermediate unpersisted before returning, so one
     call pins exactly one copy — the id'd output — and the Context
-    Cleaner releases it on GC. At cluster scale the equivalent is
-    writing the sorted snapshot to the catalog once and assigning ids
-    off that immutable copy (localCheckpoint is not resilient to
-    executor loss).
+    Cleaner releases it on GC.
+
+    snapshot=(root, table): the EXECUTOR-LOSS-RESILIENT cluster-scale
+    mode — see ``global_positions_snapshot`` (this function delegates).
+    localCheckpoint blocks are lost with their executor; the snapshot
+    mode persists the range-bucketed intermediate via the manifest
+    catalog instead, so every downstream stage recomputes from an
+    immutable committed copy.
     """
+    if snapshot is not None:
+        return global_positions_snapshot(
+            df, order_cols, out_col, snapshot[0], snapshot[1], n_partitions
+        )
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = max(spark.sparkContext.defaultParallelism, 2)
@@ -107,3 +116,93 @@ def global_positions(
     out = out.localCheckpoint(eager=True)
     arranged.unpersist()
     return out
+
+
+def global_positions_snapshot(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str,
+    root: str,
+    table: str,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Executor-loss-resilient variant of ``global_positions``: the
+    range-bucketed intermediate is COMMITTED through the manifest
+    catalog, then ids are assigned off that immutable copy.
+
+    Same contract (out_col = rank in the order_cols total order,
+    invariant to runs and parallelism), different durability: a lost
+    executor recomputes any downstream partition from the committed
+    snapshot files, whereas a lost localCheckpoint block kills the
+    lineage-truncated plan. One extra write+read of the corpus — the
+    price of restartability, paid once per build.
+
+    The bucket id is materialized INTO the snapshot (``__bucket`` =
+    range-partition ordinal), so phase 2/3 never depend on the physical
+    layout of the re-read: counts aggregate the column, and phase 3
+    re-clusters by the column. Rows of one bucket may arrive in any
+    file split — the kernel keeps a running index per bucket, and
+    within-bucket order is re-established by an explicit local sort.
+    """
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = max(spark.sparkContext.defaultParallelism, 2)
+    from pisa_spark.sources import catalog
+
+    bucketed = (
+        df.repartitionByRange(n_partitions, *order_cols)
+        .withColumn("__bucket", F.spark_partition_id())
+    )
+    catalog.write_table(bucketed, root, table)
+    snap = catalog.read_table(spark, root, table)
+    counts = {
+        r["__bucket"]: r["cnt"]
+        for r in snap.groupBy("__bucket").agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for b in range(max(counts) + 1 if counts else 0):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType(), False)]
+    )
+
+    def add_ids(pdf_iter):
+        # sortWithinPartitions delivers the partition's rows in key
+        # order; buckets are key ranges, so each bucket is a contiguous
+        # run (possibly split across Arrow batches — the ``seen``
+        # counters carry the within-bucket index over)
+        seen: dict[int, int] = {}
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            bvals = pdf["__bucket"].to_numpy()
+            out = pdf.drop(columns="__bucket")
+            ids = np.empty(len(out), dtype=np.int64)
+            start = 0
+            for b, cnt in zip(*_run_lengths(bvals)):
+                base = offsets[int(b)] + seen.get(int(b), 0)
+                ids[start : start + cnt] = np.arange(base, base + cnt)
+                seen[int(b)] = seen.get(int(b), 0) + cnt
+                start += cnt
+            out[out_col] = ids
+            yield out
+
+    return (
+        snap.repartition(n_partitions, "__bucket")
+        .sortWithinPartitions(*order_cols)
+        .mapInPandas(add_ids, schema=out_schema)
+    )
+
+
+def _run_lengths(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(values, lengths) of consecutive runs in ``a``."""
+    if a.size == 0:
+        return np.empty(0, a.dtype), np.empty(0, np.int64)
+    change = np.flatnonzero(a[1:] != a[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [a.size]))
+    return a[starts], ends - starts

@@ -29,15 +29,40 @@ from pyspark.sql import functions as F
 
 from pisa_spark.dedup.dedup import cosine_expr
 
+# Quantization contract that makes the whole IVF path replayable by an
+# independent engine (the DuckDB gate twin): centroid components are
+# rounded to CENTROID_DECIMALS after every update (so the
+# order-dependent distributed float sums of the update step collapse to
+# one canonical decimal per component), and squared distances are
+# rounded to DIST_DECIMALS before every argmin (so sub-ULP summation
+# differences can never flip an assignment). Ties after rounding break
+# to the lowest cluster id in both engines. This is the reference's
+# determinism discipline (/root/reference/src/utils/utils.py:82-87)
+# extended across ENGINES, not just runs.
+CENTROID_DECIMALS = 6
+DIST_DECIMALS = 9
+
+
+def quantize_half_away(x, decimals: int):
+    """Round half away from zero — the rounding rule of Spark F.round
+    (HALF_UP) and DuckDB round(), unlike NumPy/Python's half-to-even.
+    Used by the NumPy twin in tests so all three agree."""
+    s = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
 
 def _dist2_expr(vec_col, centroid: np.ndarray):
     """Squared L2 distance between an array<float> column and a literal
-    centroid, as a JVM expression."""
+    centroid, as a JVM expression; rounded to DIST_DECIMALS (see the
+    quantization contract above)."""
     lit = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec_col, lit, lambda a, b: (a.cast("double") - b) ** 2),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    return F.round(
+        F.aggregate(
+            F.zip_with(vec_col, lit, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        DIST_DECIMALS,
     )
 
 
@@ -74,7 +99,11 @@ def kmeans_fit(
 
     Empty clusters keep their previous centroid (the reference resets
     empties from data, PISA.py:105-110; keeping the old centroid is the
-    partition-deterministic variant)."""
+    partition-deterministic variant). Updated centroids are quantized
+    to CENTROID_DECIMALS (half-away rounding) so results are identical
+    not only across runs/partitions but across ENGINES — the DuckDB
+    gate twin replays the full loop and lands on the same centroids
+    bit-for-bit (init vectors are raw, exact float->double)."""
     init_rows = (
         embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
     )
@@ -101,9 +130,10 @@ def kmeans_fit(
         new = centroids.copy()
         for r in sums:
             if r["n"] > 0:
-                new[r["cluster"]] = np.array(
-                    [r[f"s{i}"] for i in range(dim)]
-                ) / float(r["n"])
+                new[r["cluster"]] = quantize_half_away(
+                    np.array([r[f"s{i}"] for i in range(dim)]) / float(r["n"]),
+                    CENTROID_DECIMALS,
+                )
         centroids = new
     return centroids
 

@@ -30,6 +30,8 @@ the input, so re-running a wave republishes byte-identical data.
 
 from __future__ import annotations
 
+import contextlib
+import errno
 import json
 import os
 import time
@@ -39,6 +41,55 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_manifest.json"
+LOCKFILE = "_manifest.lock"
+
+# A lock older than this is presumed abandoned (crashed writer) and is
+# broken; commits hold the lock for milliseconds, so 60 s is far above
+# any live commit window.
+_LOCK_STALE_S = 60.0
+_LOCK_TIMEOUT_S = 30.0
+
+
+@contextlib.contextmanager
+def _writer_lock(root: str, name: str):
+    """Single-writer-per-table exclusion for the manifest
+    read-modify-publish. Without it, two concurrent writers (e.g.
+    stream_index_ingest plus a manual build) both read the old manifest
+    and the second publish silently drops the first's repoints — the
+    atomic rename protects READERS only. O_CREAT|O_EXCL is atomic on a
+    local/POSIX FS; the Iceberg swap point replaces this with the
+    catalog's optimistic snapshot CAS (commit fails and retries on
+    conflicting snapshot), same contract."""
+    tp = table_path(root, name)
+    os.makedirs(tp, exist_ok=True)
+    lock = os.path.join(tp, LOCKFILE)
+    deadline = time.monotonic() + _LOCK_TIMEOUT_S
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except OSError as e:
+            if e.errno != errno.EEXIST:
+                raise
+            try:
+                if time.time() - os.path.getmtime(lock) > _LOCK_STALE_S:
+                    os.remove(lock)  # break abandoned lock, retry
+                    continue
+            except OSError:
+                continue  # holder released between stat and remove
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"writer lock on table {name} held past "
+                    f"{_LOCK_TIMEOUT_S}s — concurrent writer stuck?"
+                ) from None
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(lock)
 
 
 def table_path(root: str, name: str) -> str:
@@ -72,6 +123,7 @@ def write_table(
     name: str,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    claim_partitions: list | None = None,
 ) -> None:
     """Write df into a fresh generation dir, then atomically publish.
 
@@ -80,7 +132,18 @@ def write_table(
     generation. mode='overwrite' without partition_by: the whole table
     repoints to the new generation. mode='append': the new generation
     joins the live dir list (unpartitioned tables only).
-    """
+
+    claim_partitions (partitioned overwrite only): partition values
+    this write is RESPONSIBLE for. Claimed values the data write did
+    not produce (e.g. a bucket whose docs now all tokenize empty — zero
+    posting rows, no bucket= dir) are dropped from the manifest in the
+    SAME atomic publish, so a rebuild-to-empty can never leave a stale
+    old-generation partition being served. Iceberg analog: the
+    overwrite's delete-files covering the claimed predicate.
+
+    The manifest read-modify-publish runs under the per-table writer
+    lock — concurrent writers serialize instead of silently dropping
+    each other's repoints."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"catalog supports overwrite/append, not {mode!r}")
     if partition_by and mode == "append":
@@ -96,28 +159,42 @@ def write_table(
         w = w.partitionBy(*partition_by)
     w.parquet(gen_path)
 
-    old = _read_manifest(root, name)
-    if partition_by:
-        pcol = partition_by[0]
-        new_parts = {}
-        for d in os.listdir(gen_path):
-            if d.startswith(f"{pcol}="):
-                new_parts[d.split("=", 1)[1]] = f"{gen}/{d}"
-        parts = dict((old or {}).get("partitions", {}))
-        parts.update(new_parts)
-        _publish(root, name, {"partition_col": pcol, "partitions": parts})
-    else:
-        if mode == "append" and old is not None:
-            dirs = list(old.get("dirs", [])) + [gen]
+    with _writer_lock(root, name):
+        old = _read_manifest(root, name)
+        if partition_by:
+            pcol = partition_by[0]
+            new_parts = {}
+            for d in os.listdir(gen_path):
+                if d.startswith(f"{pcol}="):
+                    new_parts[d.split("=", 1)[1]] = f"{gen}/{d}"
+            parts = dict((old or {}).get("partitions", {}))
+            if claim_partitions is not None:
+                for v in claim_partitions:
+                    if str(v) not in new_parts:
+                        parts.pop(str(v), None)
+            parts.update(new_parts)
+            _publish(root, name, {"partition_col": pcol, "partitions": parts})
         else:
-            dirs = [gen]
-        _publish(root, name, {"dirs": dirs})
+            if mode == "append":
+                if old is None and _legacy_files(tp):
+                    raise ValueError(
+                        f"table {name} holds plain files written outside"
+                        " the manifest protocol — cannot append"
+                    )
+                dirs = list(old.get("dirs", [])) + [gen] if old else [gen]
+            else:
+                dirs = [gen]
+            _publish(root, name, {"dirs": dirs})
 
 
 def _legacy_files(tp: str) -> bool:
-    """True iff the dir holds plain parquet files written OUTSIDE the
-    manifest protocol (pre-manifest layout). Unpublished ``gen-*`` dirs
-    do NOT count — a torn first write must stay invisible."""
+    """True iff the path holds plain parquet written OUTSIDE the
+    manifest protocol (pre-manifest layout): either a bare parquet file
+    (driver testdata ships single-file tables) or a directory of part
+    files. Unpublished ``gen-*`` dirs do NOT count — a torn first write
+    must stay invisible."""
+    if os.path.isfile(tp):
+        return True
     if not os.path.isdir(tp):
         return False
     return any(
@@ -159,14 +236,15 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
 def delete_partitions(root: str, name: str, values: list) -> None:
     """Publish a manifest without the given partition values — the
     atomic delete-files commit; data files are left for out-of-band GC."""
-    m = _read_manifest(root, name)
-    if m is None or "partitions" not in m:
-        return
-    drop = {str(v) for v in values}
-    m["partitions"] = {
-        k: v for k, v in m["partitions"].items() if k not in drop
-    }
-    _publish(root, name, m)
+    with _writer_lock(root, name):
+        m = _read_manifest(root, name)
+        if m is None or "partitions" not in m:
+            return
+        drop = {str(v) for v in values}
+        m["partitions"] = {
+            k: v for k, v in m["partitions"].items() if k not in drop
+        }
+        _publish(root, name, m)
 
 
 def vacuum(root: str, name: str, min_age_s: float = 3600.0) -> list[str]:
@@ -234,6 +312,30 @@ def vacuum(root: str, name: str, min_age_s: float = 3600.0) -> list[str]:
                 os.remove(full)
                 removed.append(d)
     return removed
+
+
+def partition_file_stats(root: str, name: str) -> tuple[int, int]:
+    """(max data files in any live partition, max single file bytes) for
+    a partitioned table — the layout invariant check behind shuffle-free
+    serving: when every partition is ONE file smaller than
+    spark.sql.files.maxPartitionBytes, a scan can never split a
+    partition's rows across tasks. Raises if the table is not
+    manifest-partitioned."""
+    m = _read_manifest(root, name)
+    if m is None or "partitions" not in m:
+        raise FileNotFoundError(f"table {name} is not manifest-partitioned")
+    tp = table_path(root, name)
+    max_files, max_bytes = 0, 0
+    for rel in m["partitions"].values():
+        full = os.path.join(tp, rel)
+        files = [
+            f for f in os.listdir(full)
+            if not f.startswith(("_", ".")) and not f.endswith(".crc")
+        ]
+        max_files = max(max_files, len(files))
+        for f in files:
+            max_bytes = max(max_bytes, os.path.getsize(os.path.join(full, f)))
+    return max_files, max_bytes
 
 
 def table_exists(root: str, name: str) -> bool:

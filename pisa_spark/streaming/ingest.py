@@ -162,25 +162,31 @@ def stream_index_ingest(
     foreachBatch is AT-LEAST-ONCE, so the corpus append must be
     idempotent: a replayed micro-batch is anti-joined against already-
     ingested doc_ids before appending (append-only contract — a replay
-    can never re-add or mutate an existing doc). Returns the started
-    StreamingQuery (availableNow trigger — drains what's there and
-    stops; swap the trigger for continuous ingest).
+    can never re-add or mutate an existing doc). The append goes
+    THROUGH the manifest catalog (write-generation-then-publish), so a
+    crash mid-append leaves only an unpublished generation — the next
+    batch's anti-join reads the manifest and never sees torn files
+    (tests/test_resume.py::test_torn_corpus_append_invisible). Returns
+    the started StreamingQuery (availableNow trigger — drains what's
+    there and stops; swap the trigger for continuous ingest).
     """
-    import os
-
     from pisa_spark.index.lineage import build_index_resumable
+    from pisa_spark.sources import catalog
+
+    corpus_table = "documents.parquet"
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = f"{corpus_dir}/documents.parquet"
         new = batch_df.select("doc_id", "text")
-        if os.path.isdir(out):
-            existing = batch_df.sparkSession.read.parquet(out).select("doc_id")
+        if catalog.table_exists(corpus_dir, corpus_table):
+            existing = catalog.read_table(
+                batch_df.sparkSession, corpus_dir, corpus_table
+            ).select("doc_id")
             new = new.join(existing, "doc_id", "left_anti")
         if new.isEmpty():
             return  # pure replay — corpus and index already reflect it
-        new.write.mode("append").parquet(out)
+        catalog.write_table(new, corpus_dir, corpus_table, mode="append")
         build_index_resumable(
             batch_df.sparkSession,
             corpus_dir,

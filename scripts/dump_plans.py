@@ -69,6 +69,23 @@ def main() -> None:
         "id assignment regressed to a single-partition sort"
     )
 
+    from pisa_spark.dedup.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs2 = docs.select("doc_id", "text")
+    cands = minhash_lsh_candidates(minhash_signatures(docs2), n_bands=4)
+    jac_plan = fmt(
+        ngram_jaccard_pairs(docs2, candidates=cands.select("doc_a", "doc_b"))
+    )
+    # the candidate restriction must sit BELOW the shingle self-join:
+    # both sides of the join read a semi-joined shingle relation
+    assert jac_plan.count("LeftSemi") >= 2, (
+        "shingle relation lost its candidate semi-joins"
+    )
+
     out = f"""# PLANS — physical plan evidence (.explain("formatted"), real output)
 
 Regenerate with `python scripts/dump_plans.py`. What to check, per plan:
@@ -131,6 +148,22 @@ checkpoint scan — same physical work, invisible plan.)
 
 ```
 {ids_plan}
+```
+
+## 6. Candidate-bounded exact-Jaccard verification (after LSH)
+
+The scale contract of `near_duplicate_pairs`: with a `candidates` set,
+the exact-Jaccard stage must do candidate-bounded WORK, not just emit
+candidate-bounded output. Look for: TWO `LeftSemi` joins restricting
+the exploded shingle relation to candidate doc ids BEFORE it enters
+the shingle self-join (a head shingle shared by non-candidate docs
+never produces join rows), and the candidate-pair join applied BEFORE
+the (doc_a, doc_b) pair-count `HashAggregate` (non-candidate
+collisions are dropped pre-shuffle). The dump script asserts the
+semi-joins are present before writing this file.
+
+```
+{jac_plan}
 ```
 """
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(

@@ -92,3 +92,20 @@ def test_snippets(eng, sf_dir):
         assert len(words) <= 6
         # the snippet window contains a query term (hits always match)
         assert any(w in ("data", "join") for w in words), r["snippet"]
+
+
+def test_load_uncached_shuffle_free_and_identical(spark, eng, sf_dir, tmp_path_factory):
+    """cache=False serving: the stored one-file-per-bucket layout is
+    detected, queries skip the bucket repartition entirely (no bucket
+    Exchange in the plan), and results are identical to cached mode."""
+    root = str(tmp_path_factory.mktemp("engine_uc") / "idx")
+    cached = SearchEngine.build(spark, sf_dir, root, n_buckets=8, wave_size=8)
+    uncached = SearchEngine.load(spark, root, cache=False)
+    assert uncached._pre_arranged, "stored layout should satisfy the invariant"
+
+    a = sorted(map(tuple, cached.search("data join", k=10).collect()))
+    b = sorted(map(tuple, uncached.search("data join", k=10).collect()))
+    assert a == b
+
+    plan = uncached.search("data join", k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(bucket" not in plan, plan

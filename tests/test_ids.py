@@ -54,3 +54,21 @@ def test_interactions_pos_dense_and_ordered(spark, sf_dir):
     assert sorted(r["pos"] for r in rows) == list(range(len(rows)))
     by_pos = sorted(rows, key=lambda r: r["pos"])
     assert all(a["ts"] <= b["ts"] for a, b in zip(by_pos, by_pos[1:]))
+
+
+def test_snapshot_mode_matches_and_invariant(pages, tmp_path):
+    """snapshot=(root, table) mode: identical ids to the in-memory mode
+    across parallelism levels, with the intermediate committed through
+    the manifest catalog (executor-loss-resilient variant)."""
+    base = _ids(pages, ["url"], 8)
+    for i, n in enumerate((3, 11)):
+        out = global_positions(
+            pages, ["url"], "gid", n_partitions=n,
+            snapshot=(str(tmp_path), f"snap_{i}"),
+        )
+        got = {r["url"]: r["gid"] for r in out.select("url", "gid").collect()}
+        assert got == base
+    # the snapshot was committed through the catalog (manifest present)
+    from pisa_spark.sources import catalog
+
+    assert catalog.table_exists(str(tmp_path), "snap_0")

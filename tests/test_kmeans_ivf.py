@@ -6,7 +6,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from pisa_spark.similarity.ann import cosine_topk_bruteforce
-from pisa_spark.similarity.kmeans import assign_clusters, ivf_topk, kmeans_fit
+from pisa_spark.similarity.kmeans import (
+    CENTROID_DECIMALS,
+    DIST_DECIMALS,
+    assign_clusters,
+    ivf_topk,
+    kmeans_fit,
+    quantize_half_away,
+)
 
 
 @pytest.fixture(scope="module")
@@ -21,18 +28,22 @@ def centroids(emb):
 
 def test_kmeans_matches_numpy(spark, emb, centroids):
     """Driver-side NumPy re-implementation with identical init/rules
+    (including the cross-engine quantization contract: distances
+    rounded to DIST_DECIMALS before argmin, means to CENTROID_DECIMALS)
     must produce identical centroids (determinism + correctness)."""
     rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
     C = X[:8].copy()
     for _ in range(3):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d2 = quantize_half_away(
+            ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), DIST_DECIMALS
+        )
         assign = d2.argmin(axis=1)
         for c in range(8):
             m = assign == c
             if m.any():
-                C[c] = X[m].mean(axis=0)
-    assert np.allclose(centroids, C, atol=1e-9)
+                C[c] = quantize_half_away(X[m].mean(axis=0), CENTROID_DECIMALS)
+    assert np.allclose(centroids, C, atol=1e-12)
 
 
 def test_assign_deterministic_across_partitions(emb, centroids):

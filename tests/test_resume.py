@@ -236,10 +236,58 @@ def test_streaming_replay_does_not_duplicate(spark, sf_dir, tmp_path):
 
     run(str(tmp_path / "ck1"))
     before = decode_index(load_index(spark, idx)[0].collect())
-    n_before = spark.read.parquet(f"{corpus}/documents.parquet").count()
+    n_before = catalog.read_table(spark, corpus, "documents.parquet").count()
     run(str(tmp_path / "ck2"))  # fresh checkpoint = full replay
-    assert spark.read.parquet(f"{corpus}/documents.parquet").count() == n_before
+    assert catalog.read_table(spark, corpus, "documents.parquet").count() == n_before
     assert decode_index(load_index(spark, idx)[0].collect()) == before
+
+
+def test_torn_corpus_append_invisible(spark, sf_dir, tmp_path):
+    """Kill-mid-append: a streaming corpus append that crashed AFTER
+    writing data files but BEFORE the manifest publish must be
+    invisible — the next run's anti-join never reads torn files, and
+    replaying the same docs lands them exactly once."""
+    import glob
+    import os
+    import shutil
+
+    from pisa_spark.streaming.ingest import stream_index_ingest
+
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    drops = str(tmp_path / "drops_t")
+    corpus = str(tmp_path / "corpus_t")
+    idx = str(tmp_path / "idx_t")
+    os.makedirs(drops, exist_ok=True)
+    tmp_out = str(tmp_path / "tmp_drop_t")
+    lo = full.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    lo.coalesce(1).write.parquet(tmp_out)
+    shutil.copy(glob.glob(tmp_out + "/part-*.parquet")[0], f"{drops}/d.parquet")
+
+    # simulate the torn append: data files land in a generation dir but
+    # the crash happens before the manifest publish
+    torn_gen = os.path.join(corpus, "documents.parquet", "gen-deadbeef-torn")
+    lo.write.parquet(torn_gen)
+    assert not catalog.table_exists(corpus, "documents.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    q = stream_index_ingest(stream, corpus, idx, str(tmp_path / "ck_t"),
+                            docs_per_bucket=64)
+    q.awaitTermination()
+
+    # exactly one copy of every doc — the torn generation stayed dark
+    got = catalog.read_table(spark, corpus, "documents.parquet")
+    assert got.count() == lo.count()
+    assert got.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    # the index matches a clean build of the same docs
+    clean = str(tmp_path / "idx_clean_t")
+    build_index_resumable(spark, None, clean, docs_df=lo, docs_per_bucket=64)
+    assert decode_index(load_index(spark, idx)[0].collect()) == decode_index(
+        load_index(spark, clean)[0].collect()
+    )
 
 
 def test_vacuum_removes_superseded_generations(spark, sf_dir, tmp_path):
@@ -268,3 +316,70 @@ def test_vacuum_removes_superseded_generations(spark, sf_dir, tmp_path):
     assert decode_index(load_index(spark, idx)[0].collect()) == before
     # vacuum again: nothing left to collect
     assert catalog.vacuum(idx, "postings", min_age_s=0) == []
+
+
+def test_rebuild_to_empty_bucket_drops_stale_partition(spark, sf_dir, tmp_path):
+    """A committed bucket whose docs are edited IN PLACE to tokenize
+    empty yields zero posting rows on rebuild — the claim_partitions
+    commit must drop its old-generation partition in the same publish,
+    never serving stale postings (and lineage must record the rebuild)."""
+    corpus = str(tmp_path / "corpus_e")
+    idx = str(tmp_path / "idx_e")
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full.write.mode("overwrite").parquet(corpus + "/documents.parquet")
+    build_index_resumable(spark, corpus, idx, wave_size=8, docs_per_bucket=64)
+    pre = load_index(spark, idx)[0]
+    assert pre.filter(F.col("bucket") == 0).count() > 0
+
+    # same doc ids, same count — but bucket 0's docs all become
+    # token-free punctuation (content-fingerprint change, zero postings)
+    mutated = full.withColumn(
+        "text",
+        F.when(F.col("doc_id") < 64, F.lit("!!! ... ???"))
+        .otherwise(F.col("text")),
+    )
+    mutated.write.mode("overwrite").parquet(corpus + "/documents.parquet")
+    build_index_resumable(spark, corpus, idx, wave_size=8, docs_per_bucket=64)
+
+    post = load_index(spark, idx)[0]
+    assert post.filter(F.col("bucket") == 0).count() == 0
+    # other buckets untouched
+    assert (
+        decode_index(post.filter(F.col("bucket") > 0).collect())
+        == decode_index(pre.filter(F.col("bucket") > 0).collect())
+    )
+
+
+def test_writer_lock_stale_break_and_exclusion(spark, tmp_path):
+    """The per-table writer lock serializes manifest commits; an
+    abandoned lock (crashed writer) is broken after the staleness
+    window instead of deadlocking forever."""
+    import os
+    import time as _time
+
+    from pisa_spark.sources import catalog as cat
+
+    root = str(tmp_path)
+    df = spark.createDataFrame([(1,)], "a int")
+    cat.write_table(df, root, "t")  # creates the table dir
+
+    # abandoned lock, mtime far in the past -> broken transparently
+    lock = os.path.join(cat.table_path(root, "t"), cat.LOCKFILE)
+    with open(lock, "w") as f:
+        f.write("999999")
+    old = _time.time() - 3600
+    os.utime(lock, (old, old))
+    cat.write_table(df, root, "t")  # must not hang
+    assert not os.path.exists(lock)
+
+    # live lock -> concurrent writer times out rather than clobbering
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    orig_t, orig_s = cat._LOCK_TIMEOUT_S, cat._LOCK_STALE_S
+    cat._LOCK_TIMEOUT_S, cat._LOCK_STALE_S = 0.3, 3600.0
+    try:
+        with pytest.raises(TimeoutError):
+            cat.write_table(df, root, "t")
+    finally:
+        cat._LOCK_TIMEOUT_S, cat._LOCK_STALE_S = orig_t, orig_s
+        os.remove(lock)
