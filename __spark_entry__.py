@@ -76,7 +76,11 @@ from pisa_spark.plans.relational import (  # noqa: E402
     revenue_forecast,
     shipping_priority,
 )
-from pisa_spark.query.bm25 import bm25_topk_dataframe, bm25_topk_wand  # noqa: E402
+from pisa_spark.query.bm25 import (  # noqa: E402
+    bm25_topk_dataframe,
+    bm25_topk_maxscore,
+    bm25_topk_wand,
+)
 from pisa_spark.similarity.ann import (  # noqa: E402
     cosine_topk_bruteforce,
     lsh_bucket_topk,
@@ -248,6 +252,24 @@ def _bm25_wand(
         for qid, terms in qs
     ]
     out = bm25_topk_wand(
+        postings, queries, stats["n_docs"], stats["avgdl"], k=k, two_phase=True
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_maxscore(
+    spark: SparkSession, sf_dir: str, qs, conjunctive: bool, k: int = 10
+) -> DataFrame:
+    """MaxScore must be rank-identical to WAND and the exhaustive
+    scorer, so it shares the exact oracle SQL of the plain bm25 gates."""
+    postings, stats = _built_index(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms, "conjunctive": conjunctive}
+        for qid, terms in qs
+    ]
+    out = bm25_topk_maxscore(
         postings, queries, stats["n_docs"], stats["avgdl"], k=k, two_phase=True
     )
     return out.select(
@@ -889,6 +911,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bm25_topk_or_wand": lambda spark, sf: _bm25_wand(spark, sf, _OR_QUERIES, False),
         "bm25_topk_and_wand": lambda spark, sf: _bm25_wand(spark, sf, _AND_QUERIES, True),
+        "bm25_topk_or_maxscore": lambda spark, sf: _bm25_maxscore(
+            spark, sf, _OR_QUERIES, False
+        ),
+        "bm25_topk_and_maxscore": lambda spark, sf: _bm25_maxscore(
+            spark, sf, _AND_QUERIES, True
+        ),
+        "bm25_mixed_idf_maxscore": lambda spark, sf: _bm25_maxscore(
+            spark, sf, _MIXED_QUERIES, False
+        ),
         "bm25_mixed_idf_wand": lambda spark, sf: _bm25_wand(
             spark, sf, _MIXED_QUERIES, False
         ),
@@ -1155,6 +1186,9 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_top100_or": _bm25_sql(_OR_QUERIES, conjunctive=False, k=100),
         "bm25_topk_or_wand": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_wand": _bm25_sql(_AND_QUERIES, conjunctive=True),
+        "bm25_topk_or_maxscore": _bm25_sql(_OR_QUERIES, conjunctive=False),
+        "bm25_topk_and_maxscore": _bm25_sql(_AND_QUERIES, conjunctive=True),
+        "bm25_mixed_idf_maxscore": _bm25_sql(_MIXED_QUERIES, conjunctive=False),
         "bm25_mixed_idf_wand": _bm25_sql(_MIXED_QUERIES, conjunctive=False),
         "bm25_phrase_topk": f"""
 {_SQL_BASE},

@@ -147,6 +147,19 @@ def main() -> None:
     t_big2 = time.perf_counter() - t0
     timings["q_batch64_2p"] = round(t_big2, 4)
 
+    # same 64-query batch through MaxScore (impact-ordered TAAT with
+    # candidate freezing) — rank-identical by contract, timed here to
+    # compare the two pruning strategies at bench scale
+    from pisa_spark.query.bm25 import bm25_topk_maxscore
+
+    t0 = time.perf_counter()
+    bm25_topk_maxscore(
+        postings, big_batch, stats["n_docs"], stats["avgdl"], k=10,
+        term_dfs=term_dfs, pre_arranged=True,
+    ).collect()
+    t_big_ms = time.perf_counter() - t0
+    timings["q_batch64_maxscore"] = round(t_big_ms, 4)
+
     # positional build + phrase query: the with_positions=True cost and
     # the poss payload size (one varint per token occurrence)
     from pisa_spark.query.bm25 import bm25_phrase_topk

@@ -110,15 +110,32 @@ class SearchEngine:
             )
         return out
 
-    def search(self, query, k: int = 10, two_phase: bool = True) -> DataFrame:
+    def search(
+        self, query, k: int = 10, two_phase: bool = True,
+        algorithm: str = "wand",
+    ) -> DataFrame:
         """One query (string or dict) -> (query_id, rank, doc_id, score)."""
-        return self.search_batch([query], k=k, two_phase=two_phase)
+        return self.search_batch(
+            [query], k=k, two_phase=two_phase, algorithm=algorithm
+        )
 
     def search_batch(
-        self, queries, k: int = 10, two_phase: bool = False
+        self, queries, k: int = 10, two_phase: bool = False,
+        algorithm: str = "wand",
     ) -> DataFrame:
-        """Batch of queries in one pass (shared per-term decode)."""
-        return bm25_topk_wand(
+        """Batch of queries in one pass. algorithm: 'wand' (block-max
+        pruning with batch-shared union decode — the batched-serving
+        default) or 'maxscore' (impact-ordered term-at-a-time with
+        candidate freezing — strongest on long disjunctive queries mixing
+        rare and stop-word-ish terms). Both are rank-identical to the
+        exhaustive scorer; two_phase stays opt-in for batches (measured
+        slower at bench scales — see BENCH.md)."""
+        from pisa_spark.query.bm25 import bm25_topk_maxscore
+
+        impl = {"wand": bm25_topk_wand, "maxscore": bm25_topk_maxscore}
+        if algorithm not in impl:
+            raise ValueError(f"algorithm must be one of {sorted(impl)}")
+        return impl[algorithm](
             self.postings,
             self._normalize(queries),
             self.stats["n_docs"],

@@ -493,6 +493,304 @@ def bm25_topk_wand(
 
 
 # ---------------------------------------------------------------------------
+# MaxScore: the other classic dynamic-pruning algorithm (term-at-a-time
+# with impact ordering and candidate freezing). Rank-identical to the
+# exhaustive path and to wand_kernel by contract — same gates, same
+# oracle SQL, fuzzed side by side in tests/test_wand_fuzz.py.
+# ---------------------------------------------------------------------------
+
+
+def _in_sorted(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Boolean membership mask of ``needles`` in sorted-unique
+    ``haystack`` via searchsorted — the vectorized set-lookup both the
+    frozen phase and the dead-list filter use."""
+    if haystack.size == 0:
+        return np.zeros(needles.size, bool)
+    idx = np.searchsorted(haystack, needles)
+    safe = np.minimum(idx, haystack.size - 1)
+    return haystack[safe] == needles
+
+
+def _merge_acc(
+    d1: np.ndarray, s1: np.ndarray, d2: np.ndarray, s2: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge a term's (sorted, unique) decoded postings into the sorted
+    accumulator: union doc ids, sum scores. np.unique keeps the result
+    sorted, which the frozen phase's searchsorted membership relies on."""
+    if d1.size == 0:
+        return d2, s2
+    docs = np.concatenate((d1, d2))
+    scores = np.concatenate((s1, s2))
+    uniq, inv = np.unique(docs, return_inverse=True)
+    return uniq, np.bincount(inv, weights=scores)
+
+
+def _maxscore_or(
+    by_term: dict[str, pd.DataFrame],
+    present: list[str],
+    idf: dict[str, float],
+    bmax: dict[str, np.ndarray],
+    term_dfs: dict[str, int],
+    n_docs: float,
+    avgdl: float,
+    k: int,
+    tau0: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One disjunctive query, one bucket, MaxScore order: process terms
+    by DESCENDING max impact, tightening a local threshold tau as the
+    accumulator fills, and FREEZE the candidate set once the remaining
+    terms' summed maxima cannot lift an unseen doc past tau. Frozen
+    terms — the low-impact, high-df ones with the LONGEST posting
+    lists — then decode only blocks whose (first_doc, max_doc) range
+    intersects surviving candidates, and their postings update
+    candidates via sorted-membership lookup. That asymmetry (full
+    decode for rare terms, candidate-gated decode for stop-word-ish
+    terms) is the whole point of MaxScore at web scale.
+
+    Soundness (pruning must never change the returned top-k):
+
+    * tau is always a valid lower bound on this bucket's k-th FINAL
+      score: it starts from the caller's two-phase threshold (a global
+      k-th lower bound) and is only raised to the k-th largest
+      ACCUMULATED partial — partials are per-doc lower bounds of finals
+      (negative-idf terms are applied FIRST in full, so every remaining
+      contribution is >= 0), and the k-th largest of lower bounds never
+      exceeds the k-th largest of finals.
+    * block skip uses the identical bound-vs-threshold rule (and eps
+      slack) as _query_keep_masks: a skipped block's docs provably
+      finish below tau, so understating them can never perturb the
+      top-k (true top-k docs' blocks are never skippable — their bound
+      >= their final >= tau).
+    * freezing when remaining_max < tau - eps: an unseen doc either
+      appears only in unprocessed positive terms (final <= remaining
+      max) or sat in a skipped block (provably below tau) — no unseen
+      doc can reach the top-k.
+    * accumulator pruning drops docs with partial + remaining_max <
+      tau - eps — an upper bound on their final, since every
+      unprocessed term contributes at most its max and negatives are
+      already in. Pruned doc ids go into a sorted ``dead`` set that
+      later merges exclude: a pruned doc re-introduced by a later term
+      would re-enter WITHOUT its already-applied negative-idf
+      contributions, i.e. with an INFLATED score that could displace a
+      true top-k doc (the fuzz harness caught exactly this). Docs whose
+      dropped contributions are all >= 0 merely re-enter understated,
+      which is harmless — but dead-listing them too costs nothing.
+    """
+    empty = (np.empty(0, np.int64), np.empty(0, np.float64))
+    term_max = {t: float(bmax[t].max()) for t in present}
+    pos_clamped = {t: max(term_max[t], 0.0) for t in present}
+    pos_sum = sum(pos_clamped.values())
+    # deterministic impact order: descending max contribution, term text
+    # breaks ties so runs/partitionings agree
+    pos = sorted(
+        (t for t in present if idf[t] >= 0.0),
+        key=lambda t: (-term_max[t], t),
+    )
+    neg = [t for t in present if idf[t] < 0.0]
+    tau = tau0
+
+    def eps() -> float:
+        return 1e-9 * max(1.0, abs(tau)) if np.isfinite(tau) else 0.0
+
+    best_bound = max(term_max[t] + pos_sum - pos_clamped[t] for t in present)
+    if best_bound < tau - eps():
+        return empty
+
+    acc_docs = np.empty(0, np.int64)
+    acc_scores = np.empty(0, np.float64)
+    dead = np.empty(0, np.int64)  # pruned docs — provably below tau
+    # negative-idf terms first and in full: under OR their blocks are
+    # never skippable (dropping a negative contribution would inflate a
+    # doc's score), and front-loading them makes every later partial a
+    # valid lower bound of its final
+    for t in neg:
+        g = by_term[t]
+        docs, tfs, dls = _decode_blocks_vectorized(g)
+        scores = _bm25_np(tfs, dls, float(term_dfs[t]), n_docs, avgdl)
+        acc_docs, acc_scores = _merge_acc(acc_docs, acc_scores, docs, scores)
+
+    maxes = np.array([term_max[t] for t in pos], np.float64)
+    # rem_after[i] = sum of max contributions of pos[i+1:]
+    rem_after = np.concatenate((np.cumsum(maxes[::-1])[::-1][1:], [0.0]))
+    frozen = False
+    for i, t in enumerate(pos):
+        e = eps()
+        g = by_term[t]
+        m = bmax[t] + (pos_sum - pos_clamped[t]) >= tau - e
+        if frozen:
+            if acc_docs.size == 0:
+                return empty
+            fd = g["first_doc"].to_numpy(np.int64)
+            md = g["max_doc"].to_numpy(np.int64)
+            lo = np.searchsorted(acc_docs, fd, "left")
+            hi = np.searchsorted(acc_docs, md, "right")
+            m &= hi > lo
+        if m.any():
+            docs, tfs, dls = _decode_blocks_vectorized(g[m])
+            scores = _bm25_np(tfs, dls, float(term_dfs[t]), n_docs, avgdl)
+            if frozen:
+                mem = _in_sorted(acc_docs, docs)
+                idx = np.searchsorted(acc_docs, docs[mem])
+                np.add.at(acc_scores, idx, scores[mem])
+            else:
+                if dead.size:
+                    alive = ~_in_sorted(dead, docs)
+                    docs, scores = docs[alive], scores[alive]
+                acc_docs, acc_scores = _merge_acc(
+                    acc_docs, acc_scores, docs, scores
+                )
+        if acc_docs.size >= k:
+            kth = np.partition(acc_scores, acc_scores.size - k)[
+                acc_scores.size - k
+            ]
+            tau = max(tau, kth)
+        rem = float(rem_after[i])
+        if np.isfinite(tau):
+            e = eps()
+            keep = acc_scores + rem >= tau - e
+            if not keep.all():
+                dead = np.union1d(dead, acc_docs[~keep])
+                acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+            if rem < tau - e:
+                frozen = True
+    if acc_docs.size > k:
+        kth = np.partition(acc_scores, acc_docs.size - k)[acc_docs.size - k]
+        keep = acc_scores >= kth
+        acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+    return acc_docs, acc_scores
+
+
+def maxscore_kernel(
+    queries: list[dict],
+    n_docs: float,
+    avgdl: float,
+    k: int,
+    term_dfs: dict[str, int],
+    thresholds: dict[int, float] | None = None,
+):
+    """mapInPandas kernel: per-bucket MaxScore (SURVEY §2.B T16's
+    sibling strategy — PISA-style engines ship both WAND and MaxScore
+    and pick per workload). Same input/output contract as wand_kernel.
+
+    Disjunctive queries run the impact-ordered TAAT loop (_maxscore_or);
+    conjunctive queries keep the block-mask path — MaxScore's
+    new-doc/frozen split buys nothing under AND, where every term is
+    already a required filter. Queries are processed independently
+    (TAAT thresholds evolve per query); wand_kernel's batch union-decode
+    remains the batched-serving fast path.
+    """
+    thresholds = thresholds or {}
+
+    def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if not chunks:
+            return
+        all_blocks = pd.concat(chunks, ignore_index=True)
+        out_frames = []
+        for _, bucket_blocks in all_blocks.groupby("bucket", sort=False):
+            by_term = dict(tuple(bucket_blocks.groupby("term", sort=False)))
+            needed = [
+                t
+                for t in dict.fromkeys(t for q in queries for t in q["terms"])
+                if t in by_term
+            ]
+            idf, bmax = _block_bounds(by_term, needed, n_docs, avgdl, term_dfs)
+            for q in queries:
+                terms = list(dict.fromkeys(q["terms"]))
+                present = [t for t in terms if t in by_term]
+                if not present or (q["conjunctive"] and len(present) < len(terms)):
+                    continue
+                tau0 = thresholds.get(q["query_id"], -np.inf)
+                if q["conjunctive"]:
+                    masks = _query_keep_masks(
+                        present, True, idf, bmax, tau0
+                    )
+                    if masks is None:
+                        continue
+                    doc_parts, score_parts = [], []
+                    for t in present:
+                        m = masks[t]
+                        if not m.any():
+                            continue
+                        g = by_term[t]
+                        docs, tfs, dls = _decode_blocks_vectorized(g[m])
+                        score_parts.append(
+                            _bm25_np(tfs, dls, float(term_dfs[t]), n_docs, avgdl)
+                        )
+                        doc_parts.append(docs)
+                    docs, scores = _accumulate_topk(
+                        doc_parts, score_parts, len(terms), True, k
+                    )
+                else:
+                    docs, scores = _maxscore_or(
+                        by_term, present, idf, bmax, term_dfs,
+                        n_docs, avgdl, k, tau0,
+                    )
+                if docs.size:
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(
+                                    docs.size, q["query_id"], np.int32
+                                ),
+                                "doc_id": docs,
+                                "score": scores,
+                            }
+                        )
+                    )
+        if out_frames:
+            yield pd.concat(out_frames, ignore_index=True)
+        else:
+            yield pd.DataFrame(_EMPTY_TOPK_FRAME)
+
+    return kernel
+
+
+def bm25_topk_maxscore(
+    postings: DataFrame,
+    queries: list[dict],
+    n_docs: float,
+    avgdl: float,
+    k: int = 10,
+    two_phase: bool = False,
+    sample_buckets: int = 2,
+    term_dfs: dict[str, int] | None = None,
+    pre_arranged: bool = False,
+) -> DataFrame:
+    """MaxScore top-k over the compressed index — same signature,
+    result contract and plan shape as bm25_topk_wand (term-pruned scan
+    -> per-bucket kernel -> global top-k window); only the per-bucket
+    pruning strategy differs. two_phase bootstraps thresholds exactly
+    as the WAND driver does (any k docs' k-th score from a bucket
+    subset is a valid global lower bound)."""
+    all_terms = sorted({t for q in queries for t in q["terms"]})
+    arranged, term_dfs = _arrange_pruned(
+        postings, all_terms, term_dfs, pre_arranged
+    )
+    thresholds: dict[int, float] = {}
+    if two_phase:
+        sample = arranged.filter(F.col("bucket") < sample_buckets)
+        phase1 = sample.mapInPandas(
+            maxscore_kernel(queries, float(n_docs), float(avgdl), k, term_dfs),
+            schema=TOPK_RESULT_SCHEMA,
+        )
+        kth = (
+            topk_window(phase1, k)
+            .groupBy("query_id")
+            .agg(F.min("score").alias("kth"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        thresholds = {r["query_id"]: r["kth"] for r in kth if r["cnt"] >= k}
+    partial = arranged.mapInPandas(
+        maxscore_kernel(
+            queries, float(n_docs), float(avgdl), k, term_dfs, thresholds
+        ),
+        schema=TOPK_RESULT_SCHEMA,
+    )
+    return topk_window(partial, k)
+
+
+# ---------------------------------------------------------------------------
 # Phrase queries over the positional index
 # ---------------------------------------------------------------------------
 

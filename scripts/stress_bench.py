@@ -29,7 +29,7 @@ def worker() -> None:
     from pyspark.sql import functions as F
 
     from pisa_spark.index.lineage import build_index_resumable, load_index
-    from pisa_spark.query.bm25 import bm25_topk_wand
+    from pisa_spark.query.bm25 import bm25_topk_maxscore, bm25_topk_wand
     from pisa_spark.session import get_spark
     from pisa_spark.sources import catalog
     from scripts._scaling_worker import make_queries
@@ -83,6 +83,24 @@ def worker() -> None:
             pre_arranged=True,
         ).collect()
         batch_s = time.perf_counter() - t0
+        # two-phase pruning thresholds: the sf0.1 bench shows the
+        # phase-1 bootstrap costing more than pruning saves at 5k docs;
+        # this measures whether that flips at ~10M docs (it's the
+        # evidence behind search_batch's two_phase default)
+        t0 = time.perf_counter()
+        bm25_topk_wand(
+            postings, queries, stats["n_docs"], stats["avgdl"], k=10,
+            two_phase=True, pre_arranged=True,
+        ).collect()
+        batch2p_s = time.perf_counter() - t0
+        # MaxScore at scale: candidate freezing should bite hardest
+        # here, where stop-word-ish terms carry multi-MB posting lists
+        t0 = time.perf_counter()
+        bm25_topk_maxscore(
+            postings, queries, stats["n_docs"], stats["avgdl"], k=10,
+            two_phase=True, pre_arranged=True,
+        ).collect()
+        batchms_s = time.perf_counter() - t0
 
         print(json.dumps({
             "cores": cores,
@@ -94,6 +112,10 @@ def worker() -> None:
             "postings_per_s": round(summary["postings"] / build_s, 1),
             "batch64_s": round(batch_s, 2),
             "batch64_qps": round(64 / batch_s, 1),
+            "batch64_2p_s": round(batch2p_s, 2),
+            "batch64_2p_qps": round(64 / batch2p_s, 1),
+            "batch64_maxscore_s": round(batchms_s, 2),
+            "batch64_maxscore_qps": round(64 / batchms_s, 1),
             "bucket_bytes": {
                 "min": int(bstats["min_b"]), "p50": int(bstats["p50_b"]),
                 "p95": int(bstats["p95_b"]), "max": int(bstats["max_b"]),
@@ -133,6 +155,8 @@ buckets, wave_size=256) at {r["cores"]} taskset-pinned cores, then the
 | docs/s | {r["docs_per_s"]:,} |
 | postings/s | {r["postings_per_s"]:,} |
 | batch64 wall | {r["batch64_s"]} s ({r["batch64_qps"]} q/s) |
+| batch64 two-phase wall | {r["batch64_2p_s"]} s ({r["batch64_2p_qps"]} q/s) |
+| batch64 MaxScore (two-phase) wall | {r["batch64_maxscore_s"]} s ({r["batch64_maxscore_qps"]} q/s) |
 | bucket payload bytes min/p50/p95/max | {bb["min"]:,} / {bb["p50"]:,} / {bb["p95"]:,} / {bb["max"]:,} |
 | total payload | {bb["total"]:,} bytes |
 

@@ -139,3 +139,23 @@ def test_k100(built, oracle):
     q = [{"query_id": 0, "terms": ["data", "join"], "conjunctive": False}]
     rows = bm25_topk_wand(postings, q, stats["n_docs"], stats["avgdl"], k=100).collect()
     assert_matches(rows, oracle, q, k=100)
+
+
+def test_maxscore_matches_oracle(built, oracle):
+    from pisa_spark.query.bm25 import bm25_topk_maxscore
+
+    postings, stats = built
+    rows = bm25_topk_maxscore(
+        postings, QUERIES, stats["n_docs"], stats["avgdl"], k=10
+    ).collect()
+    assert_matches(rows, oracle, QUERIES)
+
+
+def test_maxscore_two_phase_matches_oracle(built, oracle):
+    from pisa_spark.query.bm25 import bm25_topk_maxscore
+
+    postings, stats = built
+    rows = bm25_topk_maxscore(
+        postings, QUERIES, stats["n_docs"], stats["avgdl"], k=10, two_phase=True
+    ).collect()
+    assert_matches(rows, oracle, QUERIES)

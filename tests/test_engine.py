@@ -109,3 +109,12 @@ def test_load_uncached_shuffle_free_and_identical(spark, eng, sf_dir, tmp_path_f
 
     plan = uncached.search("data join", k=10)._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(bucket" not in plan, plan
+
+
+def test_search_algorithm_maxscore(eng, oracle):
+    rows = eng.search("data join", k=10, algorithm="maxscore").collect()
+    expect = oracle.topk(["data", "join"], k=10)
+    assert [(r["rank"], r["doc_id"]) for r in sorted(rows, key=lambda r: r["rank"])] \
+        == [(r, d) for r, d, _ in expect]
+    with pytest.raises(ValueError, match="algorithm"):
+        eng.search("data", algorithm="nope")

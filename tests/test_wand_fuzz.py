@@ -13,7 +13,7 @@ import pytest
 
 from pisa_spark.index import codec
 from pisa_spark.index.build import BM25_B, BM25_K1
-from pisa_spark.query.bm25 import wand_kernel
+from pisa_spark.query.bm25 import maxscore_kernel, wand_kernel
 
 BLOCK = 4  # tiny blocks force multi-block terms and real pruning
 
@@ -86,8 +86,9 @@ def naive_topk(tf, doc_len, terms, conjunctive, k, n_docs, avgdl):
     return cand[:k]
 
 
-def run_kernel(blocks, queries, n_docs, avgdl, k, term_dfs, thresholds):
-    kern = wand_kernel(queries, float(n_docs), float(avgdl), k, term_dfs, thresholds)
+def run_kernel(blocks, queries, n_docs, avgdl, k, term_dfs, thresholds,
+               factory=wand_kernel):
+    kern = factory(queries, float(n_docs), float(avgdl), k, term_dfs, thresholds)
     frames = list(kern(iter([blocks])))
     out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
         columns=["query_id", "doc_id", "score"]
@@ -101,8 +102,10 @@ def run_kernel(blocks, queries, n_docs, avgdl, k, term_dfs, thresholds):
     return result
 
 
+@pytest.mark.parametrize("factory", [wand_kernel, maxscore_kernel],
+                         ids=["wand", "maxscore"])
 @pytest.mark.parametrize("seed", range(40))
-def test_wand_kernel_exact_under_fuzz(seed):
+def test_wand_kernel_exact_under_fuzz(seed, factory):
     rng = np.random.default_rng(seed)
     n_docs = int(rng.integers(8, 60))
     vocab = list("abcdefg"[: rng.integers(3, 7)])
@@ -139,7 +142,8 @@ def test_wand_kernel_exact_under_fuzz(seed):
     # thresholds exactly as production derives them: the kernel's OWN
     # k-th score from an unpruned pass (bit-identical arithmetic — the
     # two-phase bootstrap contract), plus a slightly slack variant
-    phase1 = run_kernel(blocks, queries, n_total, avgdl, k, term_dfs, {})
+    phase1 = run_kernel(blocks, queries, n_total, avgdl, k, term_dfs, {},
+                        factory=factory)
     kth = {
         qid: (cand[k - 1][1] if len(cand) >= k else -np.inf)
         for qid, cand in phase1.items()
@@ -153,7 +157,8 @@ def test_wand_kernel_exact_under_fuzz(seed):
         for qset in ([queries], [[q] for q in queries]):
             for qs in qset:
                 got = run_kernel(
-                    blocks, qs, n_total, avgdl, k, term_dfs, thr
+                    blocks, qs, n_total, avgdl, k, term_dfs, thr,
+                    factory=factory,
                 )
                 for q in qs:
                     qid = q["query_id"]
