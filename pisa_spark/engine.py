@@ -34,6 +34,10 @@ class SearchEngine:
         self.stats = stats
         self._pre_arranged = pre_arranged
         self._corpus_dir: str | None = None
+        # term -> global df, filled lazily per query (0 = term absent).
+        # Valid for the lifetime of this loaded snapshot: the engine
+        # serves an immutable generation, so dfs cannot drift under it.
+        self._df_cache: dict[str, int] = {}
 
     # -- construction ------------------------------------------------------
 
@@ -135,15 +139,40 @@ class SearchEngine:
         impl = {"wand": bm25_topk_wand, "maxscore": bm25_topk_maxscore}
         if algorithm not in impl:
             raise ValueError(f"algorithm must be one of {sorted(impl)}")
+        normalized = self._normalize(queries)
         return impl[algorithm](
             self.postings,
-            self._normalize(queries),
+            normalized,
             self.stats["n_docs"],
             self.stats["avgdl"],
             k=k,
             two_phase=two_phase,
+            term_dfs=self._term_dfs(
+                {t for q in normalized for t in q["terms"]}
+            ),
             pre_arranged=self._pre_arranged,
         )
+
+    def _term_dfs(self, terms) -> dict[str, int]:
+        """Global df per query term, from the driver-side cache; only
+        terms not seen before touch Spark (one term-pruned aggregate
+        over block metadata — PushedFilters keeps it to the queried
+        terms' blocks). Repeat vocabulary then serves with one fewer
+        Spark job per query, which at interactive latency is the
+        dominant per-query cost."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (
+                self.postings.filter(F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.sum("n").alias("df"))
+                .collect()
+            )
+            for r in rows:
+                self._df_cache[r["term"]] = int(r["df"])
+            for t in missing:
+                self._df_cache.setdefault(t, 0)
+        return {t: self._df_cache[t] for t in terms}
 
     def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
         """Exact consecutive-token phrase top-k. Requires a positional

@@ -379,10 +379,7 @@ def wand_kernel(
                     scores = _bm25_np(tfs, dls, float(term_dfs[t]), n_docs, avgdl)
                     kept = np.flatnonzero(um)
                     ns = g["n"].to_numpy(np.int64)[kept]
-                    # original block index of each decoded posting, so a
-                    # query can re-apply ITS mask at posting granularity
-                    block_of = np.repeat(kept, ns)
-                    decoded[t] = (docs, scores, block_of)
+                    decoded[t] = (docs, scores, kept, ns)
             for q, terms, present, masks in plans:
                 doc_parts, score_parts = [], []
                 for t in present:
@@ -390,12 +387,21 @@ def wand_kernel(
                     if not m.any():
                         continue
                     if batch:
-                        docs, scores, block_of = decoded[t]
-                        if m.all():
+                        docs, scores, kept, ns = decoded[t]
+                        # sel: this query's keep decision per DECODED
+                        # block. Dense sel -> skip the per-posting
+                        # re-mask and accumulate the shared arrays
+                        # uncut: extra blocks (kept by other queries)
+                        # only move understated scores toward exact,
+                        # which is always sound — the gather+copy of a
+                        # nearly-full mask costs more than accumulating
+                        # the few extra postings it would drop.
+                        sel = m[kept]
+                        if sel.all() or ns[sel].sum() * 2 > docs.size:
                             doc_parts.append(docs)
                             score_parts.append(scores)
                         else:
-                            pm = m[block_of]
+                            pm = np.repeat(sel, ns)
                             doc_parts.append(docs[pm])
                             score_parts.append(scores[pm])
                     else:
@@ -470,25 +476,75 @@ def bm25_topk_wand(
     arranged, term_dfs = _arrange_pruned(
         postings, all_terms, term_dfs, pre_arranged
     )
-    thresholds: dict[int, float] = {}
-    if two_phase:
-        sample = arranged.filter(F.col("bucket") < sample_buckets)
-        phase1 = sample.mapInPandas(
-            wand_kernel(queries, float(n_docs), float(avgdl), k, term_dfs),
+    return _two_phase_topk(
+        wand_kernel, arranged, queries, n_docs, avgdl, k,
+        two_phase, sample_buckets, term_dfs,
+    )
+
+
+def _two_phase_topk(
+    kernel_factory,
+    arranged: DataFrame,
+    queries: list[dict],
+    n_docs: float,
+    avgdl: float,
+    k: int,
+    two_phase: bool,
+    sample_buckets: int,
+    term_dfs: dict[str, int],
+) -> DataFrame:
+    """Shared phase-1/phase-2 driver for both pruning kernels.
+
+    Phase 1 scores the sample buckets exhaustively (no thresholds), so
+    its per-bucket candidates are exactly what a thresholded pass would
+    keep — they are REUSED as those buckets' partial results
+    (collected k rows per query re-shipped as a literal frame) and
+    phase 2 scans only bucket >= sample_buckets. The sampled buckets
+    are never read twice, and the thresholds ride along for free from
+    the same collect that builds the reused rows."""
+    if not two_phase:
+        partial = arranged.mapInPandas(
+            kernel_factory(queries, float(n_docs), float(avgdl), k, term_dfs),
             schema=TOPK_RESULT_SCHEMA,
         )
-        kth = (
-            topk_window(phase1, k)
-            .groupBy("query_id")
-            .agg(F.min("score").alias("kth"), F.count(F.lit(1)).alias("cnt"))
-            .collect()
+        return topk_window(partial, k)
+    spark = arranged.sparkSession
+    sample = arranged.filter(F.col("bucket") < sample_buckets)
+    phase1_rows = (
+        topk_window(
+            sample.mapInPandas(
+                kernel_factory(
+                    queries, float(n_docs), float(avgdl), k, term_dfs
+                ),
+                schema=TOPK_RESULT_SCHEMA,
+            ),
+            k,
         )
-        # a threshold is only valid once we have a full k results
-        thresholds = {r["query_id"]: r["kth"] for r in kth if r["cnt"] >= k}
-    partial = arranged.mapInPandas(
-        wand_kernel(queries, float(n_docs), float(avgdl), k, term_dfs, thresholds),
+        .select("query_id", "doc_id", "score")
+        .collect()
+    )
+    counts: dict[int, int] = {}
+    kth: dict[int, float] = {}
+    for r in phase1_rows:
+        counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
+        kth[r["query_id"]] = min(
+            kth.get(r["query_id"], np.inf), r["score"]
+        )
+    # a threshold is only valid once we have a full k results
+    thresholds = {q: kth[q] for q, c in counts.items() if c >= k}
+    rest = arranged.filter(F.col("bucket") >= sample_buckets)
+    partial = rest.mapInPandas(
+        kernel_factory(
+            queries, float(n_docs), float(avgdl), k, term_dfs, thresholds
+        ),
         schema=TOPK_RESULT_SCHEMA,
     )
+    if phase1_rows:
+        phase1_df = spark.createDataFrame(
+            [(r["query_id"], r["doc_id"], r["score"]) for r in phase1_rows],
+            schema=TOPK_RESULT_SCHEMA,
+        )
+        partial = partial.unionByName(phase1_df)
     return topk_window(partial, k)
 
 
@@ -767,27 +823,10 @@ def bm25_topk_maxscore(
     arranged, term_dfs = _arrange_pruned(
         postings, all_terms, term_dfs, pre_arranged
     )
-    thresholds: dict[int, float] = {}
-    if two_phase:
-        sample = arranged.filter(F.col("bucket") < sample_buckets)
-        phase1 = sample.mapInPandas(
-            maxscore_kernel(queries, float(n_docs), float(avgdl), k, term_dfs),
-            schema=TOPK_RESULT_SCHEMA,
-        )
-        kth = (
-            topk_window(phase1, k)
-            .groupBy("query_id")
-            .agg(F.min("score").alias("kth"), F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
-        thresholds = {r["query_id"]: r["kth"] for r in kth if r["cnt"] >= k}
-    partial = arranged.mapInPandas(
-        maxscore_kernel(
-            queries, float(n_docs), float(avgdl), k, term_dfs, thresholds
-        ),
-        schema=TOPK_RESULT_SCHEMA,
+    return _two_phase_topk(
+        maxscore_kernel, arranged, queries, n_docs, avgdl, k,
+        two_phase, sample_buckets, term_dfs,
     )
-    return topk_window(partial, k)
 
 
 # ---------------------------------------------------------------------------

@@ -77,30 +77,37 @@ def worker() -> None:
         postings = postings.repartition(n_part, "bucket").cache()
         postings.count()
         queries = make_queries(64)
-        t0 = time.perf_counter()
-        bm25_topk_wand(
-            postings, queries, stats["n_docs"], stats["avgdl"], k=10,
-            pre_arranged=True,
-        ).collect()
-        batch_s = time.perf_counter() - t0
-        # two-phase pruning thresholds: the sf0.1 bench shows the
-        # phase-1 bootstrap costing more than pruning saves at 5k docs;
-        # this measures whether that flips at ~10M docs (it's the
-        # evidence behind search_batch's two_phase default)
-        t0 = time.perf_counter()
-        bm25_topk_wand(
-            postings, queries, stats["n_docs"], stats["avgdl"], k=10,
-            two_phase=True, pre_arranged=True,
-        ).collect()
-        batch2p_s = time.perf_counter() - t0
-        # MaxScore at scale: candidate freezing should bite hardest
-        # here, where stop-word-ish terms carry multi-MB posting lists
-        t0 = time.perf_counter()
-        bm25_topk_maxscore(
-            postings, queries, stats["n_docs"], stats["avgdl"], k=10,
-            two_phase=True, pre_arranged=True,
-        ).collect()
-        batchms_s = time.perf_counter() - t0
+
+        # the VM shows bursty CPU-steal variance (see BENCH.md
+        # methodology), so each query entry takes several interleaved
+        # samples; min is the engine-capability number, all samples
+        # are reported
+        def timed(**kw) -> float:
+            t0 = time.perf_counter()
+            kern = bm25_topk_maxscore if kw.pop("maxscore", False) \
+                else bm25_topk_wand
+            kern(
+                postings, queries, stats["n_docs"], stats["avgdl"], k=10,
+                pre_arranged=True, **kw,
+            ).collect()
+            return round(time.perf_counter() - t0, 2)
+
+        samples = {"batch64": [], "batch64_2p": [], "batch64_maxscore": []}
+        for _ in range(3):
+            samples["batch64"].append(timed())
+            # two-phase thresholds: the sf0.1 bench shows the phase-1
+            # bootstrap costing more than pruning saves at 5k docs;
+            # this measures whether that flips at ~10M docs (the
+            # evidence behind search_batch's two_phase default)
+            samples["batch64_2p"].append(timed(two_phase=True))
+            # MaxScore at scale: per-query TAAT vs WAND's batch
+            # union-decode
+            samples["batch64_maxscore"].append(
+                timed(maxscore=True, two_phase=True)
+            )
+        batch_s = min(samples["batch64"])
+        batch2p_s = min(samples["batch64_2p"])
+        batchms_s = min(samples["batch64_maxscore"])
 
         print(json.dumps({
             "cores": cores,
@@ -116,6 +123,7 @@ def worker() -> None:
             "batch64_2p_qps": round(64 / batch2p_s, 1),
             "batch64_maxscore_s": round(batchms_s, 2),
             "batch64_maxscore_qps": round(64 / batchms_s, 1),
+            "query_samples": samples,
             "bucket_bytes": {
                 "min": int(bstats["min_b"]), "p50": int(bstats["p50_b"]),
                 "p95": int(bstats["p95_b"]), "max": int(bstats["max_b"]),
@@ -154,9 +162,9 @@ buckets, wave_size=256) at {r["cores"]} taskset-pinned cores, then the
 | build wall | {r["build_s"]} s |
 | docs/s | {r["docs_per_s"]:,} |
 | postings/s | {r["postings_per_s"]:,} |
-| batch64 wall | {r["batch64_s"]} s ({r["batch64_qps"]} q/s) |
-| batch64 two-phase wall | {r["batch64_2p_s"]} s ({r["batch64_2p_qps"]} q/s) |
-| batch64 MaxScore (two-phase) wall | {r["batch64_maxscore_s"]} s ({r["batch64_maxscore_qps"]} q/s) |
+| batch64 wall (min of 3) | {r["batch64_s"]} s ({r["batch64_qps"]} q/s; samples {r["query_samples"]["batch64"]}) |
+| batch64 two-phase wall (min of 3) | {r["batch64_2p_s"]} s ({r["batch64_2p_qps"]} q/s; samples {r["query_samples"]["batch64_2p"]}) |
+| batch64 MaxScore wall (min of 3) | {r["batch64_maxscore_s"]} s ({r["batch64_maxscore_qps"]} q/s; samples {r["query_samples"]["batch64_maxscore"]}) |
 | bucket payload bytes min/p50/p95/max | {bb["min"]:,} / {bb["p50"]:,} / {bb["p95"]:,} / {bb["max"]:,} |
 | total payload | {bb["total"]:,} bytes |
 

@@ -118,3 +118,17 @@ def test_search_algorithm_maxscore(eng, oracle):
         == [(r, d) for r, d, _ in expect]
     with pytest.raises(ValueError, match="algorithm"):
         eng.search("data", algorithm="nope")
+
+
+def test_term_df_cache_populates_and_serves(eng, oracle):
+    eng._df_cache.clear()
+    first = eng.search("data join", k=5).collect()
+    assert eng._df_cache.get("data", 0) > 0 and eng._df_cache.get("join", 0) > 0
+    # second search hits the cache (no state change) and stays correct
+    again = eng.search("data join", k=5).collect()
+    assert sorted((r["rank"], r["doc_id"]) for r in first) \
+        == sorted((r["rank"], r["doc_id"]) for r in again) \
+        == [(r, d) for r, d, _ in oracle.topk(["data", "join"], k=5)]
+    # absent terms cache as 0 and don't break the query
+    rows = eng.search("zzzabsent", k=5).collect()
+    assert rows == [] and eng._df_cache["zzzabsent"] == 0
