@@ -375,7 +375,10 @@ def ngram_jaccard_pairs(
         "doc_id", F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh")
     )
     if candidates is not None:
-        cand_pairs = candidates.select("doc_a", "doc_b")
+        # distinct: the pre-aggregate pair join multiplies n_inter by
+        # each duplicate candidate row (jaccard could exceed 1.0 and
+        # false pairs leak through) — the contract is a pair SET
+        cand_pairs = candidates.select("doc_a", "doc_b").distinct()
         cand_docs = (
             cand_pairs.select(F.col("doc_a").alias("doc_id"))
             .union(cand_pairs.select(F.col("doc_b").alias("doc_id")))

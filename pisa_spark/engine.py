@@ -23,6 +23,20 @@ from pisa_spark.corpus import parse_query
 from pisa_spark.index.lineage import build_index_resumable, load_index
 from pisa_spark.query.bm25 import bm25_topk_wand
 
+_BYTE_SUFFIX = {
+    "b": 1, "k": 1024, "kb": 1024, "m": 1024**2, "mb": 1024**2,
+    "g": 1024**3, "gb": 1024**3, "t": 1024**4, "tb": 1024**4,
+}
+
+
+def _parse_bytes_conf(v) -> int:
+    """Spark byte-size conf parser ('134217728', '128m', '1g', '4MB')."""
+    s = str(v).strip().lower()
+    for suf in sorted(_BYTE_SUFFIX, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * _BYTE_SUFFIX[suf])
+    return int(float(s))
+
 
 class SearchEngine:
     def __init__(
@@ -70,13 +84,17 @@ class SearchEngine:
 
         cache=False is genuinely shuffle-free: the build writes each
         bucket as ONE data file (lineage.py clusters by bucket before
-        the partitioned write), and a file smaller than
-        spark.sql.files.maxPartitionBytes is never split across scan
-        tasks, so the stored layout already satisfies the WAND kernel's
-        bucket-wholly-in-one-partition invariant. The invariant is
-        VERIFIED against the manifest here (file counts + sizes); an
-        index written by an older build that violates it falls back to
-        a per-query bucket repartition (correct, one extra shuffle)."""
+        the partitioned write), and a file no larger than the scan's
+        EFFECTIVE split size is never split across scan tasks, so the
+        stored layout already satisfies the WAND kernel's
+        bucket-wholly-in-one-partition invariant. The effective split
+        is Spark's formula — min(maxPartitionBytes, max(openCost,
+        totalBytes/minPartitionNum)) — not maxPartitionBytes alone,
+        which a many-core session can undercut by orders of magnitude.
+        The invariant is VERIFIED against the manifest here (file
+        counts + sizes through that formula); a layout that violates it
+        falls back to a per-query bucket repartition (correct, one
+        extra shuffle)."""
         from pisa_spark.index.lineage import POSTINGS_TABLE
         from pisa_spark.sources import catalog
 
@@ -85,18 +103,39 @@ class SearchEngine:
             n_part = max(spark.sparkContext.defaultParallelism, 8)
             arranged = postings.repartition(n_part, "bucket").cache()
             return cls(spark, arranged, stats, pre_arranged=True)
-        max_bytes_conf = spark.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728b"
-        )
-        max_split = int("".join(c for c in str(max_bytes_conf) if c.isdigit()))
         try:
-            n_files, biggest = catalog.partition_file_stats(
-                index_root, POSTINGS_TABLE
+            max_files, biggest, n_files, total_bytes = (
+                catalog.partition_file_stats(index_root, POSTINGS_TABLE)
             )
-            stored_ok = n_files <= 1 and biggest < max_split
+            max_split = cls._effective_split_bytes(
+                spark, n_files, total_bytes
+            )
+            stored_ok = max_files <= 1 and biggest <= max_split
         except (FileNotFoundError, OSError):
             stored_ok = False
         return cls(spark, postings, stats, pre_arranged=stored_ok)
+
+    @staticmethod
+    def _effective_split_bytes(
+        spark: SparkSession, n_files: int, total_bytes: int
+    ) -> int:
+        """Replicate FilePartition's split-size decision for this
+        session: a file is split iff larger than min(maxPartitionBytes,
+        max(openCostInBytes, (totalBytes + nFiles*openCost) /
+        minPartitionNum)). Conf values accept unit suffixes ('128m',
+        '1g')."""
+        max_pb = _parse_bytes_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+        open_cost = _parse_bytes_conf(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4m")
+        )
+        try:
+            parallelism = int(spark.conf.get("spark.sql.files.minPartitionNum"))
+        except Exception:  # unset (Spark validates typed conf defaults)
+            parallelism = max(spark.sparkContext.defaultParallelism, 1)
+        per_core = (total_bytes + n_files * open_cost) / parallelism
+        return int(min(max_pb, max(open_cost, per_core)))
 
     # -- querying ----------------------------------------------------------
 
@@ -267,9 +306,11 @@ class SearchEngine:
         return dict(self.stats)
 
     def term_stats(self, terms: list[str]) -> DataFrame:
-        """(term, df) for the given terms, from block metadata."""
-        return (
-            self.postings.filter(F.col("term").isin(list(terms)))
-            .groupBy("term")
-            .agg(F.sum("n").alias("df"))
+        """(term, df) for the given terms, through the same driver-side
+        cache the query path fills — terms already served cost no Spark
+        job, and the df definition cannot drift between the two."""
+        dfs = self._term_dfs(set(terms))
+        return self.spark.createDataFrame(
+            [(t, d) for t, d in dfs.items() if d > 0],
+            schema="term string, df bigint",
         )

@@ -144,6 +144,11 @@ def global_positions_snapshot(
     file split — the kernel keeps a running index per bucket, and
     within-bucket order is re-established by an explicit local sort.
     """
+    if "__bucket" in df.columns:
+        raise ValueError(
+            "global_positions_snapshot reserves the '__bucket' column;"
+            " rename it in the input first"
+        )
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = max(spark.sparkContext.defaultParallelism, 2)

@@ -74,11 +74,12 @@ def _writer_lock(root: str, name: str):
             if e.errno != errno.EEXIST:
                 raise
             try:
-                if time.time() - os.path.getmtime(lock) > _LOCK_STALE_S:
-                    os.remove(lock)  # break abandoned lock, retry
-                    continue
+                stale = time.time() - os.path.getmtime(lock) > _LOCK_STALE_S
             except OSError:
-                continue  # holder released between stat and remove
+                continue  # holder released between create-fail and stat
+            if stale:
+                _break_stale_lock(lock)
+                continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     f"writer lock on table {name} held past "
@@ -90,6 +91,36 @@ def _writer_lock(root: str, name: str):
     finally:
         with contextlib.suppress(OSError):
             os.remove(lock)
+
+
+def _break_stale_lock(lock: str) -> None:
+    """Break an abandoned lock under a breaker mutex. A bare
+    stat-then-remove is racy: between a waiter's staleness check and
+    its remove, another waiter can break the same stale lock AND
+    acquire a fresh one — the first waiter would then delete the LIVE
+    lock and two writers enter the critical section. The breaker file
+    (O_CREAT|O_EXCL) serializes breakers, and the staleness re-check
+    under it sees any freshly-acquired lock as young and leaves it
+    alone. A breaker abandoned by a crash is itself stale-broken the
+    same way."""
+    breaker = lock + ".breaker"
+    try:
+        fd = os.open(breaker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except OSError as e:
+        if e.errno == errno.EEXIST:
+            with contextlib.suppress(OSError):
+                if time.time() - os.path.getmtime(breaker) > _LOCK_STALE_S:
+                    os.remove(breaker)
+            return  # another breaker is (or was) at work; caller retries
+        raise
+    try:
+        os.close(fd)
+        with contextlib.suppress(OSError):
+            if time.time() - os.path.getmtime(lock) > _LOCK_STALE_S:
+                os.remove(lock)
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(breaker)
 
 
 def table_path(root: str, name: str) -> str:
@@ -176,15 +207,46 @@ def write_table(
             _publish(root, name, {"partition_col": pcol, "partitions": parts})
         else:
             if mode == "append":
-                if old is None and _legacy_files(tp):
-                    raise ValueError(
-                        f"table {name} holds plain files written outside"
-                        " the manifest protocol — cannot append"
-                    )
-                dirs = list(old.get("dirs", [])) + [gen] if old else [gen]
+                if old is not None:
+                    dirs = list(old.get("dirs", [])) + [gen]
+                elif _legacy_files(tp):
+                    # adopt a pre-manifest corpus in the same commit:
+                    # hardlink its data files into an adoption
+                    # generation, publish it alongside the new one. A
+                    # crash mid-adoption leaves the manifest unpublished
+                    # and the links invisible — readers keep the legacy
+                    # view; after publish, reads resolve the manifest
+                    # only (root files become shadowed duplicates of the
+                    # same inodes, zero extra space, swept by no one by
+                    # design).
+                    dirs = [_adopt_legacy(tp), gen]
+                else:
+                    dirs = [gen]
             else:
                 dirs = [gen]
             _publish(root, name, {"dirs": dirs})
+
+
+def _adopt_legacy(tp: str) -> str:
+    """Hardlink a legacy (pre-manifest) table's plain data files into a
+    fresh generation dir and return its name — the migration half of
+    appending to a corpus the previous release wrote directly."""
+    if os.path.isfile(tp):
+        raise ValueError(
+            f"{tp} is a single parquet FILE — a file cannot become a"
+            " manifest table dir; copy it into a directory first"
+        )
+    adopt = f"gen-{time.time_ns():x}-adopt"
+    adopt_path = os.path.join(tp, adopt)
+    os.makedirs(adopt_path, exist_ok=True)
+    for f in os.listdir(tp):
+        if f.startswith(("gen-", "_", ".")):
+            continue
+        src = os.path.join(tp, f)
+        if os.path.isfile(src):
+            with contextlib.suppress(FileExistsError):
+                os.link(src, os.path.join(adopt_path, f))
+    return adopt
 
 
 def _legacy_files(tp: str) -> bool:
@@ -227,7 +289,14 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
             for gen, parts in sorted(by_gen.items())
         ]
     else:
-        frames = [spark.read.parquet(os.path.join(tp, d)) for d in m["dirs"]]
+        # ONE multi-path relation, not a unionByName chain: an appending
+        # stream adds a generation per micro-batch, and a chain of N
+        # parquet relations makes every later read plan O(N) relations
+        # (O(N^2) planning across a run) — a single read scales as one
+        # file listing
+        if not m["dirs"]:
+            raise FileNotFoundError(f"table {name} has no live data")
+        return spark.read.parquet(*[os.path.join(tp, d) for d in m["dirs"]])
     if not frames:
         raise FileNotFoundError(f"table {name} has no live data")
     return reduce(lambda a, b: a.unionByName(b), frames)
@@ -314,18 +383,21 @@ def vacuum(root: str, name: str, min_age_s: float = 3600.0) -> list[str]:
     return removed
 
 
-def partition_file_stats(root: str, name: str) -> tuple[int, int]:
-    """(max data files in any live partition, max single file bytes) for
-    a partitioned table — the layout invariant check behind shuffle-free
-    serving: when every partition is ONE file smaller than
-    spark.sql.files.maxPartitionBytes, a scan can never split a
-    partition's rows across tasks. Raises if the table is not
-    manifest-partitioned."""
+def partition_file_stats(root: str, name: str) -> tuple[int, int, int, int]:
+    """(max data files in any live partition, max single file bytes,
+    total file count, total bytes) for a partitioned table — the layout
+    invariant check behind shuffle-free serving: when every partition is
+    ONE file no larger than the scan's effective split size, a scan can
+    never split a partition's rows across tasks. The totals feed
+    Spark's split-size formula (split = min(maxPartitionBytes,
+    max(openCostInBytes, totalScanBytes/minPartitionNum))), which can
+    sit far BELOW maxPartitionBytes on a many-core session. Raises if
+    the table is not manifest-partitioned."""
     m = _read_manifest(root, name)
     if m is None or "partitions" not in m:
         raise FileNotFoundError(f"table {name} is not manifest-partitioned")
     tp = table_path(root, name)
-    max_files, max_bytes = 0, 0
+    max_files, max_bytes, n_files, total_bytes = 0, 0, 0, 0
     for rel in m["partitions"].values():
         full = os.path.join(tp, rel)
         files = [
@@ -333,9 +405,12 @@ def partition_file_stats(root: str, name: str) -> tuple[int, int]:
             if not f.startswith(("_", ".")) and not f.endswith(".crc")
         ]
         max_files = max(max_files, len(files))
+        n_files += len(files)
         for f in files:
-            max_bytes = max(max_bytes, os.path.getsize(os.path.join(full, f)))
-    return max_files, max_bytes
+            sz = os.path.getsize(os.path.join(full, f))
+            max_bytes = max(max_bytes, sz)
+            total_bytes += sz
+    return max_files, max_bytes, n_files, total_bytes
 
 
 def table_exists(root: str, name: str) -> bool:

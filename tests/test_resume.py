@@ -383,3 +383,25 @@ def test_writer_lock_stale_break_and_exclusion(spark, tmp_path):
     finally:
         cat._LOCK_TIMEOUT_S, cat._LOCK_STALE_S = orig_t, orig_s
         os.remove(lock)
+
+
+def test_append_adopts_legacy_plain_dir(spark, tmp_path):
+    """Appending to a corpus written OUTSIDE the manifest protocol
+    (previous release, plain .write.parquet) must adopt it into the
+    manifest in the same commit, not raise — the streaming-ingest
+    migration path."""
+    root = str(tmp_path)
+    tp = catalog.table_path(root, "t")
+    spark.range(5).selectExpr("id", "id * 2 AS v").write.parquet(tp)
+    assert catalog.table_exists(root, "t")
+    add = spark.range(5, 8).selectExpr("id", "id * 2 AS v")
+    catalog.write_table(add, root, "t", mode="append")
+    got = sorted(r["id"] for r in catalog.read_table(spark, root, "t").collect())
+    assert got == list(range(8))
+    # further appends keep both the adopted and new generations live
+    catalog.write_table(
+        spark.range(8, 9).selectExpr("id", "id * 2 AS v"), root, "t",
+        mode="append",
+    )
+    got = sorted(r["id"] for r in catalog.read_table(spark, root, "t").collect())
+    assert got == list(range(9))
