@@ -302,6 +302,33 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), frames)
 
 
+def compact_table(
+    spark: SparkSession, root: str, name: str, min_dirs: int = 2
+) -> bool:
+    """Rewrite an unpartitioned table's live generation dirs into ONE
+    fresh generation and publish it — the maintenance half of
+    streaming append (one generation lands per micro-batch; compaction
+    bounds the file listing a reader pays). No-op below ``min_dirs``.
+    Readers are never torn: the rewrite lands invisible, the publish is
+    the usual atomic manifest swap, and superseded generations go to
+    ``vacuum``. Iceberg analog: rewrite_data_files + snapshot commit.
+
+    Runs the data rewrite under the writer lock (unlike write_table,
+    which only locks the manifest step) — compaction must not race an
+    append or it would publish a manifest missing the appended
+    generation."""
+    with _writer_lock(root, name):
+        m = _read_manifest(root, name)
+        if m is None or "dirs" not in m or len(m["dirs"]) < min_dirs:
+            return False
+        tp = table_path(root, name)
+        df = spark.read.parquet(*[os.path.join(tp, d) for d in m["dirs"]])
+        gen = f"gen-{time.time_ns():x}-compact"
+        df.write.mode("overwrite").parquet(os.path.join(tp, gen))
+        _publish(root, name, {"dirs": [gen]})
+    return True
+
+
 def delete_partitions(root: str, name: str, values: list) -> None:
     """Publish a manifest without the given partition values — the
     atomic delete-files commit; data files are left for out-of-band GC."""

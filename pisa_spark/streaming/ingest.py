@@ -187,6 +187,13 @@ def stream_index_ingest(
         if new.isEmpty():
             return  # pure replay — corpus and index already reflect it
         catalog.write_table(new, corpus_dir, corpus_table, mode="append")
+        # bound the generation count: each micro-batch appends one
+        # generation; past 16 live dirs, fold them into one (atomic
+        # publish, superseded dirs left to vacuum) so a long-running
+        # stream's readers pay a constant file listing
+        catalog.compact_table(
+            batch_df.sparkSession, corpus_dir, corpus_table, min_dirs=16
+        )
         build_index_resumable(
             batch_df.sparkSession,
             corpus_dir,

@@ -51,6 +51,17 @@ def main() -> None:
         bm25_topk_wand(postings, q, stats["n_docs"], stats["avgdl"], k=10)
     )
 
+    from pisa_spark.engine import SearchEngine
+
+    uncached = SearchEngine.load(spark, root, cache=False)
+    assert uncached._pre_arranged, (
+        "stored one-file-per-bucket layout failed the split-size check"
+    )
+    serve_plan = fmt(uncached.search("data join", k=10, two_phase=False))
+    assert "hashpartitioning(bucket" not in serve_plan, (
+        "uncached serving regressed to a per-query bucket repartition"
+    )
+
     inter = interactions_from_events(spark, sf)
     neg_plan = fmt(negative_samples(inter, n_per_user=5))
     assert "CartesianProduct" not in neg_plan and "NestedLoop" not in neg_plan, (
@@ -164,6 +175,22 @@ semi-joins are present before writing this file.
 
 ```
 {jac_plan}
+```
+
+## 7. Shuffle-free uncached serving (SearchEngine.load(cache=False))
+
+The build clusters each bucket into ONE data file; load(cache=False)
+verifies that layout against Spark's EFFECTIVE scan split size
+(min(maxPartitionBytes, max(openCost, totalBytes/minPartitionNum)) —
+the formula FilePartition actually uses, not maxPartitionBytes alone)
+and serves straight off the catalog files. Look for: NO
+`Exchange hashpartitioning(bucket` anywhere — the only Exchange is the
+k-row top-k merge window — and `PushedFilters` carrying the query
+terms into the parquet scan. The dump script asserts both before
+writing this file.
+
+```
+{serve_plan}
 ```
 """
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(

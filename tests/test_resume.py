@@ -405,3 +405,25 @@ def test_append_adopts_legacy_plain_dir(spark, tmp_path):
     )
     got = sorted(r["id"] for r in catalog.read_table(spark, root, "t").collect())
     assert got == list(range(9))
+
+
+def test_compact_table_folds_generations(spark, tmp_path):
+    root = str(tmp_path)
+    for lo in range(0, 9, 3):
+        catalog.write_table(
+            spark.range(lo, lo + 3).selectExpr("id"), root, "t", mode="append"
+        )
+    m = catalog._read_manifest(root, "t")
+    assert len(m["dirs"]) == 3
+    assert catalog.compact_table(spark, root, "t") is True
+    m2 = catalog._read_manifest(root, "t")
+    assert len(m2["dirs"]) == 1
+    got = sorted(r["id"] for r in catalog.read_table(spark, root, "t").collect())
+    assert got == list(range(9))
+    # superseded generations are vacuumable; the compacted one survives
+    removed = catalog.vacuum(root, "t", min_age_s=0)
+    assert len(removed) >= 3 and m2["dirs"][0] not in removed
+    got = sorted(r["id"] for r in catalog.read_table(spark, root, "t").collect())
+    assert got == list(range(9))
+    # below min_dirs it is a no-op
+    assert catalog.compact_table(spark, root, "t") is False
