@@ -48,9 +48,18 @@ from pisa_spark.functions.multimodal import (  # noqa: E402
     extract_media_features,
     media_from_documents,
 )
+from pisa_spark.functions.quality import (  # noqa: E402
+    c4_line_stats,
+    gopher_signals,
+    ngram_repetition,
+)
 from pisa_spark.functions.text import (  # noqa: E402
     doc_profile,
     winnowing_fingerprints,
+)
+from pisa_spark.functions.urls import (  # noqa: E402
+    host_stats,
+    url_dedup_latest,
 )
 from pisa_spark.operators.graph import (  # noqa: E402
     negative_samples,
@@ -297,6 +306,57 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _webbify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministically 'webbified' multi-line text so
+    the C4 line rules actually fire (the synthetic corpus is one line
+    of unpunctuated word soup). Pure expressions, mirrored verbatim in
+    the oracle SQL."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    web = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Doc "), did.cast("string"), F.lit(" begins here.")),
+        F.concat(F.lit("- "), F.substring("text", 1, 30)),
+        F.concat(F.substring("text", 1, 60), F.lit(".")),
+        F.when(
+            did % 7 == 0,
+            F.lit("Please enable javascript to view this page."),
+        ).otherwise(F.lit("A regular sentence with an end.")),
+        F.when(did % 11 == 0, F.lit("short line")).otherwise(
+            F.lit("Another proper sentence here!")
+        ),
+        F.when(did % 13 == 0, F.lit("page config { display: none }")).otherwise(
+            F.lit("Trailing thoughts continue...")
+        ),
+    )
+    return d.select("doc_id", web.alias("text"))
+
+
+def _crawl_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic crawl plus a messier recrawl of every third page
+    (http + WWW. + mixed case + query/fragment, one hour later) — a
+    corpus with known canonical-URL collisions for the dedup gate.
+    URL/warc_ts formulas match pisa_spark.corpus.pages_from_documents."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id")
+    tail = F.concat(
+        (did % 1000).cast("string"),
+        F.lit(".test/p/"),
+        F.lpad(did.cast("string"), 8, "0"),
+    )
+    orig = d.select(
+        F.concat(F.lit("https://example"), tail).alias("url"),
+        F.timestamp_seconds(F.lit(1514764800) + did * 7).alias("warc_ts"),
+    )
+    variant = d.filter(did % 3 == 0).select(
+        F.concat(
+            F.lit("http://WWW.Example"), tail, F.lit("?utm_source=x#frag")
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1514764800) + did * 7 + 3600).alias("warc_ts"),
+    )
+    return orig.unionByName(variant)
 
 
 def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,6 +1048,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnowing": lambda spark, sf: winnowing_fingerprints(
             _docs(spark, sf), k=5, w=4
         ),
+        # --- web-curation quality filters (Gopher / C4 rules) ---
+        "quality_gopher": lambda spark, sf: gopher_signals(_docs(spark, sf)),
+        "quality_repetition": lambda spark, sf: ngram_repetition(
+            _docs(spark, sf)
+        ),
+        "c4_line_stats": lambda spark, sf: c4_line_stats(
+            _webbify_docs(spark, sf)
+        ),
+        # --- URL canonicalization / host analytics / crawl dedup ---
+        "url_host_stats": lambda spark, sf: host_stats(
+            pages_from_documents(spark, sf)
+        ).select(
+            "host",
+            "n_pages",
+            "n_urls",
+            "total_chars",
+            "mean_chars",
+            F.col("first_crawl").cast("long").alias("first_crawl_s"),
+            F.col("last_crawl").cast("long").alias("last_crawl_s"),
+        ),
+        "url_dedup": lambda spark, sf: url_dedup_latest(
+            _crawl_with_variants(spark, sf)
+        ).select(
+            "canonical_url",
+            "url",
+            F.col("warc_ts").cast("long").alias("warc_ts_s"),
+        ),
         # --- reference-semantic snapshot/recommendation pipeline ---
         "ref_split_counts": lambda spark, sf: _ref_blocks(spark, sf)
         .groupBy("snapshot_idx", "block_type")
@@ -1467,6 +1554,193 @@ wmins AS (
   FROM hashes
 )
 SELECT DISTINCT doc_id, unnest(ms) AS fp FROM wmins
+""",
+        "quality_gopher": """
+WITH base AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS toks,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                l -> l <> '') AS lines
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    coalesce(list_aggregate(list_transform(toks, w -> length(w)), 'sum'), 0)
+      / greatest(len(toks), 1) AS mean_word_len,
+    len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+      / greatest(len(words), 1) AS frac_alpha_words,
+    ( CAST(length(text) - length(replace(text, '#', '')) AS INT)
+      + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS INT)
+      + CAST(length(text) - length(replace(text, '…', '')) AS INT)
+    ) / greatest(len(toks), 1) AS symbol_word_ratio,
+    len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%'))
+      / greatest(len(lines), 1) AS frac_bullet_lines,
+    len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…'))
+      / greatest(len(lines), 1) AS frac_ellipsis_lines,
+    len(list_intersect(list_distinct(toks),
+        ['the','be','to','of','and','that','have','with'])) AS n_required_stopwords
+  FROM base
+)
+SELECT doc_id, n_words,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(frac_alpha_words, 6) AS frac_alpha_words,
+  round(symbol_word_ratio, 6) AS symbol_word_ratio,
+  round(frac_bullet_lines, 6) AS frac_bullet_lines,
+  round(frac_ellipsis_lines, 6) AS frac_ellipsis_lines,
+  n_required_stopwords,
+  ( n_words BETWEEN 50 AND 100000
+    AND mean_word_len BETWEEN 3.0 AND 10.0
+    AND symbol_word_ratio <= 0.1
+    AND frac_bullet_lines <= 0.9
+    AND frac_ellipsis_lines <= 0.3
+    AND frac_alpha_words >= 0.8
+    AND n_required_stopwords >= 2 ) AS gopher_pass
+FROM sig
+""",
+        "quality_repetition": """
+WITH base AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '') AS tokens,
+    length(array_to_string(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        ' ')) AS tc
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, tc, n,
+    unnest(list_transform(range(1, len(tokens) - n + 2),
+                          i -> array_to_string(tokens[i:i+n-1], ' '))) AS g
+  FROM base, (SELECT unnest([2, 3, 4, 5, 10]) AS n) ns
+  WHERE len(tokens) >= n
+),
+cnt AS (SELECT doc_id, tc, n, g, count(*) AS c FROM ex GROUP BY ALL),
+per AS (
+  SELECT doc_id, tc, n,
+    max(c * length(g)) AS top_chars,
+    sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup_chars
+  FROM cnt GROUP BY ALL
+),
+piv AS (
+  SELECT doc_id, tc,
+    max(top_chars) FILTER (n = 2) AS t2,
+    max(top_chars) FILTER (n = 3) AS t3,
+    max(top_chars) FILTER (n = 4) AS t4,
+    max(dup_chars) FILTER (n = 5) AS d5,
+    max(dup_chars) FILTER (n = 10) AS d10
+  FROM per GROUP BY doc_id, tc
+)
+SELECT d.doc_id,
+  coalesce(round(t2 / greatest(tc, 1), 6), 0.0) AS top2_char_frac,
+  coalesce(round(t3 / greatest(tc, 1), 6), 0.0) AS top3_char_frac,
+  coalesce(round(t4 / greatest(tc, 1), 6), 0.0) AS top4_char_frac,
+  coalesce(round(d5 / greatest(tc, 1), 6), 0.0) AS dup5_char_frac,
+  coalesce(round(d10 / greatest(tc, 1), 6), 0.0) AS dup10_char_frac
+FROM documents d LEFT JOIN piv USING (doc_id)
+""",
+        "c4_line_stats": """
+WITH webdocs AS (
+  SELECT doc_id,
+    'Doc ' || CAST(doc_id AS VARCHAR) || ' begins here.' || chr(10)
+    || '- ' || substr(text, 1, 30) || chr(10)
+    || substr(text, 1, 60) || '.' || chr(10)
+    || CASE WHEN doc_id % 7 = 0
+         THEN 'Please enable javascript to view this page.'
+         ELSE 'A regular sentence with an end.' END || chr(10)
+    || CASE WHEN doc_id % 11 = 0
+         THEN 'short line'
+         ELSE 'Another proper sentence here!' END || chr(10)
+    || CASE WHEN doc_id % 13 = 0
+         THEN 'page config { display: none }'
+         ELSE 'Trailing thoughts continue...' END AS text
+  FROM documents
+),
+lined AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                l -> l <> '') AS ls
+  FROM webdocs
+),
+keptt AS (
+  SELECT doc_id, text, ls,
+    list_filter(ls, l -> regexp_matches(l, '[.!?\"]$')
+      AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                          w -> w <> '')) >= 3
+      AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM lined
+),
+fin AS (
+  SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept,
+    array_to_string(kept, chr(10)) AS cleaned,
+    length(regexp_replace(array_to_string(kept, chr(10)),
+                          '[^.!?]', '', 'g')) AS n_sentences,
+    contains(text, '{') AS has_brace,
+    contains(lower(text), 'lorem ipsum') AS has_lorem,
+    length(text) AS lt
+  FROM keptt
+)
+SELECT doc_id, n_lines, n_kept,
+  round(length(cleaned) / greatest(lt, 1), 6) AS kept_char_frac,
+  n_sentences, has_brace, has_lorem,
+  (NOT has_brace AND NOT has_lorem AND n_sentences >= 3) AS c4_pass,
+  md5(cleaned) AS cleaned_md5
+FROM fin
+""",
+        "url_host_stats": """
+WITH pages AS (
+  SELECT 'https://example' || CAST(doc_id % 1000 AS VARCHAR) || '.test/p/'
+         || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         1514764800 + doc_id * 7 AS ts_s,
+         text
+  FROM documents
+),
+canon AS (
+  SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(url), '^https?://', ''), '^www\\.', ''),
+           '[?#].*$', ''), '/$', '') AS c,
+         ts_s, length(text) AS chars
+  FROM pages
+)
+SELECT regexp_extract(c, '^[^/]*') AS host,
+  count(*) AS n_pages,
+  count(DISTINCT c) AS n_urls,
+  CAST(sum(chars) AS BIGINT) AS total_chars,
+  round(avg(chars), 6) AS mean_chars,
+  min(ts_s) AS first_crawl_s,
+  max(ts_s) AS last_crawl_s
+FROM canon GROUP BY host
+""",
+        "url_dedup": """
+WITH tails AS (
+  SELECT doc_id,
+    CAST(doc_id % 1000 AS VARCHAR) || '.test/p/'
+      || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS tail,
+    1514764800 + doc_id * 7 AS ts_s
+  FROM documents
+),
+crawl AS (
+  SELECT 'https://example' || tail AS url, ts_s FROM tails
+  UNION ALL
+  SELECT 'http://WWW.Example' || tail || '?utm_source=x#frag' AS url,
+         ts_s + 3600 AS ts_s
+  FROM tails WHERE doc_id % 3 = 0
+),
+canon AS (
+  SELECT url, ts_s,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(url), '^https?://', ''), '^www\\.', ''),
+      '[?#].*$', ''), '/$', '') AS canonical_url
+  FROM crawl
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY canonical_url ORDER BY ts_s DESC, url ASC) AS rn
+  FROM canon
+)
+SELECT canonical_url, url, ts_s AS warc_ts_s FROM ranked WHERE rn = 1
 """,
         # --- reference-semantic snapshot/recommendation pipeline ---
         "ref_split_counts": _SQL_REF
