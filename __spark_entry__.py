@@ -90,6 +90,10 @@ from pisa_spark.query.bm25 import (  # noqa: E402
     bm25_topk_maxscore,
     bm25_topk_wand,
 )
+from pisa_spark.query.scorers import (  # noqa: E402
+    postings_to_tf,
+    scored_topk_dataframe,
+)
 from pisa_spark.similarity.ann import (  # noqa: E402
     cosine_topk_bruteforce,
     lsh_bucket_topk,
@@ -163,6 +167,77 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+_LOG2E = "1.4426950408889634"
+_TWO_PI = "6.283185307179586"
+
+# per-scorer SQL score expressions over the `w` CTE (all-double columns
+# tf, doc_len, cf, n_docs, avgdl, total_cf, tfn, lam, f) — operand order
+# and parenthesisation mirror pisa_spark.query.scorers exactly so the
+# float paths are bit-comparable (log2 pinned as ln(x)*LOG2E there too)
+_SCORER_SQL = {
+    "qld": (
+        "ln(1 + tf / (1000.0 * (cf / total_cf)))"
+        " + ln(1000.0 / (doc_len + 1000.0))"
+    ),
+    "pl2": (
+        f"( tfn * (ln(tfn / lam) * {_LOG2E})"
+        f"  + (lam + 1.0 / (12.0 * tfn) - tfn) * {_LOG2E}"
+        f"  + 0.5 * (ln({_TWO_PI} * tfn) * {_LOG2E}) ) / (tfn + 1.0)"
+    ),
+    "dph": (
+        "CASE WHEN tf >= doc_len THEN 0.0 ELSE"
+        " (((1 - f) * (1 - f)) / (tf + 1.0)) *"
+        f" ( tf * (ln((tf * avgdl / doc_len) * (n_docs / cf)) * {_LOG2E})"
+        f"   + 0.5 * (ln({_TWO_PI} * tf * (1 - f)) * {_LOG2E}) )"
+        " END"
+    ),
+}
+
+
+def _scored_sql(
+    qs: list[tuple[int, list[str]]], scorer: str, conjunctive: bool, k: int = 10
+) -> str:
+    conj_filter = "HAVING count(*) = max(n_terms)" if conjunctive else ""
+    return f"""
+{_SQL_BASE},
+cfreq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_cf FROM tf),
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+j AS (
+  SELECT q.query_id, tf.doc_id, CAST(tf.tf AS DOUBLE) AS tf,
+         CAST(doclen.doc_len AS DOUBLE) AS doc_len,
+         CAST(cfreq.cf AS DOUBLE) AS cf,
+         CAST(stats.n_docs AS DOUBLE) AS n_docs, stats.avgdl AS avgdl,
+         CAST(tot.total_cf AS DOUBLE) AS total_cf, qn.n_terms
+  FROM tf
+  JOIN q USING (term)
+  JOIN cfreq USING (term)
+  JOIN doclen USING (doc_id)
+  JOIN qn USING (query_id)
+  CROSS JOIN stats
+  CROSS JOIN tot
+),
+w AS (
+  SELECT *, tf * (ln(1 + avgdl / doc_len) * {_LOG2E}) AS tfn,
+         cf / n_docs AS lam, tf / doc_len AS f
+  FROM j
+),
+scored AS (
+  SELECT query_id, doc_id, sum({_SCORER_SQL[scorer]}) AS raw_score
+  FROM w
+  GROUP BY query_id, doc_id
+  {conj_filter}
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Spark-side helpers
 # ---------------------------------------------------------------------------
@@ -194,6 +269,41 @@ def _bm25_df(
     )
     out = bm25_topk_dataframe(
         _tf_full(spark, sf_dir), qdf, n_docs, avgdl, k=k, conjunctive=conjunctive
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _scored_df(
+    spark: SparkSession,
+    sf_dir: str,
+    qs,
+    scorer: str,
+    conjunctive: bool = False,
+    k: int = 10,
+    from_index: bool = False,
+) -> DataFrame:
+    """Top-k under a registered alternative scorer (qld/pl2/dph).
+    from_index=True serves off the compressed posting blocks via
+    postings_to_tf — same oracle SQL, proving the codec round-trip and
+    the scorer/index separation in one gate."""
+    toks = _tokens(spark, sf_dir)
+    row = toks.agg(
+        F.count(F.lit(1)), F.avg("doc_len"), F.sum("doc_len")
+    ).collect()[0]
+    n_docs, avgdl, total_cf = int(row[0]), float(row[1]), int(row[2])
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in qs for t in terms], "query_id int, term string"
+    )
+    if from_index:
+        postings, _ = _built_index(spark, sf_dir)
+        tf_df = postings_to_tf(postings)
+    else:
+        tf_df = term_frequencies(toks)
+    out = scored_topk_dataframe(
+        tf_df, qdf, n_docs, avgdl, total_cf,
+        scorer=scorer, k=k, conjunctive=conjunctive,
     )
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
@@ -971,6 +1081,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bm25_topk_or_wand": lambda spark, sf: _bm25_wand(spark, sf, _OR_QUERIES, False),
         "bm25_topk_and_wand": lambda spark, sf: _bm25_wand(spark, sf, _AND_QUERIES, True),
+        # --- alternative scorers (QLD / PL2 / DPH) off the same relation ---
+        "qld_topk": lambda spark, sf: _scored_df(spark, sf, _OR_QUERIES, "qld"),
+        "qld_topk_and": lambda spark, sf: _scored_df(
+            spark, sf, _AND_QUERIES, "qld", conjunctive=True
+        ),
+        "pl2_topk": lambda spark, sf: _scored_df(spark, sf, _OR_QUERIES, "pl2"),
+        "dph_topk": lambda spark, sf: _scored_df(spark, sf, _OR_QUERIES, "dph"),
+        "dph_topk_indexed": lambda spark, sf: _scored_df(
+            spark, sf, _OR_QUERIES, "dph", from_index=True
+        ),
         "bm25_topk_or_maxscore": lambda spark, sf: _bm25_maxscore(
             spark, sf, _OR_QUERIES, False
         ),
@@ -1273,6 +1393,11 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_top100_or": _bm25_sql(_OR_QUERIES, conjunctive=False, k=100),
         "bm25_topk_or_wand": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_wand": _bm25_sql(_AND_QUERIES, conjunctive=True),
+        "qld_topk": _scored_sql(_OR_QUERIES, "qld", conjunctive=False),
+        "qld_topk_and": _scored_sql(_AND_QUERIES, "qld", conjunctive=True),
+        "pl2_topk": _scored_sql(_OR_QUERIES, "pl2", conjunctive=False),
+        "dph_topk": _scored_sql(_OR_QUERIES, "dph", conjunctive=False),
+        "dph_topk_indexed": _scored_sql(_OR_QUERIES, "dph", conjunctive=False),
         "bm25_topk_or_maxscore": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_maxscore": _bm25_sql(_AND_QUERIES, conjunctive=True),
         "bm25_mixed_idf_maxscore": _bm25_sql(_MIXED_QUERIES, conjunctive=False),
