@@ -143,6 +143,104 @@ def bitpack_decode(data: bytes) -> np.ndarray:
     return (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
 
 
+def ef_encode(values: np.ndarray, upper: int | None = None) -> bytes:
+    """Elias-Fano encode a non-decreasing uint64 sequence — the
+    quasi-succinct posting representation (Vigna 2013, "Quasi-succinct
+    indices"): each value splits into l = floor(log2(u/n)) low bits
+    (packed verbatim) and a high part coded in unary as a bit vector,
+    giving n*(2 + log2(u/n)) bits — within half a bit per element of the
+    information-theoretic optimum — with O(1) random access to the i-th
+    value (select(i) on the high bits, no prefix decode).
+
+    Fully vectorized (bit-matrix -> np.packbits; one scatter for the
+    high bits); no per-integer Python.
+
+    Wire: [n:4B LE][u:8B LE][l:1B][high-bits packbits][low-bits
+    packbits] — high-bit length is (u >> l) + n bits, derivable from the
+    header, so no length field is needed.
+
+    Engine placement note: the serving wire format stays delta+varint
+    because the WAND/MaxScore kernels decode a term's WHOLE kept block
+    set with one concatenated varint pass (block byte-strings
+    concatenate losslessly — see query/bm25._decode_blocks_vectorized),
+    a property EF's per-sequence headers give up. EF is the
+    O(1)-random-access / skip-heavy alternative; tests/test_codec.py
+    records the measured size tradeoff on real posting blocks.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    n = int(v.size)
+    if n == 0:
+        return b""
+    if n > 1 and (np.diff(v.astype(np.int64)) < 0).any():
+        raise ValueError("ef_encode requires a non-decreasing sequence")
+    u = int(v[-1]) + 1 if upper is None else int(upper)
+    if u <= int(v[-1]):
+        raise ValueError("upper bound must exceed the last value")
+    ratio = u // n
+    l = ratio.bit_length() - 1 if ratio >= 1 else 0
+    header = (
+        int(n).to_bytes(4, "little") + int(u).to_bytes(8, "little") + bytes([l])
+    )
+    high = (v >> np.uint64(l)).astype(np.int64)
+    n_high_bits = (u >> l) + n
+    hb = np.zeros(n_high_bits, dtype=np.uint8)
+    hb[high + np.arange(n, dtype=np.int64)] = 1
+    out = header + np.packbits(hb, bitorder="little").tobytes()
+    if l > 0:
+        bits = (
+            (v[:, None] >> np.arange(l, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.uint8)
+        out += np.packbits(bits.ravel(), bitorder="little").tobytes()
+    return out
+
+
+def ef_decode(data: bytes) -> np.ndarray:
+    """Inverse of :func:`ef_encode` -> uint64 array."""
+    if len(data) == 0:
+        return np.empty(0, dtype=np.uint64)
+    n = int.from_bytes(data[0:4], "little")
+    u = int.from_bytes(data[4:12], "little")
+    l = data[12]
+    n_high_bits = (u >> l) + n
+    n_high_bytes = (n_high_bits + 7) // 8
+    raw_h = np.frombuffer(data, dtype=np.uint8, offset=13, count=n_high_bytes)
+    hb = np.unpackbits(raw_h, bitorder="little", count=n_high_bits)
+    ones = np.flatnonzero(hb)
+    high = (ones - np.arange(n, dtype=np.int64)).astype(np.uint64)
+    if l == 0:
+        return high
+    raw_l = np.frombuffer(data, dtype=np.uint8, offset=13 + n_high_bytes)
+    bits = np.unpackbits(raw_l, bitorder="little", count=n * l).reshape(n, l)
+    weights = np.uint64(1) << np.arange(l, dtype=np.uint64)
+    low = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    return (high << np.uint64(l)) | low
+
+
+def ef_select(data: bytes, i: int) -> int:
+    """The i-th (0-based) encoded value WITHOUT decoding the sequence —
+    Elias-Fano's signature O(1)-ish access (here: one packed-bit scan
+    for the (i+1)-th set high bit + one l-bit low read), the primitive
+    a skip-heavy traversal uses to jump into a posting list."""
+    n = int.from_bytes(data[0:4], "little")
+    if not 0 <= i < n:
+        raise IndexError(i)
+    u = int.from_bytes(data[4:12], "little")
+    l = data[12]
+    n_high_bits = (u >> l) + n
+    n_high_bytes = (n_high_bits + 7) // 8
+    raw_h = np.frombuffer(data, dtype=np.uint8, offset=13, count=n_high_bytes)
+    hb = np.unpackbits(raw_h, bitorder="little", count=n_high_bits)
+    pos = int(np.flatnonzero(hb)[i])
+    high = pos - i
+    if l == 0:
+        return high
+    raw_l = np.frombuffer(data, dtype=np.uint8, offset=13 + n_high_bytes)
+    bits = np.unpackbits(raw_l, bitorder="little", count=n * l)
+    low_bits = bits[i * l : (i + 1) * l]
+    low = int((low_bits.astype(np.uint64) << np.arange(l, dtype=np.uint64)).sum())
+    return (high << l) | low
+
+
 def encode_payload(values: np.ndarray, minus_one: bool = False) -> bytes:
     """Varint-encode a parallel payload column (tf or doc_len).
 

@@ -137,6 +137,91 @@ def test_bitpack_roundtrip_property(vals):
     assert np.array_equal(bitpack_decode(bitpack_encode(arr)), arr)
 
 
+def test_ef_roundtrip_basic():
+    from pisa_spark.index.codec import ef_decode, ef_encode
+
+    for arr in (
+        np.array([], dtype=np.uint64),
+        np.array([0], dtype=np.uint64),
+        np.array([0, 0, 0], dtype=np.uint64),  # non-decreasing duplicates
+        np.arange(128, dtype=np.uint64),  # dense run
+        np.array([5, 9, 9, 10**12], dtype=np.uint64),  # sparse + dup
+        np.array([2**62], dtype=np.uint64),
+    ):
+        got = ef_decode(ef_encode(arr))
+        assert got.dtype == np.uint64
+        assert np.array_equal(got, arr)
+
+
+def test_ef_explicit_upper_bound_roundtrip():
+    from pisa_spark.index.codec import ef_decode, ef_encode
+
+    arr = np.array([3, 17, 900], dtype=np.uint64)
+    assert np.array_equal(ef_decode(ef_encode(arr, upper=10**6)), arr)
+    with pytest.raises(ValueError):
+        ef_encode(arr, upper=900)  # upper must exceed the last value
+
+
+def test_ef_rejects_decreasing():
+    from pisa_spark.index.codec import ef_encode
+
+    with pytest.raises(ValueError):
+        ef_encode(np.array([5, 4], dtype=np.uint64))
+
+
+def test_ef_select_random_access():
+    from pisa_spark.index.codec import ef_encode, ef_select
+
+    rng = np.random.default_rng(11)
+    arr = np.sort(rng.choice(10**9, size=500, replace=False)).astype(np.uint64)
+    enc = ef_encode(arr)
+    for i in (0, 1, 250, 499):
+        assert ef_select(enc, i) == int(arr[i])
+    with pytest.raises(IndexError):
+        ef_select(enc, 500)
+
+
+def test_ef_size_near_theoretical_bound():
+    """EF uses n*(2 + log2(u/n)) bits + small header; check the measured
+    size sits within a byte-rounding margin of that bound on a sparse
+    sequence where varint-delta needs multi-byte gaps."""
+    from pisa_spark.index.codec import delta_encode_docids, ef_encode
+
+    rng = np.random.default_rng(7)
+    arr = np.sort(rng.choice(10**8, size=4096, replace=False)).astype(np.uint64)
+    enc = ef_encode(arr)
+    n, u = arr.size, int(arr[-1]) + 1
+    l = max(0, (u // n).bit_length() - 1)
+    bound_bits = n * 2 + n * l + (u >> l)  # unary high + packed low
+    assert len(enc) <= 13 + bound_bits // 8 + 2
+    # sparse gaps (~24k apart = 2-3 varint bytes each): EF is smaller
+    assert len(enc) < len(delta_encode_docids(arr.astype(np.int64)))
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=400)
+)
+@settings(max_examples=150, deadline=None)
+def test_ef_roundtrip_property(ids):
+    from pisa_spark.index.codec import ef_decode, ef_encode
+
+    arr = np.array(sorted(ids), dtype=np.uint64)
+    assert np.array_equal(ef_decode(ef_encode(arr)), arr)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**20), min_size=1, max_size=200),
+    st.integers(min_value=0, max_value=2**16),
+)
+@settings(max_examples=150, deadline=None)
+def test_ef_roundtrip_nondecreasing_with_upper_property(vals, slack):
+    from pisa_spark.index.codec import ef_decode, ef_encode
+
+    arr = np.sort(np.array(vals, dtype=np.uint64))  # duplicates allowed
+    enc = ef_encode(arr, upper=int(arr[-1]) + 1 + slack)
+    assert np.array_equal(ef_decode(enc), arr)
+
+
 def test_bitpack_beats_varint_on_dense_uniform():
     """The documented tradeoff: dense uniform small deltas pack tighter
     bit-packed than varint (which floors at 1 byte/value)."""
