@@ -352,6 +352,28 @@ def _bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pages parsed back out of deterministic WARC fixture files
+    (written once per session under a tmp dir): the Common-Crawl front
+    door exercised end-to-end — synth pages -> WARC bytes -> binaryFile
+    scan -> record walk -> pages."""
+    key = ("warc", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        import tempfile
+
+        from pisa_spark.sources.warc import write_warc_directory
+
+        out = tempfile.mkdtemp(prefix="pisa_warc_")
+        pages = pages_from_documents(spark, sf_dir).select(
+            "url", "warc_ts", "html"
+        )
+        write_warc_directory(pages, out, n_files=8).collect()
+        _MEMO[key] = out
+    from pisa_spark.sources.warc import read_warc
+
+    return read_warc(spark, _MEMO[key])
+
+
 def _built_index(spark: SparkSession, sf_dir: str):
     # keyed by application id: a recreated session must not serve plans
     # cached against a stopped SparkContext
@@ -1176,6 +1198,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_stats": lambda spark, sf: c4_line_stats(
             _webbify_docs(spark, sf)
         ),
+        # --- WARC front door: fixture files -> parse -> extraction ---
+        "warc_extract_stats": lambda spark, sf: with_extracted_text(
+            _warc_pages(spark, sf).withColumn("lang", F.lit("en"))
+        ).select(
+            "url",
+            F.col("warc_ts").cast("long").alias("warc_ts_s"),
+            F.length("extracted").cast("long").alias("n_chars"),
+        ),
         # --- URL canonicalization / host analytics / crawl dedup ---
         "url_host_stats": lambda spark, sf: host_stats(
             pages_from_documents(spark, sf)
@@ -1813,6 +1843,13 @@ SELECT doc_id, n_lines, n_kept,
   (NOT has_brace AND NOT has_lorem AND n_sentences >= 3) AS c4_pass,
   md5(cleaned) AS cleaned_md5
 FROM fin
+""",
+        "warc_extract_stats": """
+SELECT 'https://example' || CAST(doc_id % 1000 AS VARCHAR) || '.test/p/'
+         || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       1514764800 + doc_id * 7 AS warc_ts_s,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
 """,
         "url_host_stats": """
 WITH pages AS (
