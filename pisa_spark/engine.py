@@ -213,6 +213,49 @@ class SearchEngine:
                 self._df_cache.setdefault(t, 0)
         return {t: self._df_cache[t] for t in terms}
 
+    def search_scored(
+        self, queries, scorer: str = "bm25", k: int = 10
+    ) -> DataFrame:
+        """Top-k under any registered scorer (bm25 / qld / pl2 / dph)
+        served off the loaded compressed index: the posting blocks
+        decode back to the (term, doc_id, tf, doc_len) relation with one
+        vectorized varint pass per Arrow batch (query/scorers.
+        postings_to_tf — shuffle-free), then the scorer-generic
+        exhaustive path scores and window-top-ks.
+
+        BM25 wanting dynamic pruning should use search()/search_batch;
+        alternative scorers run exhaustively — their per-term
+        contributions don't carry the (tf, dl) corner-monotonicity
+        contract the stored block-max metadata encodes for BM25, and
+        exactness comes first (the same scorer/pruning split real
+        engines make: pruning structures are scorer-specific)."""
+        from pisa_spark.query.scorers import (
+            postings_to_tf,
+            scored_topk_dataframe,
+        )
+
+        normalized = self._normalize(queries)
+        qdf = self.spark.createDataFrame(
+            [(q["query_id"], t) for q in normalized for t in q["terms"]],
+            "query_id int, term string",
+        )
+        conj = {q["conjunctive"] for q in normalized}
+        if len(conj) > 1:
+            raise ValueError(
+                "search_scored batches must share conjunctive-ness; "
+                "split the batch"
+            )
+        return scored_topk_dataframe(
+            postings_to_tf(self.postings),
+            qdf,
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            float(self.stats["total_terms"]),
+            scorer=scorer,
+            k=k,
+            conjunctive=conj.pop(),
+        )
+
     def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
         """Exact consecutive-token phrase top-k. Requires a positional
         index (build with with_positions=True)."""

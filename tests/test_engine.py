@@ -132,3 +132,42 @@ def test_term_df_cache_populates_and_serves(eng, oracle):
     # absent terms cache as 0 and don't break the query
     rows = eng.search("zzzabsent", k=5).collect()
     assert rows == [] and eng._df_cache["zzzabsent"] == 0
+
+
+def test_search_scored_off_loaded_index(eng, oracle, spark, sf_dir):
+    """search_scored serves any registered scorer off the loaded
+    compressed index; bm25 mode must agree with the pruned search path
+    and the independent oracle, alternative scorers with the direct
+    tf-relation path."""
+    from pyspark.sql import functions as F
+
+    from pisa_spark.corpus import tokenize_documents
+    from pisa_spark.index.build import term_frequencies
+    from pisa_spark.query.scorers import scored_topk_dataframe
+
+    got = eng.search_scored(["data join"], scorer="bm25", k=10).collect()
+    expect = oracle.topk(["data", "join"], k=10)
+    assert [
+        (r["rank"], r["doc_id"]) for r in sorted(got, key=lambda r: r["rank"])
+    ] == [(r, d) for r, d, _ in expect]
+
+    stats = eng.corpus_stats()
+    tf = term_frequencies(tokenize_documents(spark, sf_dir))
+    qdf = spark.createDataFrame(
+        [(0, "data"), (0, "join")], "query_id int, term string"
+    )
+    for scorer in ("qld", "pl2", "dph"):
+        a = eng.search_scored(["data join"], scorer=scorer, k=10).collect()
+        b = scored_topk_dataframe(
+            tf, qdf, stats["n_docs"], stats["avgdl"],
+            float(stats["total_terms"]), scorer=scorer, k=10,
+        ).collect()
+        key = lambda r: (r["rank"], r["doc_id"], round(r["score"], 9))
+        assert sorted(map(key, a)) == sorted(map(key, b)), scorer
+
+
+def test_search_scored_mixed_conjunctive_rejected(eng):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        eng.search_scored(["data join", "+data join"], scorer="qld")
