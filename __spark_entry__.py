@@ -90,6 +90,10 @@ from pisa_spark.query.bm25 import (  # noqa: E402
     bm25_topk_maxscore,
     bm25_topk_wand,
 )
+from pisa_spark.query.fuzzy import (  # noqa: E402
+    best_corrections,
+    fuzzy_term_matches,
+)
 from pisa_spark.query.scorers import (  # noqa: E402
     postings_to_tf,
     scored_topk_dataframe,
@@ -350,6 +354,44 @@ def _bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
     )
+
+
+# fuzzy-lookup probes: near-misses of synthetic-vocabulary terms
+# (deletion, transposition, doubled letters) plus a no-match control
+_FUZZY_PROBES = ["dat", "spakr", "querry", "windoow", "zzzzzz"]
+
+
+def _fuzzy_sql(best_only: bool) -> str:
+    values = ", ".join(f"('{p}')" for p in _FUZZY_PROBES)
+    ranked = f"""
+{_SQL_BASE},
+q(qterm) AS (VALUES {values}),
+matched AS (
+  SELECT q.qterm, v.term,
+         CAST(levenshtein(q.qterm, v.term) AS INTEGER) AS dist,
+         CAST(v.df AS BIGINT) AS df
+  FROM dfreq v CROSS JOIN q
+  WHERE levenshtein(q.qterm, v.term) <= 2
+)"""
+    if not best_only:
+        return ranked + "\nSELECT qterm, term, dist, df FROM matched"
+    return (
+        ranked
+        + """
+SELECT qterm, term, dist, df FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY qterm ORDER BY dist ASC, df DESC, term ASC) AS rn
+  FROM matched
+) WHERE rn = 1"""
+    )
+
+
+def _fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tf_full(spark, sf_dir).select("term", "df").distinct()
+
+
+def _fuzzy_probes_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([(p,) for p in _FUZZY_PROBES], "qterm string")
 
 
 def _warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1198,6 +1240,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_stats": lambda spark, sf: c4_line_stats(
             _webbify_docs(spark, sf)
         ),
+        # --- fuzzy vocabulary lookup (deletion-neighborhood join) ---
+        "fuzzy_term_lookup": lambda spark, sf: fuzzy_term_matches(
+            _fuzzy_vocab(spark, sf), _fuzzy_probes_df(spark), max_dist=2
+        ).select("qterm", "term", "dist", F.col("df").cast("long").alias("df")),
+        "fuzzy_corrections": lambda spark, sf: best_corrections(
+            _fuzzy_vocab(spark, sf), _fuzzy_probes_df(spark), max_dist=2
+        ).select("qterm", "term", "dist", F.col("df").cast("long").alias("df")),
         # --- WARC front door: fixture files -> parse -> extraction ---
         "warc_extract_stats": lambda spark, sf: with_extracted_text(
             _warc_pages(spark, sf).withColumn("lang", F.lit("en"))
@@ -1844,6 +1893,8 @@ SELECT doc_id, n_lines, n_kept,
   md5(cleaned) AS cleaned_md5
 FROM fin
 """,
+        "fuzzy_term_lookup": _fuzzy_sql(best_only=False),
+        "fuzzy_corrections": _fuzzy_sql(best_only=True),
         "warc_extract_stats": """
 SELECT 'https://example' || CAST(doc_id % 1000 AS VARCHAR) || '.test/p/'
          || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,

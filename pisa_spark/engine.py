@@ -276,6 +276,33 @@ class SearchEngine:
             pre_arranged=self._pre_arranged,
         )
 
+    def search_fuzzy(
+        self, query, k: int = 10, max_dist: int = 1, **search_kwargs
+    ) -> DataFrame:
+        """Did-you-mean search: each query term is corrected to its
+        best vocabulary match within ``max_dist`` edits (smallest
+        distance, then highest df, term-asc tie-break — query/fuzzy.
+        best_corrections over the index's own term vocabulary), then
+        the corrected query runs through search(). Terms with no
+        near-match pass through unchanged (they simply match nothing,
+        same as exact search)."""
+        from pisa_spark.query.fuzzy import best_corrections
+
+        q = parse_query(query) if isinstance(query, str) else dict(query)
+        vocab = self.postings.groupBy("term").agg(F.sum("n").alias("df"))
+        qdf = self.spark.createDataFrame(
+            [(t,) for t in set(q["terms"])], "qterm string"
+        )
+        corr = {
+            r["qterm"]: r["term"]
+            for r in best_corrections(vocab, qdf, max_dist).collect()
+        }
+        corrected = {
+            "terms": [corr.get(t, t) for t in q["terms"]],
+            "conjunctive": q.get("conjunctive", False),
+        }
+        return self.search(corrected, k=k, **search_kwargs)
+
     # -- document fetch (forward index) ------------------------------------
 
     def with_corpus(self, corpus_dir: str) -> "SearchEngine":

@@ -1,0 +1,111 @@
+"""Fuzzy term matching: edit-distance vocabulary lookup without an
+all-pairs scan, plus did-you-mean query correction.
+
+Algorithm (the SymSpell deletion-neighborhood scheme, Garbe 2012 —
+public): a term's *deletion neighborhood* is itself plus every string
+reachable by deleting up to ``max_dist`` characters. Two strings
+within Levenshtein distance d share at least one member of their
+d-deletion neighborhoods, so candidate pairs fall out of an equi-join
+on neighborhood keys — O(|vocab| * len^d) small rows instead of
+|vocab| x |queries| distance computations — and one JVM
+``levenshtein`` verify pass removes the false positives the deletion
+join admits (the join is complete, not exact).
+
+Scale: the vocabulary relation is corpus-bounded (tens of millions of
+terms at web scale, NOT corpus-sized), the explode multiplies it by
+~word-length, and the join keys are short strings that hash-spread
+evenly; query-side neighborhoods are tiny and broadcast. No stage
+touches the posting lists.
+
+Everything is column expressions (transform/sequence/substring —
+whole-stage codegen); the DuckDB oracle twin deliberately uses the
+naive cross-join + levenshtein formulation, so the gate proves the
+deletion join reproduces the exact brute-force semantics.
+
+Reference parity note: the reference has no query parser beyond exact
+id lookup; this is target-engine surface (every web search box needs
+it) built on the engine's own vocabulary table (term_stats / df).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants(term: Column, max_dist: int = 1) -> Column:
+    """array<string> deletion neighborhood of ``term``: the term plus
+    every distinct string obtained by deleting up to ``max_dist``
+    single characters (nested transform per level, then flatten +
+    distinct). max_dist is 1 or 2 — d>2 explodes the neighborhood
+    faster than it helps and real spell correction stops at 2."""
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
+
+    def dels(t: Column) -> Column:
+        # delete char i (1-based): prefix [1, i) + suffix (i, end]
+        return F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: F.concat(
+                F.substring(t, F.lit(1), i - 1),
+                F.substring(t, i + 1, F.length(t)),
+            ),
+        )
+
+    level1 = dels(term)
+    out = F.concat(F.array(term), level1)
+    if max_dist == 2:
+        out = F.concat(out, F.flatten(F.transform(level1, dels)))
+    return F.array_distinct(out)
+
+
+def fuzzy_term_matches(
+    vocab: DataFrame,
+    queries: DataFrame,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All (qterm, term) pairs within Levenshtein ``max_dist``.
+
+    vocab: (term [, df ...]) — extra columns ride through.
+    queries: (qterm).
+    Output: vocab columns + qterm + dist, exact-verified.
+
+    Plan shape: explode both deletion neighborhoods, hash-join on the
+    neighborhood key, drop duplicate candidates, one levenshtein
+    verify. The query side is tiny -> broadcast; the vocab explode is
+    the only sized stage and it is vocabulary- not corpus-sized.
+    """
+    v = vocab.withColumn(
+        "_k", F.explode(deletion_variants(F.col("term"), max_dist))
+    )
+    q = queries.select(
+        "qterm", F.explode(deletion_variants(F.col("qterm"), max_dist)).alias("_k")
+    )
+    cand = v.join(F.broadcast(q), "_k").drop("_k").dropDuplicates(
+        ["term", "qterm"]
+    )
+    return cand.withColumn(
+        "dist", F.levenshtein(F.col("qterm"), F.col("term"))
+    ).filter(F.col("dist") <= max_dist)
+
+
+def best_corrections(
+    vocab: DataFrame,
+    queries: DataFrame,
+    max_dist: int = 1,
+) -> DataFrame:
+    """One row per qterm: the best vocabulary correction — smallest
+    edit distance, then largest df (most common wins, the standard
+    spell-correction prior), then term ascending as the deterministic
+    tie-break. vocab must carry (term, df)."""
+    from pyspark.sql import Window
+
+    matched = fuzzy_term_matches(vocab, queries, max_dist)
+    w = Window.partitionBy("qterm").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("qterm", "term", "dist", "df")
+    )
