@@ -254,6 +254,15 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("doc_len", F.size("tokens"))
 
 
+def _stemmed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pisa_spark.corpus import stemmed_tokens_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", stemmed_tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+
+
 def _tf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = term_frequencies(_tokens(spark, sf_dir))
     return tf.join(term_document_frequency(tf), "term")
@@ -1122,6 +1131,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_tf": lambda spark, sf: term_frequencies(_tokens(spark, sf)).select(
             "doc_id", "term", "tf"
         ),
+        # stemmed tokenizer variant (Harman S-stemmer, pure exprs):
+        # plural/singular collapse before tf — the stemmed-index front
+        "term_tf_stemmed": lambda spark, sf: term_frequencies(
+            _stemmed_tokens(spark, sf)
+        ).select("doc_id", "term", "tf"),
         # corpus stats computed THROUGH the pages(html)->extract path;
         # the oracle reads documents.text directly — equality proves the
         # vectorized extractor is byte-identical end-to-end
@@ -1892,6 +1906,29 @@ SELECT doc_id, n_lines, n_kept,
   (NOT has_brace AND NOT has_lorem AND n_sentences >= 3) AS c4_pass,
   md5(cleaned) AS cleaned_md5
 FROM fin
+""",
+        "term_tf_stemmed": """
+WITH toks AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                  x -> x <> ''),
+      t -> CASE
+        WHEN regexp_matches(t, 'ies$') THEN
+          CASE WHEN regexp_matches(t, '[^ae]ies$')
+               THEN substr(t, 1, length(t) - 3) || 'y' ELSE t END
+        WHEN regexp_matches(t, 'es$') THEN
+          CASE WHEN regexp_matches(t, '[^aeo]es$')
+               THEN substr(t, 1, length(t) - 1) ELSE t END
+        WHEN regexp_matches(t, 's$') THEN
+          CASE WHEN regexp_matches(t, '[^us]s$')
+               THEN substr(t, 1, length(t) - 1) ELSE t END
+        ELSE t END) AS tokens
+  FROM documents
+)
+SELECT doc_id, term, CAST(count(*) AS INTEGER) AS tf
+FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+GROUP BY doc_id, term
 """,
         "fuzzy_term_lookup": _fuzzy_sql(best_only=False),
         "fuzzy_corrections": _fuzzy_sql(best_only=True),

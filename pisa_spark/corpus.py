@@ -104,6 +104,50 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), TOKEN_SPLIT_REGEX), lambda t: t != "")
 
 
+def stem_s(token: Column) -> Column:
+    """Harman's S-stemmer (Harman 1991, "How effective is suffixing?")
+    — the published minimal English plural stemmer, as pure column
+    expressions (no UDF; the identical regexes run in the DuckDB
+    oracle). First matching rule wins:
+
+    1. ``IES`` -> ``Y``   unless preceded by a or e ("eies"/"aies" keep)
+    2. ``ES``  -> ``E``   unless preceded by a, e or o
+    3. ``S``   -> drop    unless preceded by u or s
+
+    The rules are an if/elif over suffix CLASSES: the longest matching
+    suffix class decides, and a failed guard returns the word UNCHANGED
+    (it does not fall through — "does" matches the ES class, fails its
+    guard on 'oes', and stays "does" rather than reaching the S rule).
+    Bare suffixes ("s", "es", "ies" as whole words) have no preceding
+    character, fail their guards, and stay unchanged.
+    """
+    n = F.length(token)
+    drop1 = F.substring(token, F.lit(1), n - 1)
+    ies_y = F.concat(F.substring(token, F.lit(1), n - 3), F.lit("y"))
+    return (
+        F.when(
+            token.rlike("ies$"),
+            F.when(token.rlike("[^ae]ies$"), ies_y).otherwise(token),
+        )
+        .when(
+            token.rlike("es$"),
+            F.when(token.rlike("[^aeo]es$"), drop1).otherwise(token),
+        )
+        .when(
+            token.rlike("s$"),
+            F.when(token.rlike("[^us]s$"), drop1).otherwise(token),
+        )
+        .otherwise(token)
+    )
+
+
+def stemmed_tokens_col(text: Column) -> Column:
+    """tokens_col with S-stemming applied per token — the stemmed
+    tokenizer variant for recall-over-precision index builds ("queries"
+    and "query" share a posting list). Stays whole-stage-codegen."""
+    return F.transform(tokens_col(text), stem_s)
+
+
 def assign_doc_ids(pages: DataFrame) -> DataFrame:
     """Deterministic dense doc-id assignment for a pages corpus:
     doc_id = 0-based rank of url in the global url order.
