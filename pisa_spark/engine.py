@@ -217,10 +217,15 @@ class SearchEngine:
         self, queries, scorer: str = "bm25", k: int = 10
     ) -> DataFrame:
         """Top-k under any registered scorer (bm25 / qld / pl2 / dph)
-        served off the loaded compressed index: the posting blocks
-        decode back to the (term, doc_id, tf, doc_len) relation with one
-        vectorized varint pass per Arrow batch (query/scorers.
-        postings_to_tf — shuffle-free), then the scorer-generic
+        served off the loaded compressed index: the posting blocks are
+        pruned to the queries' terms BEFORE the decode (the filter sits
+        below the mapInPandas kernel, so PushedFilters carries it into
+        the parquet scan — only the queried terms' blocks are ever
+        read or decoded; per-term df/cf are unchanged by pruning other
+        terms, and total_cf comes from the stored corpus stats), then
+        decoded back to the (term, doc_id, tf, doc_len) relation with
+        one vectorized varint pass per Arrow batch (query/scorers.
+        postings_to_tf — shuffle-free), and the scorer-generic
         exhaustive path scores and window-top-ks.
 
         BM25 wanting dynamic pruning should use search()/search_batch;
@@ -245,8 +250,10 @@ class SearchEngine:
                 "search_scored batches must share conjunctive-ness; "
                 "split the batch"
             )
+        all_terms = sorted({t for q in normalized for t in q["terms"]})
+        pruned = self.postings.filter(F.col("term").isin(all_terms))
         return scored_topk_dataframe(
-            postings_to_tf(self.postings),
+            postings_to_tf(pruned),
             qdf,
             self.stats["n_docs"],
             self.stats["avgdl"],

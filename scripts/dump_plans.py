@@ -62,6 +62,41 @@ def main() -> None:
         "uncached serving regressed to a per-query bucket repartition"
     )
 
+    ms_plan = fmt(
+        uncached.search("data join", k=10, two_phase=False,
+                        algorithm="maxscore")
+    )
+    assert "hashpartitioning(bucket" not in ms_plan, (
+        "maxscore serving regressed to a per-query bucket repartition"
+    )
+    assert "In(term" in ms_plan, (
+        "maxscore serving lost term pruning at the parquet scan"
+    )
+
+    sc_plan = fmt(uncached.search_scored(["data join"], scorer="qld", k=10))
+    assert "In(term" in sc_plan, (
+        "search_scored decodes the whole index: the term filter no"
+        " longer reaches the scan below the decode kernel"
+    )
+
+    from pisa_spark.functions.quality import gopher_signals
+
+    gq_plan = fmt(gopher_signals(docs.select("doc_id", "text")))
+    for bad in ("Exchange", "InPandas", "BatchEvalPython"):
+        assert bad not in gq_plan, (
+            f"gopher_signals plan grew a {bad}: quality scoring must"
+            " stay one shuffle-free codegen pass"
+        )
+
+    from pisa_spark.corpus import pages_from_documents as _pfd
+    from pisa_spark.functions.urls import url_dedup_latest
+
+    url_plan = fmt(url_dedup_latest(_pfd(spark, sf)))
+    assert "WindowGroupLimit" in url_plan, (
+        "url_dedup_latest lost its partial group-limit: every replica"
+        " row would cross the shuffle"
+    )
+
     inter = interactions_from_events(spark, sf)
     neg_plan = fmt(negative_samples(inter, n_per_user=5))
     assert "CartesianProduct" not in neg_plan and "NestedLoop" not in neg_plan, (
@@ -191,6 +226,61 @@ writing this file.
 
 ```
 {serve_plan}
+```
+
+## 8. MaxScore serving (same plan shape as WAND)
+
+The pruning strategy changes inside the Arrow kernel; the distributed
+plan must not. Look for: `PushedFilters` still carrying the query
+terms into the parquet scan, NO `Exchange hashpartitioning(bucket`
+(shuffle-free off the stored one-file-per-bucket layout), and the
+same partial-top-k + k-row merge tail as §3/§7. The dump script
+asserts the pushed filter and the absence of the bucket exchange.
+
+```
+{ms_plan}
+```
+
+## 9. Term-pruned alternative-scorer serving (search_scored)
+
+`postings_to_tf` is a mapInPandas decode, which is a Catalyst
+barrier: a join applied above it could never push its term predicate
+down to storage. The engine therefore prunes the posting blocks to
+the queries' terms BEFORE the decode — per-term df/cf are unchanged
+by dropping other terms, and total_cf comes from the stored corpus
+stats. Look for: `PushedFilters: [..., In(term, ...)]` in the
+parquet scan UNDER the `MapInPandas` decode — only the queried
+terms' blocks are read or decoded, at any index size. The dump
+script asserts the pushed filter.
+
+```
+{sc_plan}
+```
+
+## 10. Gopher quality signals: one shuffle-free codegen pass
+
+Web-curation quality scoring runs per document with no grouping, so
+the right plan is a single `Project` of codegen'd expressions over
+the scan — no Exchange, no Python. Look for: zero `Exchange`
+operators and zero `MapInPandas`/`BatchEvalPython` (the dump script
+asserts all three) — at 100 TB this stage is pure map-side work that
+pipelines into whatever consumes it.
+
+```
+{gq_plan}
+```
+
+## 11. Newest-crawl-wins URL dedup
+
+`row_number() == 1` over (canonical_url, warc_ts DESC) must plan a
+partial `WindowGroupLimit` BEFORE the shuffle: each map task forwards
+at most one row per canonical URL it sees, so the exchange carries
+near-deduped data rather than every crawl replica. Look for: the
+`WindowGroupLimit` pair (partial below the Exchange, final above).
+The dump script asserts the group-limit is present.
+
+```
+{url_plan}
 ```
 """
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
