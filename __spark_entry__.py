@@ -491,6 +491,41 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank over the symmetric bipartite
+    interaction graph (items offset past the user id space — the
+    reference's adjacency placement, Dataloader.py:135-140). All
+    arithmetic is 64-bit integer, so the DuckDB twin replays the 3
+    iterations bit-for-bit."""
+    from pisa_spark.operators.linkgraph import pagerank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    inter = ev.select(
+        "user_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item_id"),
+    ).distinct()
+    off = inter.agg(F.max("user_id")).first()[0] + 1
+    e = inter.select(
+        F.col("user_id").alias("src"),
+        (F.col("item_id") + F.lit(off)).alias("dst"),
+    )
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, n_iter=3).select("node", "rank_units")
+
+
+def _dedup_cluster_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> CLUSTERS: connected components over the
+    one-call MinHash->LSH->Jaccard pipeline's verified pairs, min-id
+    canonical survivor per cluster."""
+    from pisa_spark.dedup.dedup import near_duplicate_pairs
+    from pisa_spark.operators.linkgraph import dedup_clusters
+
+    pairs = near_duplicate_pairs(_docs(spark, sf_dir), threshold=0.3)
+    return dedup_clusters(pairs).select("doc_id", "canonical_id", "keep")
+
+
 def _webbify_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with deterministically 'webbified' multi-line text so
     the C4 line rules actually fire (the synthetic corpus is one line
@@ -1009,6 +1044,61 @@ bands AS (
 """
 )
 
+def _pagerank_sql(n_iter: int = 3, scale: int = 10**12, d: int = 85) -> str:
+    """Unrolled integer fixed-point PageRank twin: every iteration is
+    one CTE pair (dangling share + received mass) with `//` floor
+    division only — DuckDB replays operators/linkgraph.pagerank
+    bit-for-bit (integer addition is associative, so partitioning and
+    summation order cannot matter). SUM over BIGINT is HUGEINT in
+    DuckDB; the per-iteration rank is cast back to BIGINT (< scale)."""
+    sql = """
+WITH inter AS (
+  SELECT DISTINCT user_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item_id
+  FROM events
+),
+off AS (SELECT max(user_id) + 1 AS o FROM inter),
+edges AS (
+  SELECT user_id AS src, item_id + (SELECT o FROM off) AS dst FROM inter
+  UNION
+  SELECT item_id + (SELECT o FROM off) AS src, user_id AS dst FROM inter
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+nd AS (
+  SELECT n.node, COALESCE(d.outdeg, 0) AS outdeg
+  FROM nodes n LEFT JOIN deg d USING (node)
+),
+c AS (SELECT count(*) AS n FROM nd),
+it0 AS (
+  SELECT node, outdeg, """ + str(scale) + """ // (SELECT n FROM c) AS r
+  FROM nd
+)"""
+    for i in range(n_iter):
+        sql += (
+            ",\nsh" + str(i) + " AS (\n"
+            "  SELECT COALESCE(SUM(r), 0) // (SELECT n FROM c) AS s\n"
+            "  FROM it" + str(i) + " WHERE outdeg = 0\n"
+            "),\nrec" + str(i) + " AS (\n"
+            "  SELECT e.dst AS node, SUM(t.r // t.outdeg) AS recv\n"
+            "  FROM edges e JOIN it" + str(i) + " t ON t.node = e.src\n"
+            "  GROUP BY e.dst\n"
+            "),\nit" + str(i + 1) + " AS (\n"
+            "  SELECT nd.node, nd.outdeg,\n"
+            "         CAST((" + str(100 - d) + " * (" + str(scale)
+            + " // (SELECT n FROM c))) // 100\n"
+            "         + ((COALESCE(rc.recv, 0) + (SELECT s FROM sh"
+            + str(i) + ")) * " + str(d) + ") // 100 AS BIGINT) AS r\n"
+            "  FROM nd LEFT JOIN rec" + str(i) + " rc USING (node)\n"
+            ")"
+        )
+    return sql + (
+        "\nSELECT node, r AS rank_units FROM it" + str(n_iter) + "\n"
+    )
+
+
 _SQL_SIMHASH = """
 WITH toks AS (
   SELECT doc_id,
@@ -1208,6 +1298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline_pairs": lambda spark, sf: near_duplicate_pairs(
             _docs(spark, sf), threshold=0.3
         ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")),
+        # near-dup pairs -> components -> canonical survivor per cluster
+        "dedup_components": _dedup_cluster_gate,
+        # link analysis: integer fixed-point PageRank (bit-exact twin)
+        "graph_pagerank": _graph_pagerank,
         # scale path: LSH bucket candidates -> exact cosine, one call
         "dedup_embedding_lsh": lambda spark, sf: embedding_near_pairs_lsh(
             _embeddings(spark, sf), threshold=0.4,
@@ -1585,6 +1679,51 @@ JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 WHERE i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter) >= 0.3
 """,
+        # components over the pipeline's verified pairs: the recursive
+        # CTE computes min reachable id = component min (symmetric
+        # edges), exactly the fixed point of the engine's min-label
+        # propagation; canonical survivor = that min id
+        "dedup_components": _SQL_MINHASH.replace(
+            "WITH toks", "WITH RECURSIVE toks", 1
+        )
+        + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter) >= 0.3
+),
+e2 AS (
+  SELECT doc_a AS a, doc_b AS b FROM jac
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jac
+),
+reach AS (
+  SELECT a AS node, a AS label FROM e2
+  UNION
+  SELECT e.a AS node, r.label AS label
+  FROM reach r JOIN e2 e ON e.b = r.node
+)
+SELECT node AS doc_id, min(label) AS canonical_id,
+       (node = min(label)) AS keep
+FROM reach GROUP BY node
+""",
+        "graph_pagerank": _pagerank_sql(n_iter=3),
         "dedup_simhash": _SQL_SIMHASH + "SELECT doc_id, simhash FROM fp",
         "dedup_simhash_pairs": _SQL_SIMHASH
         + """
