@@ -171,6 +171,135 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+def _bm25_prior_sql(qs, k: int = 10, weight: float = 0.1) -> str:
+    """BM25 + weighted log click-graph prior; the prior CTE nests the
+    unrolled integer PageRank twin (see _pagerank_sql) and the blend
+    mirrors scorers.scored_topk_dataframe(priors=...) verbatim."""
+    return f"""
+{_SQL_BASE},
+pr AS ({{PR}}),
+off2 AS (SELECT max(user_id) + 1 AS o FROM events),
+prior AS (
+  SELECT node - (SELECT o FROM off2) AS doc_id, rank_units
+  FROM pr WHERE node >= (SELECT o FROM off2)
+),
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+blended AS (
+  SELECT s.query_id, s.doc_id,
+         s.raw_score
+         + {weight} * ln((COALESCE(p.rank_units, 0) + 1) / 1000000000000.0)
+           AS raw_score
+  FROM scored s LEFT JOIN prior p USING (doc_id)
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM blended
+) WHERE rank <= {k}
+""".replace("{PR}", _pagerank_sql(3))
+
+
+_BM25_TERM_EXPR = (
+    "ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))"
+    " * (tf.tf * 1.9)"
+    " / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl))"
+)
+
+
+def _bm25_rm3_sql(
+    qs,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    orig_weight: float = 0.5,
+) -> str:
+    """Two-pass RM3 twin: pass-1 BM25 feedback docs, 9-dp-rounded RM1
+    weights (the quantization that makes expansion-term selection
+    engine-independent), interpolated term weights, weighted-BM25
+    pass 2 — mirrors query/feedback.py stage for stage."""
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+p1 AS (
+  SELECT q.query_id, tf.doc_id, sum({_BM25_TERM_EXPR}) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM p1
+  ) WHERE rnk <= {fb_docs}
+),
+nfb AS (SELECT query_id, count(*) AS n_fb FROM fb GROUP BY query_id),
+rm1 AS (
+  SELECT f.query_id, tf.term,
+         round(sum(tf.tf * 1.0 / doclen.doc_len) / max(nfb.n_fb), 9) AS w_rm
+  FROM fb f
+  JOIN tf ON tf.doc_id = f.doc_id
+  JOIN doclen ON doclen.doc_id = tf.doc_id
+  JOIN nfb ON nfb.query_id = f.query_id
+  GROUP BY f.query_id, tf.term
+),
+exp AS (
+  SELECT query_id, term, w_rm FROM (
+    SELECT query_id, term, w_rm,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY w_rm DESC, term ASC) AS rnk
+    FROM rm1
+  ) WHERE rnk <= {fb_terms}
+),
+orig AS (
+  SELECT q.query_id, q.term, 1.0 / qn.n_terms AS p_orig
+  FROM q JOIN qn USING (query_id)
+),
+merged AS (
+  SELECT COALESCE(o.query_id, e.query_id) AS query_id,
+         COALESCE(o.term, e.term) AS term,
+         {orig_weight} * COALESCE(o.p_orig, 0.0)
+         + {1.0 - orig_weight} * COALESCE(e.w_rm, 0.0) AS v
+  FROM orig o FULL OUTER JOIN exp e
+    ON o.query_id = e.query_id AND o.term = e.term
+),
+p2 AS (
+  SELECT m.query_id, tf.doc_id, sum(m.v * ({_BM25_TERM_EXPR})) AS raw_score
+  FROM tf
+  JOIN merged m ON m.term = tf.term
+  JOIN dfreq ON dfreq.term = tf.term
+  JOIN doclen ON doclen.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY m.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM p2
+) WHERE rank <= {k}
+"""
+
+
 _LOG2E = "1.4426950408889634"
 _TWO_PI = "6.283185307179586"
 
@@ -513,6 +642,62 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return pagerank(edges, n_iter=3).select("node", "rank_units")
+
+
+def _bm25_prior_df(
+    spark: SparkSession, sf_dir: str, qs, k: int = 10, weight: float = 0.1
+) -> DataFrame:
+    """BM25 blended with a static click-graph document prior — the
+    standard web-ranking composition (query score + weighted log of a
+    query-independent PageRank mass). Events are read as a click log
+    on documents (item id = doc id); docs never clicked take the
+    ln(1/scale) floor prior."""
+    from pisa_spark.query.scorers import scored_topk_dataframe
+
+    toks = _tokens(spark, sf_dir)
+    row = toks.agg(
+        F.count(F.lit(1)), F.avg("doc_len"), F.sum("doc_len")
+    ).collect()[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    off = ev.agg(F.max("user_id")).first()[0] + 1
+    priors = (
+        _graph_pagerank(spark, sf_dir)
+        .filter(F.col("node") >= off)
+        .select(
+            (F.col("node") - F.lit(off)).alias("doc_id"),
+            F.col("rank_units").alias("prior_units"),
+        )
+    )
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in qs for t in terms],
+        "query_id int, term string",
+    )
+    out = scored_topk_dataframe(
+        term_frequencies(toks), qdf, int(row[0]), float(row[1]),
+        float(row[2]), scorer="bm25", k=k,
+        priors=priors, prior_weight=weight,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_rm3_df(
+    spark: SparkSession, sf_dir: str, qs, k: int = 10
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback retrieval (two-pass expansion,
+    query/feedback.py) over the tf relation."""
+    from pisa_spark.query.feedback import rm3_topk
+
+    n_docs, avgdl = _stats(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in qs for t in terms],
+        "query_id int, term string",
+    )
+    out = rm3_topk(_tf_full(spark, sf_dir), qdf, n_docs, avgdl, k=k)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
 
 
 def _dedup_cluster_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1244,6 +1429,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("url", F.col("doc_id").cast("long").alias("doc_id")),
         "bm25_topk_or": lambda spark, sf: _bm25_df(spark, sf, _OR_QUERIES, False),
         "bm25_topk_and": lambda spark, sf: _bm25_df(spark, sf, _AND_QUERIES, True),
+        # BM25 + static click-graph PageRank prior (web-ranking blend)
+        "bm25_prior_topk": lambda spark, sf: _bm25_prior_df(
+            spark, sf, _OR_QUERIES
+        ),
+        # RM3 pseudo-relevance feedback (two-pass query expansion)
+        "bm25_rm3_topk": lambda spark, sf: _bm25_rm3_df(
+            spark, sf, _OR_QUERIES
+        ),
         "bm25_top100_or": lambda spark, sf: _bm25_df(
             spark, sf, _OR_QUERIES, False, k=100
         ),
@@ -1577,6 +1770,8 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "term_tf": _SQL_BASE + "SELECT doc_id, term, tf FROM tf",
         "bm25_topk_or": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and": _bm25_sql(_AND_QUERIES, conjunctive=True),
+        "bm25_prior_topk": _bm25_prior_sql(_OR_QUERIES),
+        "bm25_rm3_topk": _bm25_rm3_sql(_OR_QUERIES),
         "bm25_top100_or": _bm25_sql(_OR_QUERIES, conjunctive=False, k=100),
         "bm25_topk_or_wand": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_wand": _bm25_sql(_AND_QUERIES, conjunctive=True),

@@ -310,6 +310,79 @@ class SearchEngine:
         }
         return self.search(corrected, k=k, **search_kwargs)
 
+    def search_rm3(
+        self,
+        query,
+        k: int = 10,
+        fb_docs: int = 3,
+        fb_terms: int = 5,
+        orig_weight: float = 0.5,
+    ) -> DataFrame:
+        """RM3 pseudo-relevance feedback served off the loaded index +
+        doc store (query/feedback.py semantics, index-served): pass 1
+        is WAND top-``fb_docs`` (rank-identical to exhaustive by the
+        suite's exactness gates); feedback term VECTORS come from the
+        FORWARD index — fetch_docs + the build tokenizer — because a
+        term-keyed inverted index cannot serve doc-keyed lookups (the
+        same forward/inverted split real engines use for feedback);
+        pass 2 decodes only the merged terms' posting blocks
+        (term-pruned below the decode, as search_scored) and scores
+        the weighted query. Pass 2 is disjunctive over the expanded
+        term set — standard RM3. Requires with_corpus()."""
+        from pisa_spark.corpus import tokens_col
+        from pisa_spark.query.feedback import weighted_bm25_topk
+        from pisa_spark.query.scorers import postings_to_tf
+
+        q = self._normalize([query])[0]
+        fb_ids = [
+            r["doc_id"]
+            for r in self.search_batch([q], k=fb_docs)
+            .select("doc_id")
+            .collect()
+        ]
+        if not fb_ids:
+            return self.search(q, k=k)
+        toks = self._docs_df().filter(
+            F.col("doc_id").isin(fb_ids)
+        ).select(
+            "doc_id", tokens_col(F.col("text")).alias("tokens")
+        ).withColumn("doc_len", F.size("tokens"))
+        rm1 = (
+            toks.select(
+                "doc_id", "doc_len", F.explode("tokens").alias("term")
+            )
+            .groupBy("term", "doc_id", "doc_len")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .groupBy("term")
+            .agg(F.sum(F.col("tf") / F.col("doc_len")).alias("s"))
+            .select(
+                "term",
+                F.round(F.col("s") / F.lit(len(fb_ids)), 9).alias("w_rm"),
+            )
+            .orderBy(F.col("w_rm").desc(), F.col("term").asc())
+            .limit(fb_terms)
+        )
+        w_exp = {r["term"]: r["w_rm"] for r in rm1.collect()}
+        orig_terms = sorted(set(q["terms"]))
+        p_orig = 1.0 / len(orig_terms)
+        v = {
+            t: orig_weight * (p_orig if t in orig_terms else 0.0)
+            + (1.0 - orig_weight) * w_exp.get(t, 0.0)
+            for t in set(orig_terms) | set(w_exp)
+        }
+        v_df = self.spark.createDataFrame(
+            [(q["query_id"], t, w) for t, w in sorted(v.items())],
+            "query_id int, term string, v double",
+        )
+        pruned = self.postings.filter(F.col("term").isin(sorted(v)))
+        return weighted_bm25_topk(
+            postings_to_tf(pruned),
+            v_df,
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            k=k,
+        )
+
     # -- document fetch (forward index) ------------------------------------
 
     def with_corpus(self, corpus_dir: str) -> "SearchEngine":

@@ -1,0 +1,160 @@
+"""RM3 pseudo-relevance feedback — automatic query expansion, the
+classic two-pass retrieval composition (Lavrenko & Croft 2001 relevance
+models; Abdul-Jaleel et al. 2004 RM3 interpolation; the rendering every
+open-source engine ships as "RM3").
+
+Pipeline, entirely in DataFrame ops (two scoring passes, one window
+per pass — no driver round-trip between passes, the whole thing is a
+single lazy plan):
+
+1. **Pass 1**: BM25 top ``fb_docs`` per query (the engine's shared tie
+   rule, score DESC / doc_id ASC).
+2. **RM1 weights**: for each feedback doc D and term t,
+   P(t|D) = tf(t,D)/|D|; the relevance-model weight is the mean over
+   the query's feedback docs: ``w_rm(t) = sum_D tf/dl / n_fb``
+   (uniform P(D) — the standard pinning). Rounded to 9 dp — the same
+   quantization contract as similarity/kmeans.py: the round collapses
+   cross-engine float-sum reassociation (sums of <= fb_docs addends,
+   error ~1e-17) below decimal granularity, so expansion-term
+   SELECTION is deterministic and the DuckDB twin replays it exactly.
+3. **Expansion terms**: top ``fb_terms`` by (w_rm DESC, term ASC).
+4. **RM3 interpolation**: v(t) = ow * P_orig(t) + (1-ow) * w_rm(t)
+   with P_orig = 1/|Q| per distinct original term, ow =
+   ``orig_weight`` (full outer merge — original terms always survive).
+5. **Pass 2**: weighted BM25, score(d) = sum_t v(t) * bm25_t(d) over
+   the merged term set; shared top-k window.
+
+Scale: pass 1 touches only the original terms' postings; the RM1
+aggregation touches only the feedback docs' rows (|queries| x fb_docs
+doc ids, an equi-join on doc_id); pass 2 touches the merged terms'
+postings (<= |Q| + fb_terms per query). Both scoring passes are the
+same broadcast-terms / partial-agg shuffle shape as
+bm25_topk_dataframe — nothing scans the corpus.
+
+Reference parity: the reference has no query expansion (one fixed
+learned scorer, /root/reference/src/Inference.py:227-240); this is
+target-engine surface mandated by the full-text north rule's "query
+and data-processing capabilities" completeness bar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pisa_spark.query.bm25 import score_expr, topk_window
+
+
+def _with_df(tf_df: DataFrame) -> DataFrame:
+    if "df" in tf_df.columns:
+        return tf_df
+    dfreq = tf_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf_df.join(F.broadcast(dfreq), "term")
+
+
+def rm3_expansion_terms(
+    tf_df: DataFrame,
+    queries_df: DataFrame,
+    n_docs: float,
+    avgdl: float,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    orig_weight: float = 0.5,
+) -> DataFrame:
+    """(query_id, term, v) — the RM3-interpolated weighted query.
+
+    ``tf_df``: (doc_id, term, tf, doc_len) [+ df]; ``queries_df``:
+    (query_id, term). See module docstring for the pinned semantics.
+    """
+    tf_df = _with_df(tf_df)
+    qterms = queries_df.select("query_id", "term").distinct()
+    qn = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    # pass 1: BM25 feedback docs
+    p1 = (
+        tf_df.join(F.broadcast(qterms), "term")
+        .withColumn("pscore", score_expr(n_docs, avgdl))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("pscore").alias("score"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    fb = (
+        p1.withColumn("rnk", F.row_number().over(w1))
+        .filter(F.col("rnk") <= fb_docs)
+        .select("query_id", "doc_id")
+    )
+    nfb = fb.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_fb"))
+    # RM1: mean P(t|D) over feedback docs, quantized to 9 dp
+    rm1 = (
+        fb.join(tf_df.select("doc_id", "term", "tf", "doc_len"), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum(F.col("tf") / F.col("doc_len")).alias("s"))
+        .join(nfb, "query_id")
+        .select(
+            "query_id",
+            "term",
+            F.round(F.col("s") / F.col("n_fb"), 9).alias("w_rm"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("w_rm").desc(), F.col("term").asc()
+    )
+    exp = (
+        rm1.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= fb_terms)
+        .select("query_id", "term", "w_rm")
+    )
+    orig = qterms.join(qn, "query_id").select(
+        "query_id", "term", (F.lit(1.0) / F.col("n_terms")).alias("p_orig")
+    )
+    return (
+        orig.join(exp, ["query_id", "term"], "full_outer")
+        .select(
+            "query_id",
+            "term",
+            (
+                F.lit(orig_weight) * F.coalesce(F.col("p_orig"), F.lit(0.0))
+                + F.lit(1.0 - orig_weight)
+                * F.coalesce(F.col("w_rm"), F.lit(0.0))
+            ).alias("v"),
+        )
+    )
+
+
+def weighted_bm25_topk(
+    tf_df: DataFrame,
+    weighted_terms: DataFrame,
+    n_docs: float,
+    avgdl: float,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k under a weighted term query: score(d) = sum_t v(t) *
+    bm25_t(d) over ``weighted_terms`` (query_id, term, v). The
+    scoring pass every expansion/reformulation front ends on."""
+    scored = (
+        _with_df(tf_df)
+        .join(F.broadcast(weighted_terms), "term")
+        .withColumn("pscore", F.col("v") * score_expr(n_docs, avgdl))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("pscore").alias("score"))
+    )
+    return topk_window(scored.select("query_id", "doc_id", "score"), k)
+
+
+def rm3_topk(
+    tf_df: DataFrame,
+    queries_df: DataFrame,
+    n_docs: float,
+    avgdl: float,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    orig_weight: float = 0.5,
+) -> DataFrame:
+    """Two-pass RM3 retrieval: expand, then weighted-BM25 top-k."""
+    tf_df = _with_df(tf_df)
+    v = rm3_expansion_terms(
+        tf_df, queries_df, n_docs, avgdl, fb_docs, fb_terms, orig_weight
+    )
+    return weighted_bm25_topk(tf_df, v, n_docs, avgdl, k)

@@ -185,6 +185,9 @@ def scored_topk_dataframe(
     scorer: str = "bm25",
     k: int = 10,
     conjunctive: bool = False,
+    priors: DataFrame | None = None,
+    prior_weight: float = 0.1,
+    prior_scale: int = 10**12,
 ) -> DataFrame:
     """Exhaustive top-k under any registered scorer — the scorer-generic
     sibling of ``bm25_topk_dataframe`` (same dataflow: broadcast query
@@ -192,6 +195,18 @@ def scored_topk_dataframe(
 
     tf_df: (doc_id, term, tf, doc_len) plus (df, cf) — join
     :func:`term_stats_full` if absent.
+
+    priors: optional static query-independent document prior
+    (doc_id, prior_units) — e.g. integer fixed-point PageRank units
+    from operators/linkgraph (click-graph or link-graph mass). Blended
+    the standard web-ranking way, post-aggregation and pre-top-k:
+
+        score' = score + prior_weight * ln((prior_units + 1) / scale)
+
+    Docs absent from ``priors`` take units 0 (the ln(1/scale) floor).
+    The join keys on doc_id and touches only docs that matched a query
+    term — at 10^12 docs it is a co-partitionable equi-join on the
+    bounded matched set, never a full-corpus pass.
     """
     if "cf" not in tf_df.columns:
         stats = term_stats_full(tf_df.select("term", "tf"))
@@ -211,7 +226,26 @@ def scored_topk_dataframe(
         per_doc = per_doc.join(F.broadcast(qsizes), "query_id").filter(
             F.col("n_matched") == F.col("n_terms")
         )
-    return topk_window(per_doc.select("query_id", "doc_id", "score"), k)
+    per_doc = per_doc.select("query_id", "doc_id", "score")
+    if priors is not None:
+        per_doc = (
+            per_doc.join(
+                priors.select("doc_id", "prior_units"), "doc_id", "left"
+            )
+            .select(
+                "query_id",
+                "doc_id",
+                (
+                    F.col("score")
+                    + F.lit(prior_weight)
+                    * F.log(
+                        (F.coalesce(F.col("prior_units"), F.lit(0)) + F.lit(1))
+                        / F.lit(float(prior_scale))
+                    )
+                ).alias("score"),
+            )
+        )
+    return topk_window(per_doc, k)
 
 
 _TF_RELATION_SCHEMA = "term string, doc_id long, tf int, doc_len int"

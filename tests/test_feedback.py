@@ -1,0 +1,128 @@
+"""RM3 expansion and static-prior blending: hand-checkable semantics
+on tiny constructed tf relations."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from pisa_spark.query.feedback import rm3_expansion_terms, rm3_topk
+from pisa_spark.query.scorers import scored_topk_dataframe
+
+
+def _tf(spark, rows):
+    # rows: (doc_id, term, tf, doc_len)
+    return spark.createDataFrame(
+        rows, "doc_id long, term string, tf int, doc_len int"
+    )
+
+
+def _q(spark, pairs):
+    return spark.createDataFrame(pairs, "query_id int, term string")
+
+
+def test_rm3_expansion_contains_original_and_feedback_terms(spark):
+    # doc 0 matches 'apple' and also contains 'pear' heavily; doc 1 is
+    # the only other 'apple' doc; 'kiwi' appears only in doc 9 which
+    # never enters feedback
+    rows = [
+        (0, "apple", 2, 10),
+        (0, "pear", 5, 10),
+        (1, "apple", 1, 10),
+        (1, "plum", 2, 10),
+        (9, "kiwi", 3, 10),
+    ]
+    tf = _tf(spark, rows)
+    v = {
+        (r["query_id"], r["term"]): r["v"]
+        for r in rm3_expansion_terms(
+            tf, _q(spark, [(0, "apple")]), n_docs=3, avgdl=10.0,
+            fb_docs=2, fb_terms=2,
+        ).collect()
+    }
+    # original term survives with at least the interpolated 0.5 * 1/|Q|
+    assert v[(0, "apple")] >= 0.5
+    # 'pear' (strongest feedback-doc term besides apple) is expanded
+    assert (0, "pear") in v and v[(0, "pear")] > 0
+    # 'kiwi' lives outside the feedback docs — never expanded
+    assert (0, "kiwi") not in v
+    # RM1 weight check for pear: only doc 0 in fb contains it ->
+    # (5/10)/2 = 0.25, interpolated 0.5 * 0.25
+    assert math.isclose(v[(0, "pear")], 0.5 * 0.25, rel_tol=1e-9)
+
+
+def test_rm3_topk_recalls_docs_without_original_terms(spark):
+    # doc 2 shares 'pear' with the feedback doc but lacks 'apple':
+    # invisible to plain BM25, reachable after expansion
+    rows = [
+        (0, "apple", 2, 10),
+        (0, "pear", 5, 10),
+        (1, "apple", 1, 10),
+        (2, "pear", 4, 10),
+    ]
+    tf = _tf(spark, rows)
+    q = _q(spark, [(0, "apple")])
+    plain = {
+        r["doc_id"]
+        for r in scored_topk_dataframe(
+            tf, q, 3, 10.0, 30.0, scorer="bm25", k=10
+        ).collect()
+    }
+    rm3 = {
+        r["doc_id"]
+        for r in rm3_topk(tf, q, 3, 10.0, k=10, fb_docs=2, fb_terms=2).collect()
+    }
+    assert 2 not in plain
+    assert 2 in rm3
+
+
+def test_prior_blend_reranks_and_floors_missing_docs(spark):
+    # two docs identical under BM25; the prior must break the tie in
+    # favor of the doc with click mass, and doc 1 (absent from priors)
+    # takes the ln(1/scale) floor
+    rows = [(0, "x", 1, 5), (1, "x", 1, 5)]
+    tf = _tf(spark, rows)
+    q = _q(spark, [(0, "x")])
+    priors = spark.createDataFrame(
+        [(1, 10**9)], "doc_id long, prior_units long"
+    )
+    out = scored_topk_dataframe(
+        tf, q, 2, 5.0, 10.0, scorer="bm25", k=10,
+        priors=priors, prior_weight=0.1,
+    ).collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["doc_id"] == 1  # clicked doc wins
+    # floor prior = 0.1 * ln(1/1e12) on the unclicked doc
+    diff = by_rank[1]["score"] - by_rank[2]["score"]
+    expected = 0.1 * (
+        math.log((10**9 + 1) / 1e12) - math.log(1 / 1e12)
+    )
+    assert math.isclose(diff, expected, rel_tol=1e-9)
+
+
+def test_engine_search_rm3_matches_relation_path(spark, sf_dir, tmp_path_factory):
+    """Index-served RM3 (WAND pass 1 + doc-store feedback vectors +
+    pruned-decode pass 2) == the tf-relation rm3_topk, rank for rank."""
+    from pisa_spark.corpus import tokens_col
+    from pisa_spark.engine import SearchEngine
+    from pisa_spark.index.build import term_frequencies
+
+    root = str(tmp_path_factory.mktemp("rm3") / "idx")
+    eng = SearchEngine.build(
+        spark, sf_dir, root, n_buckets=8, wave_size=8
+    ).with_corpus(sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    row = toks.agg(F.count(F.lit(1)), F.avg("doc_len")).collect()[0]
+    tf = term_frequencies(toks)
+    q = spark.createDataFrame([(0, "data"), (0, "join")], "query_id int, term string")
+    want = [
+        (r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in rm3_topk(tf, q, int(row[0]), float(row[1]), k=10).collect()
+    ]
+    got = [
+        (r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in eng.search_rm3("data join", k=10).collect()
+    ]
+    assert sorted(got) == sorted(want)
