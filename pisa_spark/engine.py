@@ -74,7 +74,11 @@ class SearchEngine:
 
     @classmethod
     def load(
-        cls, spark: SparkSession, index_root: str, cache: bool = True
+        cls,
+        spark: SparkSession,
+        index_root: str,
+        cache: bool = True,
+        as_of_ts: float | None = None,
     ) -> "SearchEngine":
         """Load the serving index bucket-co-located. cache=True pins it
         in executor memory (right when the working set fits — e.g. one
@@ -98,11 +102,17 @@ class SearchEngine:
         from pisa_spark.index.lineage import POSTINGS_TABLE
         from pisa_spark.sources import catalog
 
-        postings, stats = load_index(spark, index_root)
+        postings, stats = load_index(spark, index_root, as_of_ts=as_of_ts)
         if cache:
             n_part = max(spark.sparkContext.defaultParallelism, 8)
             arranged = postings.repartition(n_part, "bucket").cache()
             return cls(spark, arranged, stats, pre_arranged=True)
+        if as_of_ts is not None:
+            # the one-file-per-bucket layout check below reads the
+            # CURRENT manifest; a historical snapshot may predate the
+            # clustered layout, so time-travel serving takes the
+            # correct per-query bucket repartition instead
+            return cls(spark, postings, stats, pre_arranged=False)
         try:
             max_files, biggest, n_files, total_bytes = (
                 catalog.partition_file_stats(index_root, POSTINGS_TABLE)

@@ -347,10 +347,33 @@ def build_index_resumable(
         toks.unpersist()
 
 
-def load_index(spark: SparkSession, index_root: str) -> tuple[DataFrame, dict]:
-    """Read the persistent index back: (postings_df, stats)."""
-    postings = catalog.read_table(spark, index_root, POSTINGS_TABLE)
-    srow = catalog.read_table(spark, index_root, STATS_TABLE).collect()[0]
+def load_index(
+    spark: SparkSession, index_root: str, as_of_ts: float | None = None
+) -> tuple[DataFrame, dict]:
+    """Read the persistent index back: (postings_df, stats).
+
+    as_of_ts: wall-clock time travel — postings and stats each resolve
+    to their newest snapshot published at or before ``as_of_ts``
+    (catalog.snapshot_as_of_ts). Because every build commits stats
+    AFTER its last postings wave, any instant between builds resolves
+    a consistent (postings, stats) pair: queries run against the
+    index exactly as it stood then."""
+    seqs = {"postings": None, "stats": None}
+    if as_of_ts is not None:
+        for key, table in (
+            ("postings", POSTINGS_TABLE), ("stats", STATS_TABLE)
+        ):
+            seqs[key] = catalog.snapshot_as_of_ts(index_root, table, as_of_ts)
+            if seqs[key] is None:
+                raise FileNotFoundError(
+                    f"no {table} snapshot at or before ts={as_of_ts}"
+                )
+    postings = catalog.read_table(
+        spark, index_root, POSTINGS_TABLE, as_of=seqs["postings"]
+    )
+    srow = catalog.read_table(
+        spark, index_root, STATS_TABLE, as_of=seqs["stats"]
+    ).collect()[0]
     return postings, {
         "n_docs": srow["n_docs"],
         "avgdl": srow["avgdl"],

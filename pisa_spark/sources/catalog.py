@@ -139,13 +139,88 @@ def _read_manifest(root: str, name: str) -> dict | None:
         return json.load(f)
 
 
+SNAPSHOT_DIR = "_snapshots"
+
+
+def _snap_dir(tp: str) -> str:
+    return os.path.join(tp, SNAPSHOT_DIR)
+
+
+def _snap_seqs(tp: str) -> list[int]:
+    sd = _snap_dir(tp)
+    if not os.path.isdir(sd):
+        return []
+    out = []
+    for f in os.listdir(sd):
+        if f.startswith("manifest-") and f.endswith(".json"):
+            out.append(int(f[len("manifest-"):-len(".json")]))
+    return sorted(out)
+
+
 def _publish(root: str, name: str, manifest: dict) -> None:
-    """The one atomic step: manifest tmp-write + rename."""
+    """The one atomic step: manifest tmp-write + rename. Every publish
+    also archives an immutable numbered copy under ``_snapshots/`` —
+    the Iceberg snapshot log — enabling ``read_table(as_of=seq)`` time
+    travel until ``vacuum`` prunes it. Archive lands BEFORE the
+    pointer swap: a crash between the two leaves an orphan archive
+    (harmless, superseded by the next publish's seq) — never a current
+    manifest missing its snapshot. Callers hold the writer lock, so
+    seq assignment is race-free."""
+    tp = table_path(root, name)
+    sd = _snap_dir(tp)
+    os.makedirs(sd, exist_ok=True)
+    seq = (max(_snap_seqs(tp), default=0)) + 1
+    manifest = dict(manifest, seq=seq, ts=time.time())
+    blob = json.dumps(manifest)
+    snap_tmp = os.path.join(sd, f".tmp-{uuid.uuid4().hex}")
+    with open(snap_tmp, "w") as f:
+        f.write(blob)
+    os.replace(snap_tmp, os.path.join(sd, f"manifest-{seq:08d}.json"))
     p = _manifest_path(root, name)
     tmp = p + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
-        json.dump(manifest, f)
+        f.write(blob)
     os.replace(tmp, p)
+
+
+def snapshots(root: str, name: str) -> list[dict]:
+    """Snapshot log, oldest first: [{seq, ts, kind}] — Iceberg's
+    table-history listing."""
+    tp = table_path(root, name)
+    out = []
+    for seq in _snap_seqs(tp):
+        m = _read_snapshot(root, name, seq)
+        if m is not None:
+            out.append(
+                {
+                    "seq": seq,
+                    "ts": m.get("ts"),
+                    "kind": "partitioned" if "partitions" in m else "dirs",
+                }
+            )
+    return out
+
+
+def snapshot_as_of_ts(root: str, name: str, ts: float) -> int | None:
+    """Largest snapshot seq published at or before wall-clock ``ts`` —
+    Iceberg's timestamp time travel. Cross-table consistency note: a
+    reader picking ONE ts and resolving several tables with it sees
+    each table as it stood at that instant; the index build commits
+    stats after the last postings wave, so any ts between builds
+    resolves a matching (postings, stats) pair."""
+    best = None
+    for s in snapshots(root, name):
+        if s["ts"] is not None and s["ts"] <= ts:
+            best = s["seq"]
+    return best
+
+
+def _read_snapshot(root: str, name: str, seq: int) -> dict | None:
+    p = os.path.join(_snap_dir(table_path(root, name)), f"manifest-{seq:08d}.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def write_table(
@@ -264,8 +339,23 @@ def _legacy_files(tp: str) -> bool:
     )
 
 
-def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
-    m = _read_manifest(root, name)
+def read_table(
+    spark: SparkSession, root: str, name: str, as_of: int | None = None
+) -> DataFrame:
+    """Read the table's current published state, or — with ``as_of`` —
+    the immutable state as of snapshot ``seq`` (see :func:`snapshots`):
+    Iceberg's snapshot-id time travel. A time-travel read whose
+    snapshot has been vacuumed away raises FileNotFoundError cleanly
+    (the archive file is pruned together with its generations)."""
+    if as_of is not None:
+        m = _read_snapshot(root, name, as_of)
+        if m is None:
+            raise FileNotFoundError(
+                f"table {name} has no snapshot seq={as_of}"
+                " (never published or vacuumed away)"
+            )
+    else:
+        m = _read_manifest(root, name)
     tp = table_path(root, name)
     if m is None:
         if _legacy_files(tp):
@@ -343,7 +433,12 @@ def delete_partitions(root: str, name: str, values: list) -> None:
         _publish(root, name, m)
 
 
-def vacuum(root: str, name: str, min_age_s: float = 3600.0) -> list[str]:
+def vacuum(
+    root: str,
+    name: str,
+    min_age_s: float = 3600.0,
+    keep_snapshots: int = 0,
+) -> list[str]:
     """Out-of-band GC: delete generation dirs (and stale manifest
     tmp files) no longer referenced by the published manifest.
 
@@ -353,7 +448,14 @@ def vacuum(root: str, name: str, min_age_s: float = 3600.0) -> list[str]:
     its data write and its manifest publish, so vacuum skips anything
     younger than ``min_age_s`` (default 1h, far above any commit
     window). Run with min_age_s=0 only under external writer exclusion.
-    Returns the removed dir names."""
+    Returns the removed dir names.
+
+    ``keep_snapshots``: how many archived snapshots (beyond the current
+    manifest) stay time-travelable — their referenced generations are
+    protected, Iceberg's expire-snapshots retention. Archives falling
+    off the retention window are pruned in the same pass, so a
+    time-travel read can never resolve a vacuumed snapshot (it raises
+    cleanly instead of reading deleted data)."""
     import shutil
     import time as _time
 
@@ -369,13 +471,31 @@ def vacuum(root: str, name: str, min_age_s: float = 3600.0) -> list[str]:
     tp = table_path(root, name)
     if m is None or not os.path.isdir(tp):
         return []
+    # retention set: the current manifest + the newest keep_snapshots
+    # archived manifests contribute protected partition/dir refs
+    kept_seqs = set()
+    all_seqs = _snap_seqs(tp)
+    if "seq" in m:
+        kept_seqs.add(m["seq"])
+    # the newest archive IS the current manifest, so retaining N
+    # historical snapshots means keeping the N+1 newest archives
+    kept_seqs.update(all_seqs[-(keep_snapshots + 1):]
+                     if keep_snapshots > 0 else [])
+    live_rel, live_dirs = set(), set()
+    for prot in [m] + [
+        s for q in sorted(kept_seqs)
+        if (s := _read_snapshot(root, name, q)) is not None
+    ]:
+        if "partitions" in prot:
+            live_rel.update(prot["partitions"].values())
+        else:
+            live_dirs.update(prot.get("dirs", []))
     removed = []
     if "partitions" in m:
         # partition-level GC: a generation usually stays half-live
         # after an incremental rebuild (only the rebuilt buckets
         # repointed) — collect its superseded partition dirs, then the
         # generation itself once empty
-        live_rel = set(m["partitions"].values())
         pcol = m["partition_col"]
         for d in list(os.listdir(tp)):
             if not d.startswith("gen-"):
@@ -393,9 +513,8 @@ def vacuum(root: str, name: str, min_age_s: float = 3600.0) -> list[str]:
                 shutil.rmtree(gen_full, ignore_errors=True)
                 removed.append(d)
     else:
-        live = set(m.get("dirs", []))
         for d in list(os.listdir(tp)):
-            if d.startswith("gen-") and d not in live:
+            if d.startswith("gen-") and d not in live_dirs:
                 full = os.path.join(tp, d)
                 if not _old(full):
                     continue
@@ -407,6 +526,15 @@ def vacuum(root: str, name: str, min_age_s: float = 3600.0) -> list[str]:
             if _old(full):
                 os.remove(full)
                 removed.append(d)
+    # expire snapshot archives outside the retention window (their
+    # generations are no longer protected above)
+    for seq in all_seqs:
+        if seq in kept_seqs:
+            continue
+        p = os.path.join(_snap_dir(tp), f"manifest-{seq:08d}.json")
+        if _old(p):
+            os.remove(p)
+            removed.append(f"{SNAPSHOT_DIR}/manifest-{seq:08d}.json")
     return removed
 
 
