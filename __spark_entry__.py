@@ -682,6 +682,19 @@ def _bm25_prior_df(
     )
 
 
+def _search_facets_df(
+    spark: SparkSession, sf_dir: str, qs, k: int = 50
+) -> DataFrame:
+    """Faceted search: per-query counts of doc-store lang/source over
+    the BM25 top-k result set (query/facets.py)."""
+    from pisa_spark.query.facets import facet_counts
+
+    res = _bm25_df(spark, sf_dir, qs, conjunctive=False, k=k)
+    return facet_counts(
+        res, _docs(spark, sf_dir), ["lang", "source"]
+    ).select("query_id", "facet", "value", "n")
+
+
 def _bm25_rm3_df(
     spark: SparkSession, sf_dir: str, qs, k: int = 10
 ) -> DataFrame:
@@ -1437,6 +1450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rm3_topk": lambda spark, sf: _bm25_rm3_df(
             spark, sf, _OR_QUERIES
         ),
+        # faceted search: per-query facet counts over the result set
+        "search_facets": lambda spark, sf: _search_facets_df(
+            spark, sf, _OR_QUERIES
+        ),
         "bm25_top100_or": lambda spark, sf: _bm25_df(
             spark, sf, _OR_QUERIES, False, k=100
         ),
@@ -1772,6 +1789,40 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_topk_and": _bm25_sql(_AND_QUERIES, conjunctive=True),
         "bm25_prior_topk": _bm25_prior_sql(_OR_QUERIES),
         "bm25_rm3_topk": _bm25_rm3_sql(_OR_QUERIES),
+        "search_facets": f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(_OR_QUERIES)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id, sum({_BM25_TERM_EXPR}) AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+topk AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY raw_score DESC, doc_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= 50
+),
+j AS (
+  SELECT t.query_id, d.lang, d.source
+  FROM topk t JOIN documents d ON d.doc_id = t.doc_id
+)
+SELECT query_id, facet, value, n FROM (
+  SELECT query_id, 'lang' AS facet, CAST(lang AS VARCHAR) AS value,
+         count(*) AS n
+  FROM j GROUP BY query_id, lang
+  UNION ALL
+  SELECT query_id, 'source' AS facet, CAST(source AS VARCHAR) AS value,
+         count(*) AS n
+  FROM j GROUP BY query_id, source
+)
+""",
         "bm25_top100_or": _bm25_sql(_OR_QUERIES, conjunctive=False, k=100),
         "bm25_topk_or_wand": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_wand": _bm25_sql(_AND_QUERIES, conjunctive=True),

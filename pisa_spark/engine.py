@@ -393,6 +393,17 @@ class SearchEngine:
             k=k,
         )
 
+    def search_faceted(
+        self, query, facet_cols: list[str], k: int = 10, **search_kwargs
+    ) -> DataFrame:
+        """Search + facet sidebar in one call: (query_id, facet, value,
+        n) counts of each doc-store metadata value over the top-k
+        result set (query/facets.py). Requires with_corpus()."""
+        from pisa_spark.query.facets import facet_counts
+
+        res = self.search(query, k=k, **search_kwargs)
+        return facet_counts(res, self._docs_df(), facet_cols)
+
     # -- document fetch (forward index) ------------------------------------
 
     def with_corpus(self, corpus_dir: str) -> "SearchEngine":

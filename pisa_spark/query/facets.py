@@ -1,0 +1,54 @@
+"""Faceted search — the search-UI sidebar aggregation: for each query,
+count result docs per metadata facet value (language, source/host,
+crawl, ...).
+
+Dataflow: the results relation is |queries| x k rows; joining it to
+the doc-metadata table keys on doc_id (broadcast the small results
+side), then ONE melt + hash aggregation produces every requested
+facet in a single shuffle — facets are unpivoted via an inline
+array-of-structs explode (pure codegen), not one groupBy per facet
+column, so adding facet dimensions adds zero stages.
+
+Reference parity: no analog (the reference serves metric files, not
+result sets); this is target-engine search surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def facet_counts(
+    results: DataFrame, docs_meta: DataFrame, facet_cols: list[str]
+) -> DataFrame:
+    """(query_id, facet, value, n) — per-query counts of each facet
+    value over the result docs.
+
+    results: (query_id, doc_id, ...); docs_meta: (doc_id, <facet_cols>).
+    NULL facet values count under value NULL (surfaced, not dropped —
+    a missing language is signal in a curation UI).
+    """
+    if not facet_cols:
+        raise ValueError("facet_cols must name at least one column")
+    j = results.select("query_id", "doc_id").join(
+        docs_meta.select("doc_id", *facet_cols), "doc_id"
+    )
+    melted = j.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("facet"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in facet_cols
+                ]
+            )
+        ).alias("fv"),
+    )
+    return (
+        melted.groupBy("query_id", "fv.facet", "fv.value")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
