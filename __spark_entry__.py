@@ -580,6 +580,75 @@ def _bm25_wand(
     )
 
 
+# negated-term gate queries: (query_id, positive terms, negated terms)
+_NEG_QUERIES = [
+    (30, ["data", "join"], ["the"]),
+    (31, ["the"], ["data"]),
+    (32, ["spark", "query", "scan"], ["table"]),
+]
+
+
+def _bm25_negation(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """NOT queries over the compressed index: scored on positive terms,
+    docs containing any negated term excluded inside the per-bucket
+    kernel (doc-range layout keeps exclusion local — query/bm25.py
+    _bucket_exclusion)."""
+    postings, stats = _built_index(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms, "conjunctive": False,
+         "negated": neg}
+        for qid, terms, neg in _NEG_QUERIES
+    ]
+    out = bm25_topk_wand(
+        postings, queries, stats["n_docs"], stats["avgdl"], k=k,
+        two_phase=True,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_negation_sql(k: int = 10) -> str:
+    qv = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in _NEG_QUERIES
+        for t in sorted(set(terms))
+    )
+    nv = ", ".join(
+        f"({qid}, '{t}')" for qid, _, neg in _NEG_QUERIES
+        for t in sorted(set(neg))
+    )
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {qv}),
+nq(query_id, term) AS (VALUES {nv}),
+excl AS (
+  SELECT DISTINCT nq.query_id, tf.doc_id
+  FROM nq JOIN tf USING (term)
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id, sum({_BM25_TERM_EXPR}) AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+kept AS (
+  SELECT s.query_id, s.doc_id, s.raw_score
+  FROM scored s
+  LEFT JOIN excl e ON e.query_id = s.query_id AND e.doc_id = s.doc_id
+  WHERE e.doc_id IS NULL
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM kept
+) WHERE rank <= {k}
+"""
+
+
 def _bm25_maxscore(
     spark: SparkSession, sf_dir: str, qs, conjunctive: bool, k: int = 10
 ) -> DataFrame:
@@ -1454,6 +1523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": lambda spark, sf: _search_facets_df(
             spark, sf, _OR_QUERIES
         ),
+        # NOT queries: negated-term exclusion inside the WAND kernel
+        "bm25_negation_topk": lambda spark, sf: _bm25_negation(spark, sf),
         "bm25_top100_or": lambda spark, sf: _bm25_df(
             spark, sf, _OR_QUERIES, False, k=100
         ),
@@ -1789,6 +1860,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_topk_and": _bm25_sql(_AND_QUERIES, conjunctive=True),
         "bm25_prior_topk": _bm25_prior_sql(_OR_QUERIES),
         "bm25_rm3_topk": _bm25_rm3_sql(_OR_QUERIES),
+        "bm25_negation_topk": _bm25_negation_sql(),
         "search_facets": f"""
 {_SQL_BASE},
 q(query_id, term) AS (VALUES {_values_clause(_OR_QUERIES)}),

@@ -186,15 +186,29 @@ def parse_query(q: str) -> dict:
     """Parse a query string into the engine's query dict (SURVEY T12).
 
     Syntax: whitespace-separated lowercase terms; a leading '+' on any
-    term makes the whole query conjunctive (AND); otherwise
+    term makes the whole query conjunctive (AND); a leading '-'
+    NEGATES that term (docs containing it are excluded from the
+    results — scored over the positive terms only); otherwise
     disjunctive (OR). Tokens are normalized with the corpus tokenizer
-    rules (lowercase alnum runs)."""
+    rules (lowercase alnum runs), so an interior hyphen still splits
+    ('state-of-the-art' stays four positive terms)."""
     import re
 
-    conjunctive = any(t.startswith("+") for t in q.split())
-    raw = q.replace("+", " ")
-    terms = [t for t in re.split(TOKEN_SPLIT_REGEX, raw.lower()) if t]
-    return {"terms": terms, "conjunctive": conjunctive}
+    conjunctive = False
+    terms: list[str] = []
+    negated: list[str] = []
+    for tok in q.split():
+        if tok.startswith("+"):
+            conjunctive = True
+        is_neg = tok.startswith("-")
+        parts = [
+            t for t in re.split(TOKEN_SPLIT_REGEX, tok.lstrip("+-").lower()) if t
+        ]
+        (negated if is_neg else terms).extend(parts)
+    out = {"terms": terms, "conjunctive": conjunctive}
+    if negated:
+        out["negated"] = negated
+    return out
 
 
 def tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -154,13 +154,14 @@ class SearchEngine:
         for i, q in enumerate(queries):
             if isinstance(q, str):
                 q = parse_query(q)
-            out.append(
-                {
-                    "query_id": q.get("query_id", i),
-                    "terms": q["terms"],
-                    "conjunctive": q.get("conjunctive", False),
-                }
-            )
+            norm = {
+                "query_id": q.get("query_id", i),
+                "terms": q["terms"],
+                "conjunctive": q.get("conjunctive", False),
+            }
+            if q.get("negated"):
+                norm["negated"] = list(q["negated"])
+            out.append(norm)
         return out
 
     def search(

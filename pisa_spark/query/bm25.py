@@ -253,10 +253,15 @@ def _accumulate_topk(
     n_terms: int,
     conjunctive: bool,
     k: int,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sum per-term contributions into per-doc scores and trim to the
     bucket-local top-k candidates. np.unique + np.bincount over the
     concatenation of surviving postings: no dict, no per-posting Python.
+
+    exclude: sorted doc ids to drop (negated-term exclusion). Applied
+    BEFORE the top-k trim — an excluded doc sitting in a trim slot
+    must not displace a valid candidate below the k-th score.
     """
     empty = (np.empty(0, np.int64), np.empty(0, np.float64))
     if not doc_parts:
@@ -269,6 +274,9 @@ def _accumulate_topk(
         counts = np.bincount(inv)
         mask = counts == n_terms
         uniq, sums = uniq[mask], sums[mask]
+    if exclude is not None and exclude.size and uniq.size:
+        alive = ~_in_sorted(exclude, uniq)
+        uniq, sums = uniq[alive], sums[alive]
     if uniq.size > k:
         # keep every doc scoring >= the k-th largest score: tie-safe trim
         # (global window applies the (score DESC, doc_id ASC) order)
@@ -306,6 +314,30 @@ _EMPTY_TOPK_FRAME = {
     "doc_id": pd.array([], dtype="int64"),
     "score": pd.array([], dtype="float64"),
 }
+
+
+def _bucket_exclusion(
+    by_term: dict,
+    negated: list[str],
+    cache: dict,
+) -> np.ndarray | None:
+    """Sorted doc ids of this bucket matching any negated term.
+
+    The doc-range layout makes NOT local: a negated term's postings for
+    this bucket's doc range live in this bucket, so exclusion needs no
+    cross-bucket state. Per-term decodes are cached across the batch's
+    queries (docs only — negated terms are never scored)."""
+    parts = []
+    for t in negated:
+        if t not in by_term:
+            continue
+        if t not in cache:
+            docs, _, _ = _decode_blocks_vectorized(by_term[t])
+            cache[t] = np.unique(docs)
+        parts.append(cache[t])
+    if not parts:
+        return None
+    return np.unique(np.concatenate(parts)) if len(parts) > 1 else parts[0]
 
 
 def wand_kernel(
@@ -351,6 +383,7 @@ def wand_kernel(
             idf, bmax = _block_bounds(by_term, needed, n_docs, avgdl, term_dfs)
             # plan every query first: (query, distinct terms, present, masks)
             plans = []
+            neg_cache: dict[str, np.ndarray] = {}
             for q in queries:
                 terms = list(dict.fromkeys(q["terms"]))  # a term scores once
                 present = [t for t in terms if t in by_term]
@@ -413,7 +446,10 @@ def wand_kernel(
                         doc_parts.append(docs)
                         score_parts.append(scores)
                 docs, scores = _accumulate_topk(
-                    doc_parts, score_parts, len(terms), q["conjunctive"], k
+                    doc_parts, score_parts, len(terms), q["conjunctive"], k,
+                    exclude=_bucket_exclusion(
+                        by_term, q.get("negated", []), neg_cache
+                    ),
                 )
                 if docs.size:
                     out_frames.append(
@@ -469,7 +505,10 @@ def bm25_topk_wand(
     pushed to the parquet/Iceberg scan) -> per-bucket kernel -> global
     top-k window over <= n_buckets * |queries| * k rows.
     """
-    all_terms = sorted({t for q in queries for t in q["terms"]})
+    all_terms = sorted(
+        {t for q in queries for t in q["terms"]}
+        | {t for q in queries for t in q.get("negated", [])}
+    )
     # no cache: the term-pruned parquet scan (PushedFilters) is cheaper
     # to re-run than to materialize, and caching per call would leak;
     # df = sum(n) over the term's blocks when not supplied
@@ -591,6 +630,7 @@ def _maxscore_or(
     avgdl: float,
     k: int,
     tau0: float,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One disjunctive query, one bucket, MaxScore order: process terms
     by DESCENDING max impact, tightening a local threshold tau as the
@@ -654,7 +694,15 @@ def _maxscore_or(
 
     acc_docs = np.empty(0, np.int64)
     acc_scores = np.empty(0, np.float64)
-    dead = np.empty(0, np.int64)  # pruned docs — provably below tau
+    # pruned docs — provably below tau. Negated-term exclusion
+    # pre-seeds it: a dead doc never enters the accumulator, which is
+    # exactly NOT semantics (and unlike tau-pruned docs, excluded ones
+    # start dead before any contribution lands)
+    dead = (
+        exclude
+        if exclude is not None and exclude.size
+        else np.empty(0, np.int64)
+    )
     # negative-idf terms first and in full: under OR their blocks are
     # never skippable (dropping a negative contribution would inflate a
     # doc's score), and front-loading them makes every later partial a
@@ -663,6 +711,9 @@ def _maxscore_or(
         g = by_term[t]
         docs, tfs, dls = _decode_blocks_vectorized(g)
         scores = _bm25_np(tfs, dls, float(term_dfs[t]), n_docs, avgdl)
+        if dead.size:
+            alive = ~_in_sorted(dead, docs)
+            docs, scores = docs[alive], scores[alive]
         acc_docs, acc_scores = _merge_acc(acc_docs, acc_scores, docs, scores)
 
     maxes = np.array([term_max[t] for t in pos], np.float64)
@@ -751,11 +802,15 @@ def maxscore_kernel(
                 if t in by_term
             ]
             idf, bmax = _block_bounds(by_term, needed, n_docs, avgdl, term_dfs)
+            neg_cache: dict[str, np.ndarray] = {}
             for q in queries:
                 terms = list(dict.fromkeys(q["terms"]))
                 present = [t for t in terms if t in by_term]
                 if not present or (q["conjunctive"] and len(present) < len(terms)):
                     continue
+                excl = _bucket_exclusion(
+                    by_term, q.get("negated", []), neg_cache
+                )
                 tau0 = thresholds.get(q["query_id"], -np.inf)
                 if q["conjunctive"]:
                     masks = _query_keep_masks(
@@ -775,12 +830,13 @@ def maxscore_kernel(
                         )
                         doc_parts.append(docs)
                     docs, scores = _accumulate_topk(
-                        doc_parts, score_parts, len(terms), True, k
+                        doc_parts, score_parts, len(terms), True, k,
+                        exclude=excl,
                     )
                 else:
                     docs, scores = _maxscore_or(
                         by_term, present, idf, bmax, term_dfs,
-                        n_docs, avgdl, k, tau0,
+                        n_docs, avgdl, k, tau0, exclude=excl,
                     )
                 if docs.size:
                     out_frames.append(
@@ -819,7 +875,10 @@ def bm25_topk_maxscore(
     pruning strategy differs. two_phase bootstraps thresholds exactly
     as the WAND driver does (any k docs' k-th score from a bucket
     subset is a valid global lower bound)."""
-    all_terms = sorted({t for q in queries for t in q["terms"]})
+    all_terms = sorted(
+        {t for q in queries for t in q["terms"]}
+        | {t for q in queries for t in q.get("negated", [])}
+    )
     arranged, term_dfs = _arrange_pruned(
         postings, all_terms, term_dfs, pre_arranged
     )
