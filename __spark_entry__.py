@@ -764,6 +764,90 @@ def _search_facets_df(
     ).select("query_id", "facet", "value", "n")
 
 
+def _bm25f_df(
+    spark: SparkSession, sf_dir: str, qs, k: int = 10
+) -> DataFrame:
+    """BM25F fielded ranking over the deterministic title/body split
+    (query/bm25f.py)."""
+    from pisa_spark.query.bm25f import (
+        avg_field_lengths,
+        bm25f_topk,
+        fielded_tf,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    n_docs = toks.count()
+    afl = avg_field_lengths(toks)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in qs for t in terms],
+        "query_id int, term string",
+    )
+    out = bm25f_topk(fielded_tf(toks), qdf, n_docs, afl, k=k)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25f_sql(qs, k: int = 10) -> str:
+    """BM25F twin: list-sliced title/body fields, per-field length
+    normalization, field-weighted pseudo-tf, single saturation —
+    operand order mirrors query/bm25f.py expression for expression."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+),
+f AS (
+  SELECT doc_id, 'title' AS field, tokens[1:8] AS ftoks FROM toks
+  UNION ALL
+  SELECT doc_id, 'body' AS field, tokens[9:len(tokens)] AS ftoks FROM toks
+),
+fl AS (SELECT doc_id, field, len(ftoks) AS field_len FROM f),
+ftf AS (
+  SELECT doc_id, field, term, count(*) AS tf
+  FROM (SELECT doc_id, field, unnest(ftoks) AS term FROM f)
+  GROUP BY doc_id, field, term
+),
+avgfl AS (
+  SELECT avg(CASE WHEN field = 'title' THEN field_len END) AS a_title,
+         avg(CASE WHEN field = 'body' THEN field_len END) AS a_body
+  FROM fl
+),
+nd AS (SELECT count(*) AS n_docs FROM toks),
+pseudo AS (
+  SELECT t.doc_id, t.term,
+         sum(CASE WHEN t.field = 'title'
+                  THEN 2.0 * t.tf / (1 - 0.5 + 0.5 * l.field_len
+                                     / (SELECT a_title FROM avgfl))
+                  ELSE 1.0 * t.tf / (1 - 0.4 + 0.4 * l.field_len
+                                     / (SELECT a_body FROM avgfl))
+             END) AS ptf
+  FROM ftf t
+  JOIN fl l ON l.doc_id = t.doc_id AND l.field = t.field
+  GROUP BY t.doc_id, t.term
+),
+dfq AS (SELECT term, count(*) AS df FROM pseudo GROUP BY term),
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(((SELECT n_docs FROM nd) - d.df + 0.5) / (d.df + 0.5))
+              * p.ptf / (0.9 + p.ptf) ) AS raw_score
+  FROM pseudo p
+  JOIN q USING (term)
+  JOIN dfq d USING (term)
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _bm25_rm3_df(
     spark: SparkSession, sf_dir: str, qs, k: int = 10
 ) -> DataFrame:
@@ -1525,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # NOT queries: negated-term exclusion inside the WAND kernel
         "bm25_negation_topk": lambda spark, sf: _bm25_negation(spark, sf),
+        # BM25F fielded ranking (title/body, single saturation)
+        "bm25f_topk": lambda spark, sf: _bm25f_df(spark, sf, _OR_QUERIES),
         "bm25_top100_or": lambda spark, sf: _bm25_df(
             spark, sf, _OR_QUERIES, False, k=100
         ),
@@ -1861,6 +1947,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_prior_topk": _bm25_prior_sql(_OR_QUERIES),
         "bm25_rm3_topk": _bm25_rm3_sql(_OR_QUERIES),
         "bm25_negation_topk": _bm25_negation_sql(),
+        "bm25f_topk": _bm25f_sql(_OR_QUERIES),
         "search_facets": f"""
 {_SQL_BASE},
 q(query_id, term) AS (VALUES {_values_clause(_OR_QUERIES)}),
