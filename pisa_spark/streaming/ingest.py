@@ -146,6 +146,7 @@ def stream_index_ingest(
     checkpoint_dir: str,
     docs_per_bucket: int = 64,
     wave_size: int = 8,
+    dedup_content: bool = False,
 ):
     """Streaming front of the resumable index build (the T18 spine made
     literal): each micro-batch of documents (doc_id, text) is appended
@@ -169,6 +170,16 @@ def stream_index_ingest(
     (tests/test_resume.py::test_torn_corpus_append_invisible). Returns
     the started StreamingQuery (availableNow trigger — drains what's
     there and stops; swap the trigger for continuous ingest).
+
+    dedup_content=True additionally drops exact content duplicates at
+    the door (the standard crawl-ingest hygiene step): a new doc whose
+    normalized-token md5 (functions.text.content_fingerprint) matches
+    an already-ingested doc — or a lower-doc_id doc in the same batch
+    (min-doc_id-wins, deterministic) — never enters the corpus. The
+    existing side of the anti-join recomputes fingerprints from stored
+    text, so the rule is stateless and replay-stable; at scale,
+    persist a (fingerprint) side table through the catalog instead of
+    recomputing (same join, one more maintained table).
     """
     from pisa_spark.index.lineage import build_index_resumable
     from pisa_spark.sources import catalog
@@ -179,11 +190,28 @@ def stream_index_ingest(
         if batch_df.isEmpty():
             return
         new = batch_df.select("doc_id", "text")
-        if catalog.table_exists(corpus_dir, corpus_table):
+        have_corpus = catalog.table_exists(corpus_dir, corpus_table)
+        if have_corpus:
             existing = catalog.read_table(
                 batch_df.sparkSession, corpus_dir, corpus_table
             ).select("doc_id")
             new = new.join(existing, "doc_id", "left_anti")
+        if dedup_content:
+            from pisa_spark.functions.text import content_fingerprint
+            from pyspark.sql import Window
+
+            fp = new.withColumn("fp", content_fingerprint(F.col("text")))
+            # in-batch: min doc_id per fingerprint wins (deterministic)
+            w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+            fp = fp.withColumn("rn", F.row_number().over(w)).filter(
+                F.col("rn") == 1
+            )
+            if have_corpus:
+                seen = catalog.read_table(
+                    batch_df.sparkSession, corpus_dir, corpus_table
+                ).select(content_fingerprint(F.col("text")).alias("fp"))
+                fp = fp.join(seen, "fp", "left_anti")
+            new = fp.select("doc_id", "text")
         if new.isEmpty():
             return  # pure replay — corpus and index already reflect it
         catalog.write_table(new, corpus_dir, corpus_table, mode="append")

@@ -207,3 +207,64 @@ def test_stream_index_ingest_matches_clean_build(spark, sf_dir, tmp_path):
     # lineage shows multiple generations only for boundary buckets
     lin = catalog.read_table(spark, idx, "lineage")
     assert lin.filter(F.col("status") == "committed").count() >= 8
+
+
+def test_stream_index_ingest_content_dedup(spark, sf_dir, tmp_path):
+    """dedup_content=True drops exact content duplicates at ingest:
+    in-batch (min doc_id wins) and across batches (already-ingested
+    fingerprints), so the corpus and index only ever see one copy."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pisa_spark.index.lineage import load_index
+    from pisa_spark.sources import catalog
+    from pisa_spark.streaming.ingest import stream_index_ingest
+
+    full = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = full.filter(F.col("doc_id") < 60).select("doc_id", "text")
+    drops = str(tmp_path / "drops_dd")
+    os.makedirs(drops, exist_ok=True)
+    # drop 0: docs 0-59 plus an in-batch duplicate of doc 3's text
+    dup_in = base.union(
+        base.filter(F.col("doc_id") == 3).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+    )
+    # drop 1: new docs 60-99 plus a cross-batch duplicate of doc 7
+    batch2 = (
+        full.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 100))
+        .select("doc_id", "text")
+        .union(
+            base.filter(F.col("doc_id") == 7).select(
+                (F.col("doc_id") + 2000).alias("doc_id"), "text"
+            )
+        )
+    )
+    for i, df in enumerate([dup_in, batch2]):
+        tmp_out = str(tmp_path / f"tmp_dd{i}")
+        df.coalesce(1).write.parquet(tmp_out)
+        part = glob.glob(tmp_out + "/part-*.parquet")[0]
+        shutil.copy(part, f"{drops}/drop{i}.parquet")
+
+    corpus = str(tmp_path / "corpus_dd")
+    idx = str(tmp_path / "idx_dd")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    q = stream_index_ingest(
+        stream, corpus, idx, str(tmp_path / "ckpt_dd"),
+        docs_per_bucket=64, dedup_content=True,
+    )
+    q.awaitTermination()
+
+    got = catalog.read_table(spark, corpus, "documents.parquet")
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert 1003 not in ids and 2007 not in ids  # both duplicates dropped
+    assert ids == set(range(100))
+    _, stats = load_index(spark, idx)
+    assert stats["n_docs"] == 100
