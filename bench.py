@@ -173,8 +173,9 @@ def main() -> None:
 
     # alternative-scorer serving (QLD off the decoded index): measures
     # the postings_to_tf decode + exhaustive scorer path that
-    # search_scored uses — the no-pruning-structures cost of swapping
-    # the ranking function on a stored index
+    # search_scored uses, INCLUDING its term pruning below the decode
+    # barrier (engine.search_scored filters blocks to the queried
+    # terms before the mapInPandas kernel — PLANS.md §9)
     from pisa_spark.query.scorers import postings_to_tf, scored_topk_dataframe
 
     or_queries = [q for q in BENCH_QUERIES if not q["conjunctive"]]
@@ -182,12 +183,56 @@ def main() -> None:
         [(q["query_id"], t) for q in or_queries for t in q["terms"]],
         "query_id int, term string",
     )
+    qld_terms = sorted({t for q in or_queries for t in q["terms"]})
     t0 = time.perf_counter()
     scored_topk_dataframe(
-        postings_to_tf(postings), qdf, stats["n_docs"], stats["avgdl"],
+        postings_to_tf(postings.filter(F.col("term").isin(qld_terms))),
+        qdf, stats["n_docs"], stats["avgdl"],
         float(stats["total_terms"]), scorer="qld", k=10,
     ).collect()
     timings["q_scored_qld"] = round(time.perf_counter() - t0, 4)
+
+    # NOT query through the WAND kernel (bucket-local exclusion)
+    t0 = time.perf_counter()
+    bm25_topk_wand(
+        postings,
+        [{"query_id": 90, "terms": ["data", "join"], "conjunctive": False,
+          "negated": ["the"]}],
+        stats["n_docs"], stats["avgdl"], k=10,
+        term_dfs=None, pre_arranged=True,
+    ).collect()
+    timings["q_negation"] = round(time.perf_counter() - t0, 4)
+
+    # RM3 expansion (two passes over the decoded tf relation; the
+    # facade's index-served variant prunes pass 2 — this measures the
+    # relation path at bench scale)
+    from pisa_spark.query.feedback import rm3_topk
+
+    t0 = time.perf_counter()
+    rm3_topk(
+        postings_to_tf(postings),
+        spark.createDataFrame(
+            [(91, "data"), (91, "join")], "query_id int, term string"
+        ),
+        stats["n_docs"], stats["avgdl"], k=10,
+    ).collect()
+    timings["q_rm3"] = round(time.perf_counter() - t0, 4)
+
+    # faceted search: top-50 + lang/source facet counts
+    from pisa_spark.query.facets import facet_counts
+
+    t0 = time.perf_counter()
+    facet_counts(
+        bm25_topk_wand(
+            postings,
+            [{"query_id": 92, "terms": ["data", "join"],
+              "conjunctive": False}],
+            stats["n_docs"], stats["avgdl"], k=50, pre_arranged=True,
+        ),
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        ["lang", "source"],
+    ).collect()
+    timings["q_facets"] = round(time.perf_counter() - t0, 4)
 
     # positional build + phrase query: the with_positions=True cost and
     # the poss payload size (one varint per token occurrence)
@@ -214,10 +259,11 @@ def main() -> None:
         pos_stats["n_docs"], pos_stats["avgdl"], k=10, pre_arranged=True,
     ).collect()
     timings["phrase_of_the"] = round(time.perf_counter() - t0, 4)
+    # p50/p95 over the headline single queries only (q0..q7), so the
+    # percentiles stay comparable round over round as diagnostics grow
     lat = sorted(
-        v
-        for k, v in timings.items()
-        if k.startswith("q") and not k.startswith("q_batch")
+        v for k, v in timings.items()
+        if k.startswith("q") and k[1:].isdigit()
     )
     p50 = lat[len(lat) // 2]
     p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
