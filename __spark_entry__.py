@@ -788,6 +788,40 @@ def _bm25f_df(
     )
 
 
+def _fielded_indexes(spark: SparkSession, sf_dir: str):
+    """Memoized per-field (title/body) compressed indexes."""
+    from pisa_spark.query.bm25f import build_fielded_indexes
+
+    key = ("fidx", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        built = build_fielded_indexes(_tokens(spark, sf_dir), n_buckets=8)
+        _MEMO[key] = {
+            f: (p.cache(), n, avg) for f, (p, n, avg) in built.items()
+        }
+    return _MEMO[key]
+
+
+def _bm25f_indexed_df(
+    spark: SparkSession, sf_dir: str, qs, k: int = 10
+) -> DataFrame:
+    """BM25F served off per-field compressed indexes (term-pruned
+    decode per field) — same oracle SQL as the relation path, proving
+    the codec round-trip and the per-field-index serving design."""
+    from pisa_spark.query.bm25f import bm25f_topk_indexed
+
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in qs for t in terms],
+        "query_id int, term string",
+    )
+    out = bm25f_topk_indexed(
+        _fielded_indexes(spark, sf_dir), qdf, k=k,
+        terms=sorted({t for _, terms in qs for t in terms}),
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _bm25f_sql(qs, k: int = 10) -> str:
     """BM25F twin: list-sliced title/body fields, per-field length
     normalization, field-weighted pseudo-tf, single saturation —
@@ -1611,6 +1645,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_negation_topk": lambda spark, sf: _bm25_negation(spark, sf),
         # BM25F fielded ranking (title/body, single saturation)
         "bm25f_topk": lambda spark, sf: _bm25f_df(spark, sf, _OR_QUERIES),
+        # same, served off per-field compressed indexes (pruned decode)
+        "bm25f_topk_indexed": lambda spark, sf: _bm25f_indexed_df(
+            spark, sf, _OR_QUERIES
+        ),
         "bm25_top100_or": lambda spark, sf: _bm25_df(
             spark, sf, _OR_QUERIES, False, k=100
         ),
@@ -1948,6 +1986,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_rm3_topk": _bm25_rm3_sql(_OR_QUERIES),
         "bm25_negation_topk": _bm25_negation_sql(),
         "bm25f_topk": _bm25f_sql(_OR_QUERIES),
+        "bm25f_topk_indexed": _bm25f_sql(_OR_QUERIES),
         "search_facets": f"""
 {_SQL_BASE},
 q(query_id, term) AS (VALUES {_values_clause(_OR_QUERIES)}),

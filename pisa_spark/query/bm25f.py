@@ -77,6 +77,92 @@ def fielded_tf(toks: DataFrame, title_len: int = TITLE_LEN) -> DataFrame:
     )
 
 
+def build_fielded_indexes(
+    toks: DataFrame,
+    n_buckets: int = 8,
+    title_len: int = TITLE_LEN,
+) -> dict[str, tuple[DataFrame, int, float]]:
+    """Per-field compressed indexes from one (doc_id, tokens) relation:
+    each field's token slice goes through the standard build_postings
+    UNCHANGED — the per-field-index design real engines use for BM25F
+    (no new payload format; the field's dls payload IS its field_len).
+    Returns {field: (postings, n_docs, avg_field_len)}; n_docs and the
+    per-field average count every doc, empty fields as 0."""
+    from pisa_spark.index.build import build_postings
+
+    slices = {
+        "title": F.slice("tokens", 1, title_len),
+        "body": F.slice(
+            "tokens",
+            title_len + 1,
+            F.greatest(F.size("tokens") - title_len, F.lit(0)),
+        ),
+    }
+    out = {}
+    for field, expr in slices.items():
+        ftoks = toks.select(
+            "doc_id", expr.alias("tokens")
+        ).withColumn("doc_len", F.size("tokens"))
+        row = ftoks.agg(
+            F.count(F.lit(1)), F.avg("doc_len"), F.max("doc_id")
+        ).collect()[0]
+        avg = float(row[1] or 0.0)
+        postings = build_postings(
+            ftoks, int(row[0]), max(avg, 1e-9), n_buckets=n_buckets,
+            max_doc_id=int(row[2]),
+        )
+        out[field] = (postings, int(row[0]), avg)
+    return out
+
+
+def bm25f_topk_indexed(
+    field_postings: dict[str, tuple[DataFrame, int, float]],
+    queries_df: DataFrame,
+    k: int = 10,
+    k1: float = BM25F_K1,
+    field_params: dict[str, tuple[float, float]] | None = None,
+    terms: list[str] | None = None,
+) -> DataFrame:
+    """BM25F served off per-field compressed indexes: each field's
+    blocks are pruned to the query terms BELOW the decode barrier
+    (PushedFilters reaches each field's scan), decoded back to a tf
+    relation (postings_to_tf — its doc_len column is that field's
+    length by construction), tagged and unioned into the fielded
+    relation, then scored by bm25f_topk. Identical results to the
+    relation path: per-term df and per-field averages are invariant to
+    pruning other terms."""
+    from pisa_spark.query.scorers import postings_to_tf
+
+    if terms is None:
+        terms = [
+            r["term"]
+            for r in queries_df.select("term").distinct().collect()
+        ]
+    frames = []
+    n_docs = 0
+    afl: dict[str, float] = {}
+    for field, (postings, n, avg) in field_postings.items():
+        n_docs = max(n_docs, n)
+        afl[field] = avg
+        rel = postings_to_tf(
+            postings.filter(F.col("term").isin(list(terms)))
+        ).select(
+            "doc_id",
+            "term",
+            "tf",
+            F.col("doc_len").alias("field_len"),
+            F.lit(field).alias("field"),
+        )
+        frames.append(rel)
+    ftf = frames[0]
+    for f in frames[1:]:
+        ftf = ftf.unionByName(f)
+    return bm25f_topk(
+        ftf, queries_df, n_docs, afl, k=k, k1=k1,
+        field_params=field_params,
+    )
+
+
 def avg_field_lengths(
     toks: DataFrame, title_len: int = TITLE_LEN
 ) -> dict[str, float]:

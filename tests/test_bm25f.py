@@ -91,3 +91,31 @@ def test_single_saturation_not_per_field_sum(spark):
     # than 2x even though its raw field contribution is ~2x
     assert rows_out[0] > rows_out[1]
     assert rows_out[0] < 2 * rows_out[1]
+
+
+def test_indexed_bm25f_matches_relation_path(spark, sf_dir):
+    """Per-field compressed indexes + pruned decode == the relation
+    path, rank for rank and score for score (codec round-trip under
+    fielded serving)."""
+    from pisa_spark.corpus import tokens_col
+    from pisa_spark.query.bm25f import build_fielded_indexes, bm25f_topk_indexed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
+    q = spark.createDataFrame(
+        [(0, "data"), (0, "join"), (1, "the")], "query_id int, term string"
+    )
+    n_docs = toks.count()
+    afl = avg_field_lengths(toks)
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in bm25f_topk(fielded_tf(toks), q, n_docs, afl, k=10).collect()
+    )
+    built = build_fielded_indexes(toks, n_buckets=8)
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in bm25f_topk_indexed(
+            built, q, k=10, terms=["data", "join", "the"]
+        ).collect()
+    )
+    assert got == want
