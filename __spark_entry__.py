@@ -788,6 +788,73 @@ def _bm25f_df(
     )
 
 
+def _hll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog: distinct-term estimate per language
+    (functions/sketches.py) — the oracle replays every register."""
+    from pisa_spark.functions.sketches import hll_distinct
+
+    toks = _docs(spark, sf_dir).select(
+        "lang", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    return hll_distinct(toks, "term", by=["lang"]).select(
+        "lang", "distinct_est"
+    )
+
+
+def _hll_sql() -> str:
+    from pisa_spark.functions.sketches import _SCALE, _W_MOD, hll_alpha
+
+    m = 512
+    const = repr(hll_alpha(m) * m * m * float(_SCALE))
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+    AS term
+  FROM documents
+),
+h AS (
+  SELECT lang,
+         CAST('0x'||substring(md5('hb:'||term),1,8) AS BIGINT) % {m} AS b,
+         ((hw % {_W_MOD}) + {_W_MOD}) % {_W_MOD} AS w
+  FROM (
+    SELECT lang, term,
+           CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+                     THEN v - 18446744073709551616::HUGEINT ELSE v END
+                AS BIGINT) AS hw
+    FROM (
+      SELECT lang, term,
+             CAST('0x'||substring(md5('hw:'||term),1,8) AS BIGINT)::HUGEINT
+               * 4294967296::HUGEINT
+             + CAST('0x'||substring(md5('hw:'||term),9,8) AS BIGINT)::HUGEINT
+               AS v
+      FROM toks
+    )
+  )
+),
+regs AS (
+  SELECT lang, b,
+         max(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END) AS mreg
+  FROM h GROUP BY lang, b
+),
+agg AS (
+  SELECT lang, count(*) AS nb,
+         SUM(CAST(power(2, 56 - mreg) AS BIGINT)) AS zne
+  FROM regs GROUP BY lang
+)
+SELECT lang,
+       round(CASE WHEN eraw <= {2.5 * m} AND zeros > 0
+                  THEN {float(m)} * ln({m} / zeros)
+                  ELSE eraw END, 4) AS distinct_est
+FROM (
+  SELECT lang, ({m} - nb) AS zeros,
+         {const} / CAST(zne + ({m} - nb)::HUGEINT
+                        * {_SCALE}::HUGEINT AS DOUBLE) AS eraw
+  FROM agg
+)
+"""
+
+
 def _fielded_indexes(spark: SparkSession, sf_dir: str):
     """Memoized per-field (title/body) compressed indexes."""
     from pisa_spark.query.bm25f import build_fielded_indexes
@@ -1637,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rm3_topk": lambda spark, sf: _bm25_rm3_df(
             spark, sf, _OR_QUERIES
         ),
+        # deterministic HyperLogLog distinct-term estimate per lang
+        "sketch_hll_distinct": _hll_gate,
         # faceted search: per-query facet counts over the result set
         "search_facets": lambda spark, sf: _search_facets_df(
             spark, sf, _OR_QUERIES
@@ -1987,6 +2056,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_negation_topk": _bm25_negation_sql(),
         "bm25f_topk": _bm25f_sql(_OR_QUERIES),
         "bm25f_topk_indexed": _bm25f_sql(_OR_QUERIES),
+        "sketch_hll_distinct": _hll_sql(),
         "search_facets": f"""
 {_SQL_BASE},
 q(query_id, term) AS (VALUES {_values_clause(_OR_QUERIES)}),

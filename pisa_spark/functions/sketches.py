@@ -1,0 +1,90 @@
+"""Distributed cardinality sketches — deterministic HyperLogLog
+(Flajolet et al. 2007, with the standard small-range correction), the
+workhorse approximate-distinct operator of every large-scale pipeline
+(Spark's own approx_count_distinct is HLL++; this one is built from
+the engine's md5 hash family so the DuckDB oracle replays it REGISTER
+FOR REGISTER — a property no library HLL offers).
+
+Determinism contract: bucket and rank come from the shared
+deterministic hash pair (dedup.hash64 / hash_wide); registers are
+integer maxes (order-free); the harmonic sum is computed as an EXACT
+scaled integer (sum of 2^(56-M) as decimal — no float reassociation),
+and only the final estimate touches floating point, from identical
+integer inputs on both engines.
+
+Why p=9 (512 registers): standard error 1.04/sqrt(m) ~ 4.6% — the
+curation use case (budget split by near-distinct counts) at one
+shuffle of m rows per group. Mergeability: registers are per-group
+maxes, so unions of sketches = max of registers — the same groupBy
+again; partial aggregation gives map-side combine for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pisa_spark.dedup.dedup import hash64, hash_wide
+
+HLL_P = 9
+_W_BITS = 55
+_W_MOD = 1 << _W_BITS  # rank word drawn uniform from [0, 2^55)
+_SCALE = 1 << (_W_BITS + 1)  # 2^56: exact-integer harmonic scaling
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant (the published m >= 128 formula)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, col: str, by: list[str] | None = None, p: int = HLL_P
+) -> DataFrame:
+    """(by..., b, mreg): HLL registers — max rank per bucket per group.
+    Duplicates are free (max is idempotent); merging sketches is the
+    same groupBy-max over unioned register frames."""
+    by = by or []
+    m = 1 << p
+    w = F.pmod(hash_wide(F.col(col), "hw:"), F.lit(_W_MOD))
+    rank = F.when(w == 0, F.lit(_W_BITS + 1)).otherwise(
+        F.lit(_W_BITS + 1) - F.length(F.bin(w))
+    )
+    bucket = F.pmod(hash64(F.col(col), "hb:"), F.lit(m))
+    return (
+        df.select(*by, bucket.alias("b"), rank.alias("r"))
+        .groupBy(*by, "b")
+        .agg(F.max("r").alias("mreg"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame, col: str, by: list[str] | None = None, p: int = HLL_P
+) -> DataFrame:
+    """(by..., distinct_est): HyperLogLog distinct-count estimate of
+    ``col`` per group. Estimate pipeline: exact integer Z =
+    sum_registers 2^(56 - M) (empty registers contribute 2^56), then
+
+        E_raw = alpha_m * m^2 * 2^56 / Z
+        E     = m * ln(m / zeros)   if E_raw <= 2.5m and zeros > 0
+
+    rounded to 4 dp. Both branches and the branch CONDITION evaluate
+    from exact integers, so the oracle replays the decision too."""
+    by = by or []
+    m = 1 << p
+    regs = hll_registers(df, col, by, p)
+    agg = regs.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum(
+            F.expr(f"CAST(shiftleft(1L, {_W_BITS + 1} - mreg) AS DECIMAL(38,0))")
+        ).alias("zne"),
+    )
+    zeros = F.lit(m) - F.col("nb")
+    z = F.col("zne") + zeros.cast("decimal(38,0)") * F.lit(_SCALE).cast(
+        "decimal(38,0)"
+    )
+    e_raw = F.lit(hll_alpha(m) * m * m * float(_SCALE)) / z.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(m) / zeros),
+    ).otherwise(e_raw)
+    return agg.select(*by, F.round(est, 4).alias("distinct_est"))
