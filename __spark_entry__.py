@@ -855,6 +855,52 @@ FROM (
 """
 
 
+_CMS_PROBES = ["data", "the", "join", "query", "zzz_absent"]
+
+
+def _cms_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for a fixed probe list
+    over the token stream (functions/sketches.py) — all-integer, the
+    oracle replays every counter."""
+    from pisa_spark.functions.sketches import cms_build, cms_estimate
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    sk = cms_build(toks, "term")
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "x string")
+    return cms_estimate(sk, probes).select("x", "est")
+
+
+def _cms_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in _CMS_PROBES)
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+    AS term
+  FROM documents
+),
+sk AS (
+  SELECT r.i AS row,
+         CAST('0x'||substring(md5('cm:'||r.i||':'||term),1,8) AS BIGINT)
+           % 1024 AS b,
+         count(*) AS cnt
+  FROM toks, range(0, 4) AS r(i)
+  GROUP BY 1, 2
+),
+pb AS (
+  SELECT v.x, r.i AS row,
+         CAST('0x'||substring(md5('cm:'||r.i||':'||v.x),1,8) AS BIGINT)
+           % 1024 AS b
+  FROM (VALUES {vals}) AS v(x), range(0, 4) AS r(i)
+)
+SELECT x, min(COALESCE(sk.cnt, 0)) AS est
+FROM pb LEFT JOIN sk USING (row, b)
+GROUP BY x
+"""
+
+
 def _fielded_indexes(spark: SparkSession, sf_dir: str):
     """Memoized per-field (title/body) compressed indexes."""
     from pisa_spark.query.bm25f import build_fielded_indexes
@@ -1706,6 +1752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # deterministic HyperLogLog distinct-term estimate per lang
         "sketch_hll_distinct": _hll_gate,
+        # count-min frequency estimates for fixed probes
+        "sketch_cms_estimates": _cms_gate,
         # faceted search: per-query facet counts over the result set
         "search_facets": lambda spark, sf: _search_facets_df(
             spark, sf, _OR_QUERIES
@@ -2057,6 +2105,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25f_topk": _bm25f_sql(_OR_QUERIES),
         "bm25f_topk_indexed": _bm25f_sql(_OR_QUERIES),
         "sketch_hll_distinct": _hll_sql(),
+        "sketch_cms_estimates": _cms_sql(),
         "search_facets": f"""
 {_SQL_BASE},
 q(query_id, term) AS (VALUES {_values_clause(_OR_QUERIES)}),

@@ -26,10 +26,72 @@ from pyspark.sql import functions as F
 
 from pisa_spark.dedup.dedup import hash64, hash_wide
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
 HLL_P = 9
 _W_BITS = 55
 _W_MOD = 1 << _W_BITS  # rank word drawn uniform from [0, 2^55)
 _SCALE = 1 << (_W_BITS + 1)  # 2^56: exact-integer harmonic scaling
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): (row, b, cnt)
+    counters — ``depth`` independent hash rows, each a width-``width``
+    counter array. One explode (x depth) + one hash aggregation; all
+    integer, so the oracle replays every counter. Counters are sums —
+    sketches merge by groupBy-sum, and Catalyst's partial aggregation
+    is the map-side combine. Width 1024 / depth 4: overestimate
+    <= 2N/1024 with prob 1 - 2^-4 (never underestimates)."""
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    e = df.select(F.col(col).alias("x"), rows)
+    return (
+        e.select(
+            "row",
+            F.pmod(
+                hash64(F.concat(F.col("row").cast("string"),
+                                F.lit(":"), F.col("x")), "cm:"),
+                F.lit(width),
+            ).alias("b"),
+        )
+        .groupBy("row", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str = "x",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(x, est): count-min frequency estimate for each probe value —
+    min over the depth rows of that value's counter (missing counter
+    = 0). The probe side is small (broadcast); the sketch is
+    depth x width rows regardless of data size."""
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    p = probes.select(F.col(col).alias("x")).distinct().select("x", rows)
+    p = p.select(
+        "x",
+        "row",
+        F.pmod(
+            hash64(F.concat(F.col("row").cast("string"),
+                            F.lit(":"), F.col("x")), "cm:"),
+            F.lit(width),
+        ).alias("b"),
+    )
+    joined = p.join(sketch, ["row", "b"], "left").fillna({"cnt": 0})
+    return joined.groupBy("x").agg(F.min("cnt").alias("est"))
 
 
 def hll_alpha(m: int) -> float:

@@ -61,3 +61,42 @@ def test_hll_grouped(spark):
     assert len(rows) == 2
     total = sum(r["distinct_est"] for r in rows)
     assert abs(total - 400) / 400 < 0.2
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    from pisa_spark.functions.sketches import cms_build, cms_estimate
+
+    # zipf-ish: value v_i appears i times, i = 1..60 (N = 1830)
+    rows = [(f"v{i}",) for i in range(1, 61) for _ in range(i)]
+    df = spark.createDataFrame(rows, "x string")
+    sk = cms_build(df, "x")
+    probes = spark.createDataFrame(
+        [(f"v{i}",) for i in (1, 10, 30, 60)] + [("absent",)], "x string"
+    )
+    est = {r["x"]: r["est"] for r in cms_estimate(sk, probes).collect()}
+    n_total = 1830
+    for i in (1, 10, 30, 60):
+        true = i
+        assert est[f"v{i}"] >= true  # one-sided error
+        assert est[f"v{i}"] <= true + 2 * n_total / 1024 + 1
+    assert est["absent"] <= 2 * n_total / 1024 + 1
+
+
+def test_cms_merge_by_sum(spark):
+    from pisa_spark.functions.sketches import cms_build
+
+    a = spark.createDataFrame([("p",), ("q",), ("p",)], "x string")
+    b = spark.createDataFrame([("p",), ("r",)], "x string")
+    whole = {
+        (r["row"], r["b"], r["cnt"])
+        for r in cms_build(a.union(b), "x").collect()
+    }
+    merged = {
+        (r["row"], r["b"], r["cnt"])
+        for r in cms_build(a, "x")
+        .unionByName(cms_build(b, "x"))
+        .groupBy("row", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert whole == merged
