@@ -394,6 +394,56 @@ class SearchEngine:
             k=k,
         )
 
+    def search_reranked(
+        self,
+        query,
+        priors: DataFrame,
+        k: int = 10,
+        depth: int = 1000,
+        prior_weight: float = 0.1,
+        prior_scale: int = 10**12,
+        **search_kwargs,
+    ) -> DataFrame:
+        """Two-stage ranking — the standard production architecture
+        for query-independent signals: stage 1 retrieves the top
+        ``depth`` candidates by BM25 through the pruned WAND path;
+        stage 2 joins the static prior (doc_id, prior_units — e.g.
+        click-graph PageRank mass) and re-ranks the candidates by
+
+            score + prior_weight * ln((prior_units + 1) / prior_scale)
+
+        (docs absent from priors take the ln(1/scale) floor — same
+        blend as scored_topk_dataframe(priors=...)). Exact for any doc
+        whose BM25 rank is within ``depth``; a doc the first stage
+        never surfaces cannot be recovered by the prior — the standard
+        rerank-depth tradeoff, so size depth to the prior weight (with
+        w=0.1 a prior can move a doc by at most w*ln(scale) ~ 2.76
+        score units)."""
+        from pisa_spark.query.bm25 import topk_window
+
+        stage1 = self.search(query, k=depth, **search_kwargs)
+        blended = (
+            stage1.join(
+                priors.select("doc_id", "prior_units"), "doc_id", "left"
+            )
+            .select(
+                "query_id",
+                "doc_id",
+                (
+                    F.col("score")
+                    + F.lit(prior_weight)
+                    * F.log(
+                        (
+                            F.coalesce(F.col("prior_units"), F.lit(0))
+                            + F.lit(1)
+                        )
+                        / F.lit(float(prior_scale))
+                    )
+                ).alias("score"),
+            )
+        )
+        return topk_window(blended, k)
+
     def search_faceted(
         self, query, facet_cols: list[str], k: int = 10, **search_kwargs
     ) -> DataFrame:

@@ -126,3 +126,38 @@ def test_engine_search_rm3_matches_relation_path(spark, sf_dir, tmp_path_factory
         for r in eng.search_rm3("data join", k=10).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_engine_search_reranked_matches_exhaustive_blend(spark, sf_dir, tmp_path_factory):
+    """Two-stage rerank at full depth == the exhaustive prior blend
+    (scored_topk_dataframe(priors=...)) — same formula, same floor."""
+    from pisa_spark.corpus import tokens_col
+    from pisa_spark.engine import SearchEngine
+    from pisa_spark.index.build import term_frequencies
+
+    root = str(tmp_path_factory.mktemp("rerank") / "idx")
+    eng = SearchEngine.build(spark, sf_dir, root, n_buckets=8, wave_size=8)
+    priors = spark.createDataFrame(
+        [(i, 10**9 * (i % 7)) for i in range(0, 500, 3)],
+        "doc_id long, prior_units long",
+    )
+    got = sorted(
+        (r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in eng.search_reranked(
+            "data join", priors, k=10, depth=500, two_phase=False
+        ).collect()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    row = toks.agg(F.count(F.lit(1)), F.avg("doc_len"), F.sum("doc_len")).collect()[0]
+    q = spark.createDataFrame([(0, "data"), (0, "join")], "query_id int, term string")
+    want = sorted(
+        (r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in scored_topk_dataframe(
+            term_frequencies(toks), q, int(row[0]), float(row[1]),
+            float(row[2]), scorer="bm25", k=10, priors=priors,
+        ).collect()
+    )
+    assert got == want
