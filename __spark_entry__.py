@@ -855,6 +855,74 @@ FROM (
 """
 
 
+_SUGGEST_PREFIXES = ["da", "qu", "th", "zzz"]
+
+
+def _suggest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete: top-5 vocabulary terms per prefix by df."""
+    from pisa_spark.query.fuzzy import suggest_prefix
+
+    vocab = _fuzzy_vocab(spark, sf_dir)
+    prefixes = spark.createDataFrame(
+        [(p,) for p in _SUGGEST_PREFIXES], "prefix string"
+    )
+    return suggest_prefix(vocab, prefixes, n=5).select(
+        "prefix", "rank", "term", "df"
+    )
+
+
+def _suggest_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in _SUGGEST_PREFIXES)
+    return f"""
+{_SQL_BASE},
+v(prefix) AS (VALUES {vals})
+SELECT prefix, rank, term, df FROM (
+  SELECT v.prefix, d.term, CAST(d.df AS BIGINT) AS df,
+         CAST(row_number() OVER (PARTITION BY v.prefix
+                            ORDER BY d.df DESC, d.term ASC) AS INTEGER) AS rank
+  FROM dfreq d JOIN v ON d.term LIKE v.prefix || '%'
+) WHERE rank <= 5
+"""
+
+
+def _collocations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations over adjacent bigrams (functions/text.py)."""
+    from pisa_spark.functions.text import collocations_pmi
+
+    toks = _tokens(spark, sf_dir).select("doc_id", "tokens")
+    return collocations_pmi(toks, min_count=5).select(
+        "a", "b", "n_ab", "pmi"
+    )
+
+
+_SQL_COLLOCATIONS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+),
+big AS (
+  SELECT unnest(list_transform(range(1, len(tokens)),
+                i -> struct_pack(a := tokens[i], b := tokens[i+1]))) AS bg
+  FROM toks WHERE len(tokens) >= 2
+),
+bgc AS (SELECT bg.a AS a, bg.b AS b, count(*) AS n_ab FROM big GROUP BY 1, 2),
+uni AS (SELECT unnest(tokens) AS t FROM toks),
+uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+nu AS (SELECT count(*) AS v FROM uni),
+nb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS v FROM bgc)
+SELECT g.a, g.b, g.n_ab,
+       round(ln( (g.n_ab / (SELECT v FROM nb))
+                 / ((ca.c / (SELECT v FROM nu))
+                    * (cb.c / (SELECT v FROM nu))) ), 6) AS pmi
+FROM bgc g
+JOIN uc ca ON ca.t = g.a
+JOIN uc cb ON cb.t = g.b
+WHERE g.n_ab >= 5
+"""
+
+
 _CMS_PROBES = ["data", "the", "join", "query", "zzz_absent"]
 
 
@@ -1754,6 +1822,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": _hll_gate,
         # count-min frequency estimates for fixed probes
         "sketch_cms_estimates": _cms_gate,
+        # autocomplete: top vocabulary terms per prefix
+        "suggest_prefix_topk": _suggest_gate,
+        # PMI collocations over adjacent bigrams
+        "text_collocations": _collocations_gate,
         # faceted search: per-query facet counts over the result set
         "search_facets": lambda spark, sf: _search_facets_df(
             spark, sf, _OR_QUERIES
@@ -2106,6 +2178,8 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25f_topk_indexed": _bm25f_sql(_OR_QUERIES),
         "sketch_hll_distinct": _hll_sql(),
         "sketch_cms_estimates": _cms_sql(),
+        "suggest_prefix_topk": _suggest_sql(),
+        "text_collocations": _SQL_COLLOCATIONS,
         "search_facets": f"""
 {_SQL_BASE},
 q(query_id, term) AS (VALUES {_values_clause(_OR_QUERIES)}),

@@ -148,3 +148,53 @@ def doc_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(quality_score(t), 6).alias("quality"),
         content_fingerprint(t).alias("fingerprint"),
     )
+
+
+def collocations_pmi(
+    toks: DataFrame, min_count: int = 5
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    token bigrams (Church & Hanks 1990):
+
+        pmi(a, b) = ln( (c_ab / N_bigrams)
+                        / ((c_a / N_tokens) * (c_b / N_tokens)) )
+
+    Returns (a, b, n_ab, pmi) for bigrams seen >= ``min_count`` times
+    (the standard noise floor — PMI of rare pairs is dominated by
+    chance). All counts are exact integers; the single log expression
+    is mirrored operand-for-operand by the oracle. Dataflow: one
+    bigram explode + two hash aggregations + a vocabulary-sized join —
+    the classic text-statistics shape, no corpus-sized shuffle beyond
+    the counts.
+    """
+    big = (
+        toks.filter(F.size("tokens") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 1),"
+                    " i -> struct(element_at(tokens, i) AS a,"
+                    "             element_at(tokens, i + 1) AS b))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.a", "bg.b")
+    )
+    bgc = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = toks.select(F.explode("tokens").alias("t"))
+    uc = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n_tokens = uni.count()
+    n_bigrams = bgc.agg(F.sum("n_ab")).first()[0]
+    pmi = F.log(
+        (F.col("n_ab") / F.lit(int(n_bigrams)))
+        / (
+            (F.col("ca") / F.lit(int(n_tokens)))
+            * (F.col("cb") / F.lit(int(n_tokens)))
+        )
+    )
+    return (
+        bgc.filter(F.col("n_ab") >= min_count)
+        .join(uc.select(F.col("t").alias("a"), F.col("c").alias("ca")), "a")
+        .join(uc.select(F.col("t").alias("b"), F.col("c").alias("cb")), "b")
+        .select("a", "b", "n_ab", F.round(pmi, 6).alias("pmi"))
+    )

@@ -109,3 +109,34 @@ def best_corrections(
         .filter(F.col("_rn") == 1)
         .select("qterm", "term", "dist", "df")
     )
+
+
+def suggest_prefix(
+    vocab: DataFrame,
+    prefixes: DataFrame,
+    n: int = 5,
+) -> DataFrame:
+    """Query autocomplete: for each prefix, the top-``n`` vocabulary
+    terms by document frequency (df DESC, term ASC tie-break).
+
+    vocab: (term, df); prefixes: (prefix). The prefix side is tiny and
+    broadcast; the match is a starts-with predicate over the term
+    dictionary — at scale the dictionary is the index's term column
+    (vocabulary-sized, not corpus-sized), and a sorted/bucketed term
+    dictionary turns each prefix into a range scan (the standard FST/
+    trie rendering is an in-memory optimization of the same contract).
+    """
+    from pyspark.sql import Window
+
+    cand = vocab.join(
+        F.broadcast(prefixes),
+        F.col("term").startswith(F.col("prefix")),
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .select("prefix", F.col("_rn").alias("rank"), "term", "df")
+    )

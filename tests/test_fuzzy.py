@@ -101,3 +101,17 @@ def test_engine_search_fuzzy(spark, sf_dir, tmp_path_factory):
     assert [
         (r["rank"], r["doc_id"]) for r in sorted(got, key=lambda r: r["rank"])
     ] == [(r, d) for r, d, _ in expect]
+
+
+def test_suggest_prefix_orders_by_df_then_term(spark):
+    from pisa_spark.query.fuzzy import suggest_prefix
+
+    vocab = spark.createDataFrame(
+        [("data", 50), ("database", 90), ("dart", 90), ("query", 10)],
+        "term string, df long",
+    )
+    prefixes = spark.createDataFrame([("da",), ("x",)], "prefix string")
+    rows = suggest_prefix(vocab, prefixes, n=2).collect()
+    got = sorted((r["prefix"], r["rank"], r["term"]) for r in rows)
+    # df desc, term asc: dart (90) before database (90) — term tie-break
+    assert got == [("da", 1, "dart"), ("da", 2, "database")]

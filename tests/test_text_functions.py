@@ -101,3 +101,29 @@ def test_winnowing_guarantee_and_compression(spark):
     n_tokens = 14
     n_grams = n_tokens - 4
     assert len(by_doc[0]) < n_grams
+
+
+def test_collocations_pmi_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from pisa_spark.functions.text import collocations_pmi
+
+    # 'new york' always adjacent (5x); 'the cat' adjacent 5x but both
+    # words are common elsewhere -> lower PMI
+    docs = [
+        (i, ["new", "york", "the", "cat", "the", "dog"]) for i in range(5)
+    ]
+    toks = spark.createDataFrame(docs, "doc_id long, tokens array<string>")
+    rows = {
+        (r["a"], r["b"]): r for r in collocations_pmi(toks, min_count=5).collect()
+    }
+    import math
+
+    n_tok = 30
+    n_big = 25
+    ny = rows[("new", "york")]
+    assert ny["n_ab"] == 5
+    want = math.log((5 / n_big) / ((5 / n_tok) * (5 / n_tok)))
+    assert abs(ny["pmi"] - round(want, 6)) < 1e-9
+    # 'the cat' PMI < 'new york' PMI ('the' appears 10x)
+    assert rows[("the", "cat")]["pmi"] < ny["pmi"]
