@@ -855,6 +855,30 @@ FROM (
 """
 
 
+_SAMPLE_FRACS = {"en": 0.3, "de": 0.8}
+
+
+def _sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py):
+    downsample en to 30%, de to 80%, pass everything else."""
+    from pisa_spark.operators.sampling import sample_stratified
+
+    return sample_stratified(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "lang", _SAMPLE_FRACS,
+    )
+
+
+_SQL_SAMPLE = """
+SELECT doc_id, lang
+FROM documents
+WHERE ((CAST('0x'||substring(md5('samp:'||doc_id),1,8) AS BIGINT) % 1000000)
+       + 1000000) % 1000000
+      < CASE lang WHEN 'en' THEN 300000 WHEN 'de' THEN 800000
+                  ELSE 1000000 END
+"""
+
+
 _SUGGEST_PREFIXES = ["da", "qu", "th", "zzz"]
 
 
@@ -1824,6 +1848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_estimates": _cms_gate,
         # autocomplete: top vocabulary terms per prefix
         "suggest_prefix_topk": _suggest_gate,
+        # deterministic stratified sampling (data mixing)
+        "curation_sample_stratified": _sample_gate,
         # PMI collocations over adjacent bigrams
         "text_collocations": _collocations_gate,
         # faceted search: per-query facet counts over the result set
@@ -2179,6 +2205,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "sketch_hll_distinct": _hll_sql(),
         "sketch_cms_estimates": _cms_sql(),
         "suggest_prefix_topk": _suggest_sql(),
+        "curation_sample_stratified": _SQL_SAMPLE,
         "text_collocations": _SQL_COLLOCATIONS,
         "search_facets": f"""
 {_SQL_BASE},

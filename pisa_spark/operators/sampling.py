@@ -1,0 +1,60 @@
+"""Deterministic sampling — the data-mixing operator of a training-
+data pipeline (downsample over-represented strata, keep rare ones):
+every keep/drop decision is a pure function of the row's key, so
+samples are reproducible across runs, engines and partitionings
+(unlike DataFrame.sample, whose output depends on partition layout),
+and the DuckDB oracle replays them row for row.
+
+Keep rule: row survives iff pmod(hash64('samp:' || key), 10^6) <
+round(fraction * 10^6) for its stratum — an exact-integer threshold
+on a uniform deterministic draw. A row's fate never changes when data
+around it moves, which also makes the sample STABLE under corpus
+growth: new rows get sampled, old decisions stand (the property
+incremental pipelines need).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pisa_spark.dedup.dedup import hash64
+
+_DEN = 1_000_000
+
+
+def sample_draw(key: Column) -> Column:
+    """The uniform integer draw in [0, 10^6) for a key."""
+    return F.pmod(hash64(key.cast("string"), "samp:"), F.lit(_DEN))
+
+
+def sample_fraction(
+    df: DataFrame, fraction: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows by key."""
+    return df.filter(sample_draw(F.col(key_col)) < int(round(fraction * _DEN)))
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    default: float = 1.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ``fractions[stratum]``
+    of each stratum's rows (``default`` for unlisted strata) — e.g.
+    {'en': 0.3} downsamples English to 30% while every other language
+    passes through. Pure filter: no shuffle, pipelines into whatever
+    follows."""
+    thresh = None
+    for val, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == val
+        t = F.lit(int(round(frac * _DEN)))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (
+        F.lit(int(round(default * _DEN)))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(round(default * _DEN))))
+    )
+    return df.filter(sample_draw(F.col(key_col)) < thresh)

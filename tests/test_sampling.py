@@ -1,0 +1,46 @@
+"""Deterministic sampling: reproducibility, stability under growth,
+and per-stratum fraction accuracy."""
+
+from pyspark.sql import functions as F
+
+from pisa_spark.operators.sampling import sample_fraction, sample_stratified
+
+
+def _docs(spark, n=4000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+
+
+def test_sample_fraction_accuracy_and_determinism(spark):
+    df = _docs(spark)
+    a = {r["doc_id"] for r in sample_fraction(df, 0.25).collect()}
+    b = {r["doc_id"] for r in sample_fraction(df.repartition(13), 0.25).collect()}
+    assert a == b  # partition-layout independent
+    assert abs(len(a) / 4000 - 0.25) < 0.03
+
+
+def test_sample_stable_under_growth(spark):
+    # old rows' decisions never change when new rows arrive
+    small = {r["doc_id"] for r in sample_fraction(_docs(spark, 1000), 0.5).collect()}
+    big = {r["doc_id"] for r in sample_fraction(_docs(spark, 4000), 0.5).collect()}
+    assert small == {d for d in big if d < 1000}
+
+
+def test_sample_stratified_fractions(spark):
+    df = _docs(spark)
+    kept = sample_stratified(df, "lang", {"en": 0.1, "de": 0.9}).collect()
+    en = sum(1 for r in kept if r["lang"] == "en")
+    de = sum(1 for r in kept if r["lang"] == "de")
+    n_en = 4000 // 3 + 1
+    n_de = 4000 - n_en
+    assert abs(en / n_en - 0.1) < 0.04
+    assert abs(de / n_de - 0.9) < 0.04
+
+
+def test_sample_stratified_default_passthrough(spark):
+    df = _docs(spark, 300)
+    kept = sample_stratified(df, "lang", {"en": 0.0}).collect()
+    assert all(r["lang"] == "de" for r in kept)
+    assert len(kept) == 300 - (300 // 3)
