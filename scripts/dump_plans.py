@@ -97,6 +97,33 @@ def main() -> None:
         " row would cross the shuffle"
     )
 
+    from pisa_spark.functions.sketches import hll_distinct
+    from pisa_spark.operators.sampling import sample_stratified
+
+    hll_plan = fmt(
+        hll_distinct(
+            docs.select("lang", F.explode(
+                tokens_col(F.col("text"))).alias("term")),
+            "term", by=["lang"],
+        )
+    )
+    assert hll_plan.count("HashAggregate") >= 4, (
+        "HLL lost its partial aggregation (map-side register combine)"
+    )
+    for bad in ("InPandas", "BatchEvalPython"):
+        assert bad not in hll_plan, f"HLL plan grew a {bad}"
+
+    samp_plan = fmt(
+        sample_stratified(
+            docs.select("doc_id", "lang"), "lang", {"en": 0.3}
+        )
+    )
+    for bad in ("Exchange", "InPandas", "BatchEvalPython"):
+        assert bad not in samp_plan, (
+            f"stratified sample plan grew a {bad}: sampling must stay"
+            " a shuffle-free codegen filter"
+        )
+
     inter = interactions_from_events(spark, sf)
     neg_plan = fmt(negative_samples(inter, n_per_user=5))
     assert "CartesianProduct" not in neg_plan and "NestedLoop" not in neg_plan, (
@@ -281,6 +308,30 @@ The dump script asserts the group-limit is present.
 
 ```
 {url_plan}
+```
+
+## 12. HyperLogLog: map-side register combine, no Python
+
+Registers are per-(group, bucket) integer maxes, so both
+aggregations (register max, then estimate) must show a partial
+`HashAggregate` before their Exchange — the shuffle carries at most
+m=512 registers per group per map task, regardless of corpus size —
+and the whole sketch is codegen expressions (no `MapInPandas`, no
+`BatchEvalPython`; the dump script asserts both properties).
+
+```
+{hll_plan}
+```
+
+## 13. Deterministic stratified sampling: a shuffle-free codegen filter
+
+Keep/drop is a pure function of the row key, so the right plan is
+scan -> Filter -> Project with zero Exchanges and zero Python (the
+dump script asserts both) — at 100 TB the sampler pipelines into
+whatever consumes it, adding no stage boundary.
+
+```
+{samp_plan}
 ```
 """
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
