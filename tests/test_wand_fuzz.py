@@ -58,7 +58,8 @@ def make_blocks(rng, n_docs, vocab, n_buckets=2):
     return pd.DataFrame(rows), tf, doc_len
 
 
-def naive_topk(tf, doc_len, terms, conjunctive, k, n_docs, avgdl):
+def naive_topk(tf, doc_len, terms, conjunctive, k, n_docs, avgdl,
+               negated=()):
     terms = list(dict.fromkeys(terms))
     scores = np.zeros(tf.shape[0])
     matched = np.zeros(tf.shape[0], dtype=int)
@@ -77,6 +78,8 @@ def naive_topk(tf, doc_len, terms, conjunctive, k, n_docs, avgdl):
         )
         matched += has
     ok = matched == len(terms) if conjunctive else matched > 0
+    for ti in negated:  # NOT semantics: any match in a negated term kills
+        ok &= tf[:, ti] == 0
     # round before ranking: naive vs kernel float summation can differ
     # at ~1e-16, which must not flip tie ordering in the comparison
     cand = sorted(
@@ -122,19 +125,25 @@ def test_wand_kernel_exact_under_fuzz(seed, factory):
         terms = [vocab[rng.integers(0, len(vocab))] for _ in range(nt)]
         if rng.random() < 0.3:
             terms.append(terms[0])  # duplicate term
-        queries.append(
-            {
-                "query_id": qid,
-                "terms": [t for t in terms if t in term_dfs] or [vocab[0]],
-                "conjunctive": bool(rng.random() < 0.4),
-            }
-        )
+        q = {
+            "query_id": qid,
+            "terms": [t for t in terms if t in term_dfs] or [vocab[0]],
+            "conjunctive": bool(rng.random() < 0.4),
+        }
+        if rng.random() < 0.5:  # negated terms interact with pruning,
+            # thresholds, freezing and the dead set — fuzz them too
+            q["negated"] = [
+                vocab[rng.integers(0, len(vocab))]
+                for _ in range(rng.integers(1, 3))
+            ]
+        queries.append(q)
 
     expected = {
         q["query_id"]: naive_topk(
             tf, doc_len,
             [vocab.index(t) for t in q["terms"]],
             q["conjunctive"], k, n_total, avgdl,
+            negated=[vocab.index(t) for t in q.get("negated", [])],
         )
         for q in queries
     }
