@@ -389,7 +389,12 @@ def read_table(
         return spark.read.parquet(*[os.path.join(tp, d) for d in m["dirs"]])
     if not frames:
         raise FileNotFoundError(f"table {name} has no live data")
-    return reduce(lambda a, b: a.unionByName(b), frames)
+    # allowMissingColumns = add-column schema evolution (Iceberg's
+    # compatible evolution): a generation written after a column was
+    # added unions with older generations, which read NULL for it
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
 
 
 def compact_table(

@@ -96,3 +96,25 @@ def test_engine_time_travel_serves_old_index(spark, sf_dir, tmp_path):
         r["doc_id"] >= 50
         for r in eng_now.search("data the", k=10, two_phase=False).collect()
     )
+
+
+def test_partitioned_schema_evolution_add_column(spark, tmp_path):
+    """Add-column evolution (Iceberg-compatible): a partition rewritten
+    with an extra column unions with older generations, which read
+    NULL for it; time travel still serves the old schema."""
+    root = str(tmp_path)
+    catalog.write_table(
+        spark.createDataFrame([(0, 1), (1, 2)], "b int, x int"),
+        root, "p", partition_by=["b"],
+    )
+    s1 = catalog.snapshots(root, "p")[-1]["seq"]
+    catalog.write_table(
+        spark.createDataFrame([(1, 20, "en")], "b int, x int, lang string"),
+        root, "p", partition_by=["b"],
+    )
+    cur = {r["b"]: (r["x"], r["lang"])
+           for r in catalog.read_table(spark, root, "p").collect()}
+    assert cur == {0: (1, None), 1: (20, "en")}
+    old = catalog.read_table(spark, root, "p", as_of=s1)
+    assert "lang" not in old.columns
+    assert {r["b"]: r["x"] for r in old.collect()} == {0: 1, 1: 2}
