@@ -855,6 +855,117 @@ FROM (
 """
 
 
+def _search_eval_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation of the engine's own run: BM25 top-20 for the
+    fixed queries, judged against deterministic pseudo-qrels (a doc is
+    relevant iff it contains ALL the query's terms — the conjunctive
+    match set), through the reference-semantics metrics operator
+    (Recall/NDCG/MRR/Precision, operators/snapshots.topn_metrics)."""
+    from pisa_spark.operators.snapshots import topn_metrics
+
+    run = _bm25_df(spark, sf_dir, _OR_QUERIES, conjunctive=False, k=20)
+    tf = _tf_full(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in _OR_QUERIES for t in sorted(set(terms))],
+        "query_id int, term string",
+    )
+    qn = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    qrels = (
+        tf.join(qdf, "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("term").alias("m"))
+        .join(qn, "query_id")
+        .filter(F.col("m") == F.col("n_terms"))
+        .select(
+            F.col("query_id").alias("user_id"),
+            F.col("doc_id").alias("item_id"),
+        )
+    )
+    return topn_metrics(
+        run.select(
+            F.col("query_id").alias("user_id"),
+            "rank",
+            F.col("doc_id").alias("item_id"),
+        ),
+        qrels,
+        ks=[5, 10],
+    )
+
+
+def _search_eval_sql(k_run: int = 20) -> str:
+    qv = _values_clause(_OR_QUERIES)
+    per_k = []
+    for k in (5, 10):
+        per_k.append(f"""
+SELECT 'recall' AS metric, {k} AS k, (SELECT round(avg(n_hits * 1.0 / n_gt), 4)
+  FROM base{k}) AS value
+UNION ALL
+SELECT 'precision', {k}, (SELECT round(avg(n_hits / {float(k)}), 4) FROM base{k})
+UNION ALL
+SELECT 'ndcg', {k}, (SELECT round(avg(dcg / idcg), 4) FROM base{k})
+UNION ALL
+SELECT 'mrr', {k}, (SELECT round(avg(CASE WHEN first_hit IS NOT NULL
+  THEN 1.0 / first_hit ELSE 0.0 END), 4) FROM base{k})""")
+        # base{k} CTE defined below
+    bases = ",\n".join(f"""
+hits{k} AS (
+  SELECT r.user_id, r.rank FROM run r
+  JOIN gt ON gt.user_id = r.user_id AND gt.item_id = r.item_id
+  WHERE r.rank <= {k}
+),
+pu{k} AS (
+  SELECT user_id, count(*) AS n_hits,
+         sum(1.0 / log2(rank + 1)) AS dcg,
+         min(rank) AS first_hit
+  FROM hits{k} GROUP BY user_id
+),
+base{k} AS (
+  SELECT g.user_id, g.n_gt,
+         COALESCE(p.n_hits, 0) AS n_hits,
+         COALESCE(p.dcg, 0.0) AS dcg,
+         p.first_hit,
+         list_sum(list_transform(range(1, least(g.n_gt, {k}) + 1),
+                                 j -> 1.0 / log2(j + 1))) AS idcg
+  FROM gt_sizes g LEFT JOIN pu{k} p USING (user_id)
+)""" for k in (5, 10))
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {qv}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+scored AS (
+  SELECT q.query_id, tf.doc_id, sum({_BM25_TERM_EXPR}) AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+run AS (
+  SELECT query_id AS user_id, doc_id AS item_id, rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM scored
+  ) WHERE rank <= {k_run}
+),
+gt AS (
+  SELECT m.query_id AS user_id, m.doc_id AS item_id
+  FROM (
+    SELECT q.query_id, tf.doc_id, count(DISTINCT q.term) AS m
+    FROM tf JOIN q USING (term)
+    GROUP BY q.query_id, tf.doc_id
+  ) m JOIN qn ON qn.query_id = m.query_id
+  WHERE m.m = qn.n_terms
+),
+gt_sizes AS (
+  SELECT user_id, count(DISTINCT item_id) AS n_gt FROM gt GROUP BY user_id
+),
+{bases}
+{" UNION ALL ".join(per_k)}
+"""
+
+
 _SAMPLE_FRACS = {"en": 0.3, "de": 0.8}
 
 
@@ -1850,6 +1961,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_prefix_topk": _suggest_gate,
         # deterministic stratified sampling (data mixing)
         "curation_sample_stratified": _sample_gate,
+        # IR eval of the engine's own run vs pseudo-qrels
+        "search_eval_metrics": _search_eval_gate,
         # PMI collocations over adjacent bigrams
         "text_collocations": _collocations_gate,
         # faceted search: per-query facet counts over the result set
@@ -2206,6 +2319,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "sketch_cms_estimates": _cms_sql(),
         "suggest_prefix_topk": _suggest_sql(),
         "curation_sample_stratified": _SQL_SAMPLE,
+        "search_eval_metrics": _search_eval_sql(),
         "text_collocations": _SQL_COLLOCATIONS,
         "search_facets": f"""
 {_SQL_BASE},
