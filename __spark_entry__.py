@@ -855,6 +855,72 @@ FROM (
 """
 
 
+# proximity gate queries: (query_id, [anchor, others...], window)
+_NEAR_QUERIES = [
+    (40, ["data", "join"], 6),
+    (41, ["the", "data"], 3),
+    (42, ["spark", "query", "scan"], 10),
+    (43, ["data", "zzz_absent"], 8),
+]
+
+
+def _bm25_near(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Proximity (anchor-window) top-k over the positional index."""
+    from pisa_spark.query.bm25 import bm25_near_topk
+
+    postings, n_docs, avgdl = _built_pos_index(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms, "window": w}
+        for qid, terms, w in _NEAR_QUERIES
+    ]
+    out = bm25_near_topk(postings, queries, n_docs, avgdl, k=k)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_near_sql(k: int = 10) -> str:
+    qv = ", ".join(
+        f"({qid}, {terms!r}::VARCHAR[], {w})" for qid, terms, w in _NEAR_QUERIES
+    )
+    return f"""
+{_SQL_BASE},
+q(query_id, terms, w) AS (VALUES {qv}),
+matched AS (
+  -- anchor-window semantics: some occurrence i of terms[1] has every
+  -- other term within +-w (mirrors query/bm25._near_match_docs)
+  SELECT q.query_id, t.doc_id
+  FROM toks t CROSS JOIN q
+  WHERE len(list_filter(range(1, len(t.tokens) + 1),
+        i -> t.tokens[i] = q.terms[1]
+             AND len(list_filter(range(2, len(q.terms) + 1), kk ->
+                   q.terms[kk] = q.terms[1]
+                   OR len(list_filter(
+                        range(greatest(i - q.w, 1),
+                              least(i + q.w, len(t.tokens)) + 1),
+                        p -> t.tokens[p] = q.terms[kk])) > 0))
+                 = len(q.terms) - 1)) > 0
+),
+qterms AS (SELECT query_id, unnest(list_distinct(terms)) AS term FROM q),
+scored AS (
+  SELECT m.query_id, m.doc_id, sum({_BM25_TERM_EXPR}) AS raw_score
+  FROM matched m
+  JOIN qterms qt ON qt.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dfreq ON dfreq.term = qt.term
+  JOIN doclen ON doclen.doc_id = m.doc_id
+  CROSS JOIN stats
+  GROUP BY m.query_id, m.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _search_eval_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IR evaluation of the engine's own run: BM25 top-20 for the
     fixed queries, judged against deterministic pseudo-qrels (a doc is
@@ -1963,6 +2029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_sample_stratified": _sample_gate,
         # IR eval of the engine's own run vs pseudo-qrels
         "search_eval_metrics": _search_eval_gate,
+        # proximity (anchor-window) queries over the positional index
+        "bm25_near_topk": lambda spark, sf: _bm25_near(spark, sf),
         # PMI collocations over adjacent bigrams
         "text_collocations": _collocations_gate,
         # faceted search: per-query facet counts over the result set
@@ -2320,6 +2388,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "suggest_prefix_topk": _suggest_sql(),
         "curation_sample_stratified": _SQL_SAMPLE,
         "search_eval_metrics": _search_eval_sql(),
+        "bm25_near_topk": _bm25_near_sql(),
         "text_collocations": _SQL_COLLOCATIONS,
         "search_facets": f"""
 {_SQL_BASE},

@@ -294,6 +294,31 @@ class SearchEngine:
             pre_arranged=self._pre_arranged,
         )
 
+    def search_near(
+        self, query, window: int = 8, k: int = 10
+    ) -> DataFrame:
+        """Proximity search: docs where every query term occurs within
+        ``window`` positions of one occurrence of the first term
+        (anchor semantics, any order). Requires a positional index."""
+        if "poss" not in self.postings.columns:
+            raise ValueError(
+                "proximity search needs a positional index — build with"
+                " with_positions=True"
+            )
+        from pisa_spark.query.bm25 import bm25_near_topk
+
+        terms = parse_query(query)["terms"] if isinstance(query, str) \
+            else list(query["terms"])
+        return bm25_near_topk(
+            self.postings,
+            [{"query_id": 0, "terms": terms}],
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            k=k,
+            window=window,
+            pre_arranged=self._pre_arranged,
+        )
+
     def search_fuzzy(
         self, query, k: int = 10, max_dist: int = 1, **search_kwargs
     ) -> DataFrame:

@@ -923,6 +923,45 @@ def _phrase_match_docs(
     return cand[np.unique(valid >> 32)]
 
 
+def _near_match_docs(
+    per_term: dict, tokens: list[str], cand: np.ndarray, window: int
+) -> np.ndarray:
+    """Docs in ``cand`` where every query term occurs within ``window``
+    positions of some SINGLE occurrence of the FIRST term (the anchor)
+    — pinned proximity semantics: one anchor occurrence must have all
+    other terms in its ±window neighborhood, any order.
+
+    Vectorized like the phrase verifier: occurrence keys
+    local_doc * 2^32 + pos; for each anchor occurrence, each other
+    term's sorted key array is range-probed with two searchsorted
+    calls (lower bound clamped to the doc's key base so a window never
+    leaks into the previous doc)."""
+    shift = 1 << 32
+    keys: dict[str, np.ndarray] = {}
+    for t in dict.fromkeys(tokens):
+        docs, tfs, poss = per_term[t]
+        occ = np.repeat(docs, tfs)
+        keep = np.isin(occ, cand)
+        local = np.searchsorted(cand, occ[keep])
+        keys[t] = np.sort(local * shift + poss[keep])
+    anchor = keys[tokens[0]]
+    if anchor.size == 0:
+        return np.empty(0, np.int64)
+    ok = np.ones(anchor.size, bool)
+    base = (anchor // shift) * shift
+    lo = np.maximum(anchor - window, base)
+    hi = anchor + window
+    for t in dict.fromkeys(tokens[1:]):
+        if t == tokens[0]:
+            continue  # the anchor occurrence satisfies its own term
+        o = keys[t]
+        ok &= np.searchsorted(o, hi, "right") > np.searchsorted(o, lo, "left")
+    good = anchor[ok]
+    if good.size == 0:
+        return np.empty(0, np.int64)
+    return cand[np.unique(good // shift)]
+
+
 def phrase_kernel(
     phrases: list[dict],
     n_docs: float,
@@ -990,11 +1029,15 @@ def phrase_kernel(
                         break
                 if cand is None or cand.size == 0:
                     continue
-                matched = _phrase_match_docs(
-                    {t: (decoded[t][0], decoded[t][1], decoded[t][3])
-                     for t in distinct},
-                    tokens,
-                    cand,
+                occs = {
+                    t: (decoded[t][0], decoded[t][1], decoded[t][3])
+                    for t in distinct
+                }
+                w = int(q.get("window", 0))
+                matched = (
+                    _near_match_docs(occs, tokens, cand, w)
+                    if w > 0
+                    else _phrase_match_docs(occs, tokens, cand)
                 )
                 if matched.size == 0:
                     continue
@@ -1051,6 +1094,36 @@ def bm25_phrase_topk(
     )
     partial = arranged.mapInPandas(
         phrase_kernel(phrases, float(n_docs), float(avgdl), k, term_dfs),
+        schema=TOPK_RESULT_SCHEMA,
+    )
+    return topk_window(partial, k)
+
+
+def bm25_near_topk(
+    postings: DataFrame,
+    queries: list[dict],
+    n_docs: float,
+    avgdl: float,
+    k: int = 10,
+    window: int = 8,
+    term_dfs: dict[str, int] | None = None,
+    pre_arranged: bool = False,
+) -> DataFrame:
+    """Proximity top-k over the positional index: docs where every
+    query term occurs within ``window`` positions of one occurrence of
+    the FIRST term (anchor semantics, any order — the well-defined
+    slop rendering; exact phrase is the window->adjacent,
+    order-pinned special case). Ranked by the BM25 score of the
+    distinct terms, like phrase queries. Shares the phrase kernel's
+    rarest-first candidate intersection with block-range skipping, so
+    a rare anchor bounds how much of a stop-word neighbor decodes."""
+    qs = [dict(q, window=int(q.get("window", window))) for q in queries]
+    all_terms = sorted({t for q in qs for t in q["terms"]})
+    arranged, term_dfs = _arrange_pruned(
+        postings, all_terms, term_dfs, pre_arranged
+    )
+    partial = arranged.mapInPandas(
+        phrase_kernel(qs, float(n_docs), float(avgdl), k, term_dfs),
         schema=TOPK_RESULT_SCHEMA,
     )
     return topk_window(partial, k)

@@ -250,3 +250,93 @@ def test_phrase_kernel_fuzz(seed):
         )
         for (_, sg), (_, se) in zip(cand, expect):
             assert abs(sg - se) < 1e-9
+
+
+def naive_near_topk(tok, terms, window, k=10):
+    """Anchor-window proximity reference: doc matches iff some
+    occurrence of terms[0] has every other term within +-window."""
+    n_docs = len(tok)
+    avgdl = sum(len(v) for v in tok.values()) / n_docs
+    df = collections.Counter()
+    for ts in tok.values():
+        df.update(set(ts))
+    distinct = list(dict.fromkeys(terms))
+    out = []
+    for d, ts in sorted(tok.items()):
+        pos = collections.defaultdict(list)
+        for i, t in enumerate(ts):
+            pos[t].append(i)
+        hit = False
+        for p in pos.get(terms[0], []):
+            if all(
+                t == terms[0]
+                or any(abs(q - p) <= window for q in pos.get(t, []))
+                for t in distinct
+            ):
+                hit = True
+                break
+        if not hit:
+            continue
+        c = collections.Counter(ts)
+        s = 0.0
+        for t in distinct:
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * c[t] * (BM25_K1 + 1) / (
+                c[t] + BM25_K1 * (1 - BM25_B + BM25_B * len(ts) / avgdl)
+            )
+        out.append((d, s))
+    out.sort(key=lambda x: (-round(x[1], 9), x[0]))
+    return out[:k]
+
+
+def test_near_topk_matches_naive(pos_index, tok):
+    from pisa_spark.query.bm25 import bm25_near_topk
+
+    postings, n_docs, avgdl = pos_index
+    docs = sorted(tok)
+    ts0, ts1 = tok[docs[0]], tok[docs[len(docs) // 2]]
+    cases = [
+        ([ts0[0], ts0[5]], 8),    # same doc, within window
+        ([ts0[0], ts0[5]], 2),    # likely out of window in some docs
+        ([ts1[3], ts1[4], ts1[6]], 4),
+        (["zzz", "absent"], 8),
+    ]
+    queries = [
+        {"query_id": i, "terms": t, "window": w}
+        for i, (t, w) in enumerate(cases)
+    ]
+    got = {}
+    for r in bm25_near_topk(
+        postings, queries, n_docs, avgdl, k=10
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 6))
+        )
+    for i, (terms, w) in enumerate(cases):
+        want = [
+            (d, round(s, 6)) for d, s in naive_near_topk(tok, terms, w)
+        ]
+        assert sorted(got.get(i, [])) == sorted(want), (i, terms, w)
+
+
+def test_near_window_generalizes_phrase(pos_index, tok):
+    """Every exact-phrase match is a near-match at window >= len-1."""
+    from pisa_spark.query.bm25 import bm25_near_topk
+
+    postings, n_docs, avgdl = pos_index
+    phrase = tok[sorted(tok)[0]][0:2]
+    ph = {
+        r["doc_id"]
+        for r in bm25_phrase_topk(
+            postings, [{"query_id": 0, "terms": phrase}],
+            n_docs, avgdl, k=100,
+        ).collect()
+    }
+    near = {
+        r["doc_id"]
+        for r in bm25_near_topk(
+            postings, [{"query_id": 0, "terms": phrase, "window": 1}],
+            n_docs, avgdl, k=100,
+        ).collect()
+    }
+    assert ph <= near
