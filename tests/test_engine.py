@@ -1,6 +1,7 @@
 """SearchEngine facade: build/load/search parity with the direct API."""
 
 import pytest
+from pyspark.sql import functions as F
 
 
 from pisa_spark.engine import SearchEngine
@@ -171,3 +172,26 @@ def test_search_scored_mixed_conjunctive_rejected(eng):
 
     with _pytest.raises(ValueError):
         eng.search_scored(["data join", "+data join"], scorer="qld")
+
+
+def test_search_negation_string_syntax(eng, spark, sf_dir):
+    """'-term' through the facade: no result doc contains the negated
+    term; scores equal the positive-terms-only query on the same docs."""
+    from pisa_spark.corpus import tokens_col
+
+    rows = eng.search("data join -the", k=10, two_phase=False).collect()
+    assert rows
+    docs_with_the = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", tokens_col(F.col("text")).alias("t"))
+        .filter(F.array_contains("t", "the"))
+        .collect()
+    }
+    assert all(r["doc_id"] not in docs_with_the for r in rows)
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in eng.search("data join", k=500, two_phase=False).collect()
+    }
+    for r in rows:
+        assert abs(plain[r["doc_id"]] - r["score"]) < 1e-9

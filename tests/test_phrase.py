@@ -140,11 +140,21 @@ def test_persistent_positional_index_and_facade(spark, sf_dir, tmp_path, tok):
     got = sorted(((r["rank"], r["doc_id"]) for r in rows))
     assert [d for _, d in got] == [d for d, _ in expect]
 
+    # proximity through the same facade/index
+    near_terms = [phrase[0], phrase[1]]
+    near_rows = eng.search_near(" ".join(near_terms), window=1, k=10).collect()
+    want_near = naive_near_topk(tok, near_terms, 1, k=10)
+    assert sorted(r["doc_id"] for r in near_rows) == sorted(
+        d for d, _ in want_near
+    )
+
     plain = SearchEngine.build(
         spark, sf_dir, str(tmp_path / "plain_idx"), n_buckets=8, wave_size=8
     )
     with pytest.raises(ValueError, match="positional"):
         plain.search_phrase("order fast")
+    with pytest.raises(ValueError, match="positional"):
+        plain.search_near("order fast")
 
 
 # ---------------------------------------------------------------------------
