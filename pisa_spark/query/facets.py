@@ -31,8 +31,10 @@ def facet_counts(
     """
     if not facet_cols:
         raise ValueError("facet_cols must name at least one column")
-    j = results.select("query_id", "doc_id").join(
-        docs_meta.select("doc_id", *facet_cols), "doc_id"
+    # the results side is |queries| x k rows — broadcast it so the
+    # doc-metadata table is a pure probe-side scan, never shuffled
+    j = docs_meta.select("doc_id", *facet_cols).join(
+        F.broadcast(results.select("query_id", "doc_id")), "doc_id"
     )
     melted = j.select(
         "query_id",
