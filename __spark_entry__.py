@@ -855,6 +855,66 @@ FROM (
 """
 
 
+# phrase+loose-terms gate queries: (query_id, phrase, extra terms)
+_PHRASE_MIX_QUERIES = [
+    (50, ["order", "fast"], ["data"]),
+    (51, ["order", "fast"], ["the", "zzz_absent"]),
+]
+
+
+def _bm25_mixed(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Mixed phrase+terms queries over the positional index."""
+    from pisa_spark.query.bm25 import bm25_mixed_topk
+
+    postings, n_docs, avgdl = _built_pos_index(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": phrase, "extra_terms": extra}
+        for qid, phrase, extra in _PHRASE_MIX_QUERIES
+    ]
+    out = bm25_mixed_topk(postings, queries, n_docs, avgdl, k=k)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_mixed_sql(k: int = 10) -> str:
+    qv = ", ".join(
+        f"({qid}, {p!r}::VARCHAR[], {e!r}::VARCHAR[])"
+        for qid, p, e in _PHRASE_MIX_QUERIES
+    )
+    return f"""
+{_SQL_BASE},
+q(query_id, p, extra) AS (VALUES {qv}),
+matched AS (
+  SELECT q.query_id, t.doc_id
+  FROM toks t CROSS JOIN q
+  WHERE len(t.tokens) >= len(q.p)
+    AND len(list_filter(range(1, len(t.tokens) - len(q.p) + 2),
+            i -> t.tokens[i:i+len(q.p)-1] = q.p)) > 0
+),
+qterms AS (
+  SELECT query_id, unnest(list_distinct(list_concat(p, extra))) AS term
+  FROM q
+),
+scored AS (
+  SELECT m.query_id, m.doc_id, sum({_BM25_TERM_EXPR}) AS raw_score
+  FROM matched m
+  JOIN qterms qt ON qt.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dfreq ON dfreq.term = qt.term
+  JOIN doclen ON doclen.doc_id = m.doc_id
+  CROSS JOIN stats
+  GROUP BY m.query_id, m.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 # proximity gate queries: (query_id, [anchor, others...], window)
 _NEAR_QUERIES = [
     (40, ["data", "join"], 6),
@@ -2031,6 +2091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_eval_metrics": _search_eval_gate,
         # proximity (anchor-window) queries over the positional index
         "bm25_near_topk": lambda spark, sf: _bm25_near(spark, sf),
+        # mixed quoted-phrase + loose-term queries
+        "bm25_mixed_query_topk": lambda spark, sf: _bm25_mixed(spark, sf),
         # PMI collocations over adjacent bigrams
         "text_collocations": _collocations_gate,
         # faceted search: per-query facet counts over the result set
@@ -2389,6 +2451,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "curation_sample_stratified": _SQL_SAMPLE,
         "search_eval_metrics": _search_eval_sql(),
         "bm25_near_topk": _bm25_near_sql(),
+        "bm25_mixed_query_topk": _bm25_mixed_sql(),
         "text_collocations": _SQL_COLLOCATIONS,
         "search_facets": f"""
 {_SQL_BASE},

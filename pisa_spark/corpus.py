@@ -188,12 +188,21 @@ def parse_query(q: str) -> dict:
     Syntax: whitespace-separated lowercase terms; a leading '+' on any
     term makes the whole query conjunctive (AND); a leading '-'
     NEGATES that term (docs containing it are excluded from the
-    results — scored over the positive terms only); otherwise
-    disjunctive (OR). Tokens are normalized with the corpus tokenizer
-    rules (lowercase alnum runs), so an interior hyphen still splits
-    ('state-of-the-art' stays four positive terms)."""
+    results — scored over the positive terms only); a double-quoted
+    segment is an exact PHRASE (returned under 'phrases' as token
+    lists — docs must contain it; the engine scores phrase + loose
+    terms together); otherwise disjunctive (OR). Tokens are normalized
+    with the corpus tokenizer rules (lowercase alnum runs), so an
+    interior hyphen still splits ('state-of-the-art' stays four
+    positive terms)."""
     import re
 
+    phrases = [
+        [t for t in re.split(TOKEN_SPLIT_REGEX, seg.lower()) if t]
+        for seg in re.findall(r'"([^"]*)"', q)
+    ]
+    phrases = [p for p in phrases if p]
+    q = re.sub(r'"[^"]*"', " ", q)
     conjunctive = False
     terms: list[str] = []
     negated: list[str] = []
@@ -208,6 +217,8 @@ def parse_query(q: str) -> dict:
     out = {"terms": terms, "conjunctive": conjunctive}
     if negated:
         out["negated"] = negated
+    if phrases:
+        out["phrases"] = phrases
     return out
 
 

@@ -168,9 +168,46 @@ class SearchEngine:
         self, query, k: int = 10, two_phase: bool = True,
         algorithm: str = "wand",
     ) -> DataFrame:
-        """One query (string or dict) -> (query_id, rank, doc_id, score)."""
+        """One query (string or dict) -> (query_id, rank, doc_id, score).
+
+        A double-quoted segment makes it a MIXED query: the phrase is
+        required (positional index needed), loose terms boost the
+        score but never filter — '"order fast" data' returns docs
+        containing the exact phrase, ranked by BM25 over phrase terms
+        + 'data'."""
+        q = parse_query(query) if isinstance(query, str) else dict(query)
+        if q.get("phrases"):
+            if len(q["phrases"]) != 1:
+                raise ValueError(
+                    "one quoted phrase per query is supported"
+                )
+            if q.get("negated"):
+                raise ValueError(
+                    "negation does not combine with a quoted phrase"
+                )
+            if "poss" not in self.postings.columns:
+                raise ValueError(
+                    "phrase syntax needs a positional index — build"
+                    " with with_positions=True"
+                )
+            from pisa_spark.query.bm25 import bm25_mixed_topk
+
+            phrase = q["phrases"][0]
+            return bm25_mixed_topk(
+                self.postings,
+                [{
+                    "query_id": q.get("query_id", 0),
+                    "terms": phrase,
+                    "extra_terms": q["terms"],
+                }],
+                self.stats["n_docs"],
+                self.stats["avgdl"],
+                k=k,
+                term_dfs=self._term_dfs(set(phrase) | set(q["terms"])),
+                pre_arranged=self._pre_arranged,
+            )
         return self.search_batch(
-            [query], k=k, two_phase=two_phase, algorithm=algorithm
+            [q], k=k, two_phase=two_phase, algorithm=algorithm
         )
 
     def search_batch(

@@ -1041,7 +1041,17 @@ def phrase_kernel(
                 )
                 if matched.size == 0:
                     continue
-                # score survivors: BM25 sum over distinct terms
+                # score survivors: BM25 sum over the phrase's distinct
+                # terms plus any loose extra_terms (mixed query:
+                # "quoted phrase" other words — phrase REQUIRED, every
+                # term scored; loose terms are optional, so they
+                # decode candidate-gated and never filter)
+                extra = [
+                    t
+                    for t in dict.fromkeys(q.get("extra_terms", []))
+                    if t not in distinct and t in by_term
+                       and term_dfs.get(t)
+                ]
                 doc_parts, score_parts = [], []
                 for t in distinct:
                     docs, tfs, dls, _ = decoded[t]
@@ -1051,8 +1061,25 @@ def phrase_kernel(
                         _bm25_np(tfs[m], dls[m], float(term_dfs[t]),
                                  n_docs, avgdl)
                     )
+                for t in extra:
+                    g = by_term[t].sort_values("first_doc")
+                    fd = g["first_doc"].to_numpy(np.int64)
+                    md = g["max_doc"].to_numpy(np.int64)
+                    keep = np.searchsorted(matched, md, "right") > (
+                        np.searchsorted(matched, fd, "left")
+                    )
+                    if not keep.any():
+                        continue
+                    docs, tfs, dls = _decode_blocks_vectorized(g[keep])
+                    m = np.isin(docs, matched)
+                    doc_parts.append(docs[m])
+                    score_parts.append(
+                        _bm25_np(tfs[m], dls[m], float(term_dfs[t]),
+                                 n_docs, avgdl)
+                    )
                 docs_out, scores_out = _accumulate_topk(
-                    doc_parts, score_parts, len(distinct), True, k
+                    doc_parts, score_parts, len(distinct),
+                    conjunctive=not extra, k=k,
                 )
                 if docs_out.size:
                     out_frames.append(
@@ -1094,6 +1121,35 @@ def bm25_phrase_topk(
     )
     partial = arranged.mapInPandas(
         phrase_kernel(phrases, float(n_docs), float(avgdl), k, term_dfs),
+        schema=TOPK_RESULT_SCHEMA,
+    )
+    return topk_window(partial, k)
+
+
+def bm25_mixed_topk(
+    postings: DataFrame,
+    queries: list[dict],
+    n_docs: float,
+    avgdl: float,
+    k: int = 10,
+    term_dfs: dict[str, int] | None = None,
+    pre_arranged: bool = False,
+) -> DataFrame:
+    """Mixed phrase+terms queries ('"quoted phrase" other words'):
+    docs must contain the exact phrase; ranked by BM25 over the
+    phrase's distinct terms PLUS the loose ``extra_terms`` (optional —
+    they boost but never filter, decoding candidate-gated via block
+    ranges). queries: [{query_id, terms: [phrase tokens],
+    extra_terms: [...]}]."""
+    all_terms = sorted(
+        {t for q in queries for t in q["terms"]}
+        | {t for q in queries for t in q.get("extra_terms", [])}
+    )
+    arranged, term_dfs = _arrange_pruned(
+        postings, all_terms, term_dfs, pre_arranged
+    )
+    partial = arranged.mapInPandas(
+        phrase_kernel(queries, float(n_docs), float(avgdl), k, term_dfs),
         schema=TOPK_RESULT_SCHEMA,
     )
     return topk_window(partial, k)

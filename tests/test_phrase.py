@@ -350,3 +350,78 @@ def test_near_window_generalizes_phrase(pos_index, tok):
         ).collect()
     }
     assert ph <= near
+
+
+def test_parse_query_quoted_phrase():
+    from pisa_spark.corpus import parse_query
+
+    q = parse_query('"order fast" data -the')
+    assert q["phrases"] == [["order", "fast"]]
+    assert q["terms"] == ["data"]
+    assert q["negated"] == ["the"]
+    assert "phrases" not in parse_query("plain words")
+
+
+def naive_mixed_topk(tok, phrase, extra, k=10):
+    """Phrase required; scored over distinct(phrase + extra) — extra
+    terms boost but never filter."""
+    n_docs = len(tok)
+    avgdl = sum(len(v) for v in tok.values()) / n_docs
+    df = collections.Counter()
+    for ts in tok.values():
+        df.update(set(ts))
+    scored_terms = list(dict.fromkeys(list(phrase) + list(extra)))
+    out = []
+    m = len(phrase)
+    for d, ts in sorted(tok.items()):
+        if not any(ts[i:i + m] == phrase for i in range(len(ts) - m + 1)):
+            continue
+        c = collections.Counter(ts)
+        s = 0.0
+        for t in scored_terms:
+            if c[t] == 0 or df[t] == 0:
+                continue
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * c[t] * (BM25_K1 + 1) / (
+                c[t] + BM25_K1 * (1 - BM25_B + BM25_B * len(ts) / avgdl)
+            )
+        out.append((d, s))
+    out.sort(key=lambda x: (-round(x[1], 9), x[0]))
+    return out[:k]
+
+
+def test_mixed_query_matches_naive_and_facade(spark, sf_dir, tmp_path, tok):
+    from pisa_spark.engine import SearchEngine
+    from pisa_spark.query.bm25 import bm25_mixed_topk
+
+    phrase = pick_phrases(tok)[0]
+    extra = ["data", "the"]
+    root = str(tmp_path / "mixed_idx")
+    eng = SearchEngine.build(
+        spark, sf_dir, root, n_buckets=8, wave_size=8, with_positions=True
+    )
+    want = [(d, round(s, 6)) for d, s in naive_mixed_topk(tok, phrase, extra)]
+    got = sorted(
+        ((r["doc_id"], round(r["score"], 6))
+         for r in eng.search(f'"{" ".join(phrase)}" {" ".join(extra)}',
+                             k=10).collect()),
+        key=lambda x: x[0],
+    )
+    assert got == sorted(want)
+    # library path agrees with facade
+    lib = sorted(
+        ((r["doc_id"], round(r["score"], 6))
+         for r in bm25_mixed_topk(
+             eng.postings,
+             [{"query_id": 0, "terms": phrase, "extra_terms": extra}],
+             eng.stats["n_docs"], eng.stats["avgdl"], k=10,
+             pre_arranged=eng._pre_arranged,
+         ).collect()),
+        key=lambda x: x[0],
+    )
+    assert lib == got
+    # extra terms boost but never filter: mixed matches == phrase matches
+    ph_docs = {
+        r["doc_id"] for r in eng.search_phrase(" ".join(phrase), k=100).collect()
+    }
+    assert {d for d, _ in got} <= ph_docs
