@@ -199,7 +199,7 @@ def main() -> None:
         [{"query_id": 90, "terms": ["data", "join"], "conjunctive": False,
           "negated": ["the"]}],
         stats["n_docs"], stats["avgdl"], k=10,
-        term_dfs=None, pre_arranged=True,
+        term_dfs=term_dfs, pre_arranged=True,
     ).collect()
     timings["q_negation"] = round(time.perf_counter() - t0, 4)
 

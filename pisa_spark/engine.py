@@ -150,13 +150,21 @@ class SearchEngine:
     # -- querying ----------------------------------------------------------
 
     def _normalize(self, queries) -> list[dict]:
+        """Parse/shape queries for the term-kernel paths. Quoted
+        phrases are only ENFORCED by search() (which routes a
+        one-phrase query to the mixed kernel before normalization);
+        everywhere else the quoted tokens degrade to loose terms —
+        the pre-phrase behavior, never silently dropped."""
         out = []
         for i, q in enumerate(queries):
             if isinstance(q, str):
                 q = parse_query(q)
+            terms = list(q["terms"])
+            for p in q.get("phrases", []):
+                terms.extend(t for t in p if t not in terms)
             norm = {
                 "query_id": q.get("query_id", i),
-                "terms": q["terms"],
+                "terms": terms,
                 "conjunctive": q.get("conjunctive", False),
             }
             if q.get("negated"):
@@ -185,6 +193,13 @@ class SearchEngine:
                 raise ValueError(
                     "negation does not combine with a quoted phrase"
                 )
+            if q.get("conjunctive"):
+                raise ValueError(
+                    "'+' does not combine with a quoted phrase — loose"
+                    " terms beside a phrase boost, they never filter"
+                )
+            # two_phase/algorithm are pruning hints for the term
+            # kernels; the mixed kernel has its own candidate gating
             if "poss" not in self.postings.columns:
                 raise ValueError(
                     "phrase syntax needs a positional index — build"
@@ -328,6 +343,7 @@ class SearchEngine:
             self.stats["n_docs"],
             self.stats["avgdl"],
             k=k,
+            term_dfs=self._term_dfs(set(terms)),
             pre_arranged=self._pre_arranged,
         )
 
@@ -336,7 +352,9 @@ class SearchEngine:
     ) -> DataFrame:
         """Proximity search: docs where every query term occurs within
         ``window`` positions of one occurrence of the first term
-        (anchor semantics, any order). Requires a positional index."""
+        (anchor semantics, any order). Requires a positional index.
+        '-term' and quoted phrases don't compose with proximity and
+        are rejected explicitly (never silently ignored)."""
         if "poss" not in self.postings.columns:
             raise ValueError(
                 "proximity search needs a positional index — build with"
@@ -344,8 +362,13 @@ class SearchEngine:
             )
         from pisa_spark.query.bm25 import bm25_near_topk
 
-        terms = parse_query(query)["terms"] if isinstance(query, str) \
-            else list(query["terms"])
+        q = parse_query(query) if isinstance(query, str) else dict(query)
+        if q.get("negated") or q.get("phrases"):
+            raise ValueError(
+                "negation / quoted phrases do not combine with"
+                " proximity search"
+            )
+        terms = list(q["terms"])
         return bm25_near_topk(
             self.postings,
             [{"query_id": 0, "terms": terms}],
@@ -353,6 +376,7 @@ class SearchEngine:
             self.stats["avgdl"],
             k=k,
             window=window,
+            term_dfs=self._term_dfs(set(terms)),
             pre_arranged=self._pre_arranged,
         )
 
@@ -482,29 +506,12 @@ class SearchEngine:
         w=0.1 a prior can move a doc by at most w*ln(scale) ~ 2.76
         score units)."""
         from pisa_spark.query.bm25 import topk_window
+        from pisa_spark.query.scorers import blend_with_prior
 
         stage1 = self.search(query, k=depth, **search_kwargs)
-        blended = (
-            stage1.join(
-                priors.select("doc_id", "prior_units"), "doc_id", "left"
-            )
-            .select(
-                "query_id",
-                "doc_id",
-                (
-                    F.col("score")
-                    + F.lit(prior_weight)
-                    * F.log(
-                        (
-                            F.coalesce(F.col("prior_units"), F.lit(0))
-                            + F.lit(1)
-                        )
-                        / F.lit(float(prior_scale))
-                    )
-                ).alias("score"),
-            )
+        return topk_window(
+            blend_with_prior(stage1, priors, prior_weight, prior_scale), k
         )
-        return topk_window(blended, k)
 
     def search_faceted(
         self, query, facet_cols: list[str], k: int = 10, **search_kwargs

@@ -184,7 +184,13 @@ def collocations_pmi(
     uni = toks.select(F.explode("tokens").alias("t"))
     uc = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     n_tokens = uni.count()
-    n_bigrams = bgc.agg(F.sum("n_ab")).first()[0]
+    n_bigrams = bgc.agg(F.sum("n_ab")).first()[0] or 0
+    if n_bigrams == 0 or n_tokens == 0:
+        # no adjacent pairs anywhere (all docs < 2 tokens): empty result
+        # with the contract schema, not a driver TypeError
+        return bgc.select(
+            "a", "b", "n_ab", F.lit(0.0).alias("pmi")
+        ).limit(0)
     pmi = F.log(
         (F.col("n_ab") / F.lit(int(n_bigrams)))
         / (

@@ -106,6 +106,8 @@ def build_fielded_indexes(
         row = ftoks.agg(
             F.count(F.lit(1)), F.avg("doc_len"), F.max("doc_id")
         ).collect()[0]
+        if int(row[0]) == 0:
+            raise ValueError("build_fielded_indexes: empty corpus")
         avg = float(row[1] or 0.0)
         postings = build_postings(
             ftoks, int(row[0]), max(avg, 1e-9), n_buckets=n_buckets,

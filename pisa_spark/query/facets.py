@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 
 
 def facet_counts(
-    results: DataFrame, docs_meta: DataFrame, facet_cols: list[str]
+    results: DataFrame,
+    docs_meta: DataFrame,
+    facet_cols: list[str],
+    broadcast_results: bool = True,
 ) -> DataFrame:
     """(query_id, facet, value, n) — per-query counts of each facet
     value over the result docs.
@@ -28,14 +31,18 @@ def facet_counts(
     results: (query_id, doc_id, ...); docs_meta: (doc_id, <facet_cols>).
     NULL facet values count under value NULL (surfaced, not dropped —
     a missing language is signal in a curation UI).
+
+    broadcast_results (default True): the search-UI case is
+    |queries| x k rows, which broadcast makes the metadata table a
+    pure probe-side scan. Pass False for bulk analytics over huge
+    result exports (beyond broadcast limits) — a plain shuffle join.
     """
     if not facet_cols:
         raise ValueError("facet_cols must name at least one column")
-    # the results side is |queries| x k rows — broadcast it so the
-    # doc-metadata table is a pure probe-side scan, never shuffled
-    j = docs_meta.select("doc_id", *facet_cols).join(
-        F.broadcast(results.select("query_id", "doc_id")), "doc_id"
-    )
+    res = results.select("query_id", "doc_id")
+    if broadcast_results:
+        res = F.broadcast(res)
+    j = docs_meta.select("doc_id", *facet_cols).join(res, "doc_id")
     melted = j.select(
         "query_id",
         F.explode(

@@ -228,24 +228,36 @@ def scored_topk_dataframe(
         )
     per_doc = per_doc.select("query_id", "doc_id", "score")
     if priors is not None:
-        per_doc = (
-            per_doc.join(
-                priors.select("doc_id", "prior_units"), "doc_id", "left"
-            )
-            .select(
-                "query_id",
-                "doc_id",
-                (
-                    F.col("score")
-                    + F.lit(prior_weight)
-                    * F.log(
-                        (F.coalesce(F.col("prior_units"), F.lit(0)) + F.lit(1))
-                        / F.lit(float(prior_scale))
-                    )
-                ).alias("score"),
-            )
-        )
+        per_doc = blend_with_prior(per_doc, priors, prior_weight, prior_scale)
     return topk_window(per_doc, k)
+
+
+def blend_with_prior(
+    scored: DataFrame,
+    priors: DataFrame,
+    prior_weight: float = 0.1,
+    prior_scale: int = 10**12,
+) -> DataFrame:
+    """The one static-prior blend, shared by the exhaustive path and
+    the two-stage rerank (engine.search_reranked):
+
+        score' = score + prior_weight * ln((prior_units + 1) / scale)
+
+    Docs absent from ``priors`` take units 0 — the ln(1/scale) floor."""
+    return scored.join(
+        priors.select("doc_id", "prior_units"), "doc_id", "left"
+    ).select(
+        "query_id",
+        "doc_id",
+        (
+            F.col("score")
+            + F.lit(prior_weight)
+            * F.log(
+                (F.coalesce(F.col("prior_units"), F.lit(0)) + F.lit(1))
+                / F.lit(float(prior_scale))
+            )
+        ).alias("score"),
+    )
 
 
 _TF_RELATION_SCHEMA = "term string, doc_id long, tf int, doc_len int"
