@@ -425,3 +425,52 @@ def test_mixed_query_matches_naive_and_facade(spark, sf_dir, tmp_path, tok):
         r["doc_id"] for r in eng.search_phrase(" ".join(phrase), k=100).collect()
     }
     assert {d for d, _ in got} <= ph_docs
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_near_kernel_fuzz(seed):
+    """Proximity (anchor-window) kernel vs the naive reference over
+    random corpora/windows, with shuffled block order and mixed-term
+    queries — the same Spark-free harness as the phrase fuzz."""
+    import numpy as np
+    import pandas as pd
+
+    from pisa_spark.query.bm25 import phrase_kernel
+
+    rng = np.random.default_rng(1000 + seed)
+    vocab = list("abcd"[: rng.integers(2, 5)])
+    docs_tokens = [
+        [vocab[rng.integers(0, len(vocab))] for _ in range(rng.integers(1, 14))]
+        for _ in range(rng.integers(4, 25))
+    ]
+    blocks = _blocks_with_positions(docs_tokens)
+    n_docs = len(docs_tokens)
+    avgdl = sum(len(ts) for ts in docs_tokens) / n_docs
+    term_dfs = {t: sum(1 for ts in docs_tokens if t in ts) for t in vocab}
+    tok = {d: ts for d, ts in enumerate(docs_tokens)}
+    queries = []
+    cases = []
+    for qid in range(5):
+        m = int(rng.integers(1, 4))
+        terms = [vocab[rng.integers(0, len(vocab))] for _ in range(m)]
+        w = int(rng.integers(1, 6))
+        queries.append({"query_id": qid, "terms": terms, "window": w})
+        cases.append((terms, w))
+    k = int(rng.integers(1, 6))
+    blocks = blocks.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+    kern = phrase_kernel(queries, float(n_docs), float(avgdl), k, term_dfs)
+    frames = list(kern(iter([blocks])))
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["query_id", "doc_id", "score"]
+    )
+    for qid, (terms, w) in enumerate(cases):
+        g = out[out["query_id"] == qid]
+        cand = sorted(
+            zip(g["doc_id"], g["score"]), key=lambda x: (-round(x[1], 9), x[0])
+        )[:k]
+        expect = naive_near_topk(tok, terms, w, k=k)
+        assert [d for d, _ in cand] == [d for d, _ in expect], (
+            f"seed={seed} terms={terms} w={w} got={cand} want={expect}"
+        )
+        for (_, sg), (_, se) in zip(cand, expect):
+            assert abs(sg - se) < 1e-9
