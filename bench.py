@@ -259,6 +259,25 @@ def main() -> None:
         pos_stats["n_docs"], pos_stats["avgdl"], k=10, pre_arranged=True,
     ).collect()
     timings["phrase_of_the"] = round(time.perf_counter() - t0, 4)
+
+    # proximity and mixed queries over the same positional index
+    from pisa_spark.query.bm25 import bm25_mixed_topk, bm25_near_topk
+
+    t0 = time.perf_counter()
+    bm25_near_topk(
+        pos_postings,
+        [{"query_id": 93, "terms": ["of", "the"], "window": 6}],
+        pos_stats["n_docs"], pos_stats["avgdl"], k=10, pre_arranged=True,
+    ).collect()
+    timings["q_near"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    bm25_mixed_topk(
+        pos_postings,
+        [{"query_id": 94, "terms": ["of", "the"],
+          "extra_terms": ["data"]}],
+        pos_stats["n_docs"], pos_stats["avgdl"], k=10, pre_arranged=True,
+    ).collect()
+    timings["q_mixed"] = round(time.perf_counter() - t0, 4)
     # p50/p95 over the headline single queries only (q0..q7), so the
     # percentiles stay comparable round over round as diagnostics grow
     lat = sorted(
