@@ -118,3 +118,25 @@ def test_partitioned_schema_evolution_add_column(spark, tmp_path):
     old = catalog.read_table(spark, root, "p", as_of=s1)
     assert "lang" not in old.columns
     assert {r["b"]: r["x"] for r in old.collect()} == {0: 1, 1: 2}
+
+
+def test_engine_time_travel_cached_mode(spark, sf_dir, tmp_path):
+    """cache=True time travel: the arranged/cached serving path works
+    against a historical snapshot too."""
+    root = str(tmp_path / "idx2")
+    d_all = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    build_index_resumable(
+        spark, sf_dir, root,
+        docs_df=d_all.filter(F.col("doc_id") < 80),
+        docs_per_bucket=64, wave_size=8,
+    )
+    ts1 = time.time()
+    time.sleep(0.05)
+    build_index_resumable(
+        spark, sf_dir, root, docs_df=d_all, docs_per_bucket=64, wave_size=8
+    )
+    eng = SearchEngine.load(spark, root, cache=True, as_of_ts=ts1)
+    assert eng.stats["n_docs"] == 80
+    rows = eng.search("data the", k=10, two_phase=False).collect()
+    assert rows and all(r["doc_id"] < 80 for r in rows)
+    eng.postings.unpersist()
