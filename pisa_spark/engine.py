@@ -393,6 +393,11 @@ class SearchEngine:
         from pisa_spark.query.fuzzy import best_corrections
 
         q = parse_query(query) if isinstance(query, str) else dict(query)
+        if q.get("phrases"):
+            raise ValueError(
+                "search_fuzzy does not support quoted phrases; "
+                "use search_phrase/search_mixed with exact terms"
+            )
         vocab = self.postings.groupBy("term").agg(F.sum("n").alias("df"))
         qdf = self.spark.createDataFrame(
             [(t,) for t in set(q["terms"])], "qterm string"
@@ -405,6 +410,11 @@ class SearchEngine:
             "terms": [corr.get(t, t) for t in q["terms"]],
             "conjunctive": q.get("conjunctive", False),
         }
+        # negated terms are forwarded verbatim (NOT corrected): a user
+        # excluding '-spam' means the literal indexed term, and the
+        # batch path already supports exclusion — never silently drop.
+        if q.get("negated"):
+            corrected["negated"] = list(q["negated"])
         return self.search(corrected, k=k, **search_kwargs)
 
     def search_rm3(

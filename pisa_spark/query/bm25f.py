@@ -207,6 +207,21 @@ def bm25f_topk(
         wexpr = (
             F.when(cond, val) if wexpr is None else wexpr.when(cond, val)
         )
+    # a field absent from field_params must ERROR, not silently
+    # contribute nothing: without the otherwise, the when-chain yields
+    # NULL and F.sum skips it. raise_error is a codegen expression —
+    # no extra scan, fires only if an unlisted field value appears.
+    wexpr = wexpr.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "bm25f_topk: field value not in field_params "
+                    f"{sorted(field_params)}: "
+                ),
+                F.col("field"),
+            )
+        ).cast("double")
+    )
     contrib = ftf.withColumn("c", wexpr)
     pseudo = contrib.groupBy("doc_id", "term").agg(
         F.sum("c").alias("ptf")

@@ -154,12 +154,18 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 if not recs:
                     continue
                 urls, dates, htmls = zip(*recs)
+                # tolerant date parse: WARC 1.1 allows fractional
+                # seconds, and real crawls carry malformed values —
+                # a bad WARC-Date must yield NaT for THAT record, not
+                # fail the whole file's task (parse_warc_bytes is
+                # already tolerant of malformed records)
+                ts = pd.to_datetime(
+                    list(dates), errors="coerce", utc=True, format="ISO8601"
+                ).tz_localize(None)
                 yield pd.DataFrame(
                     {
                         "url": list(urls),
-                        "warc_ts": pd.to_datetime(
-                            list(dates), format="%Y-%m-%dT%H:%M:%SZ"
-                        ),
+                        "warc_ts": ts,
                         "html": list(htmls),
                     }
                 )

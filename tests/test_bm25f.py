@@ -119,3 +119,22 @@ def test_indexed_bm25f_matches_relation_path(spark, sf_dir):
         ).collect()
     )
     assert got == want
+
+
+def test_unlisted_field_raises_not_silently_skipped(spark):
+    """A field value absent from field_params must ERROR at execution
+    — the when-chain must not yield NULL that F.sum silently drops
+    (a custom relation with an unlisted field would otherwise
+    contribute nothing to pseudo-tf)."""
+    import pytest
+
+    rows = [(0, ["x", "t", "x", "b", "c"])]
+    toks = _toks(spark, rows)
+    ftf = fielded_tf(toks, title_len=2).withColumn(
+        "field", F.lit("anchor")  # not in default FIELD_PARAMS
+    )
+    afl = avg_field_lengths(toks, title_len=2)
+    afl["anchor"] = 1.0  # length known, weight/b NOT configured
+    q = spark.createDataFrame([(0, "x")], "query_id int, term string")
+    with pytest.raises(Exception, match="field_params"):
+        bm25f_topk(ftf, q, 1, afl, k=1).collect()

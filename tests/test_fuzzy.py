@@ -115,3 +115,38 @@ def test_suggest_prefix_orders_by_df_then_term(spark):
     got = sorted((r["prefix"], r["rank"], r["term"]) for r in rows)
     # df desc, term asc: dart (90) before database (90) — term tie-break
     assert got == [("da", 1, "dart"), ("da", 2, "database")]
+
+
+def test_engine_search_fuzzy_forwards_negation(spark, sf_dir, tmp_path_factory):
+    """search_fuzzy('dataa -spam') must EXCLUDE docs containing
+    'spam' (negated terms forwarded verbatim to the batch kernel) —
+    previously they were silently dropped, returning spam docs."""
+    from pisa_spark.engine import SearchEngine
+
+    root = str(tmp_path_factory.mktemp("fuzzy_neg") / "idx")
+    eng = SearchEngine.build(
+        spark, sf_dir, root, n_buckets=4, wave_size=8
+    ).with_corpus(sf_dir)
+    # pick a negated term that actually co-occurs with 'data'
+    plain = eng.search_fuzzy("dataa", k=10, max_dist=1).collect()
+    assert plain, "fixture must match 'data'"
+    doc0 = plain[0]["doc_id"]
+    text0 = (
+        eng._docs_df().filter(F.col("doc_id") == doc0).select("text").collect()
+    )
+    neg_term = next(
+        w for w in text0[0]["text"].lower().split() if w.isalpha()
+    )
+    got = eng.search_fuzzy(f"dataa -{neg_term}", k=10, max_dist=1)
+    assert doc0 not in {r["doc_id"] for r in got.collect()}
+
+
+def test_engine_search_fuzzy_rejects_phrases(spark, sf_dir, tmp_path_factory):
+    from pisa_spark.engine import SearchEngine
+
+    root = str(tmp_path_factory.mktemp("fuzzy_ph") / "idx")
+    eng = SearchEngine.build(spark, sf_dir, root, n_buckets=4, wave_size=8)
+    import pytest
+
+    with pytest.raises(ValueError, match="phrase"):
+        eng.search_fuzzy('"data joinn"', k=5)

@@ -100,3 +100,36 @@ def test_warc_extraction_byte_identical(spark, sf_dir, warc_dir):
     )
     assert diff == 0
     assert extracted.count() == orig.count()
+
+
+def test_read_warc_tolerates_bad_and_fractional_dates(
+    spark, sf_dir, tmp_path_factory
+):
+    """WARC 1.1 allows fractional seconds in WARC-Date, and real
+    crawls carry malformed values; either must yield NaT for THAT
+    record only — never fail the file's task."""
+    import os
+
+    from pisa_spark.sources.warc import warc_record_bytes
+
+    out = str(tmp_path_factory.mktemp("warc_dates"))
+    good = warc_record_bytes("https://g.test/1", 1514764807, b"<p>g</p>")
+    frac = warc_record_bytes(
+        "https://f.test/1", 1514764807, b"<p>f</p>"
+    ).replace(b"2018-01-01T00:00:07Z", b"2018-01-01T00:00:07.25Z")
+    bad = warc_record_bytes(
+        "https://x.test/1", 1514764807, b"<p>x</p>"
+    ).replace(b"2018-01-01T00:00:07Z", b"not-a-date-at-allZ")
+    with open(os.path.join(out, "f0.warc"), "wb") as fh:
+        fh.write(good + frac + bad)
+    rows = {r["url"]: r for r in read_warc(spark, out).collect()}
+    assert set(rows) == {
+        "https://g.test/1", "https://f.test/1", "https://x.test/1"
+    }
+    assert rows["https://g.test/1"]["warc_ts"] is not None
+    # fractional seconds parse (sub-second precision preserved)
+    ts_f = rows["https://f.test/1"]["warc_ts"]
+    assert ts_f is not None and ts_f.microsecond == 250000
+    # malformed date -> NaT for that record, html still delivered
+    assert rows["https://x.test/1"]["warc_ts"] is None
+    assert bytes(rows["https://x.test/1"]["html"]) == b"<p>x</p>"
