@@ -72,12 +72,14 @@ from pisa_spark.operators.sessions import (  # noqa: E402
     trend,
 )
 from pisa_spark.operators.snapshots import (  # noqa: E402
+    groups_by_activity,
     interactions_from_events,
     per_snapshot_recall,
     popularity_topk,
     seen_sets,
     split_blocks,
     topn_metrics,
+    topn_metrics_grouped,
 )
 from pisa_spark.plans.relational import (  # noqa: E402
     pricing_summary,
@@ -2054,6 +2056,8 @@ _GATE_ORDER = [
     "fuzzy_corrections",
     "ann_ivf_topk",
     "ann_ivf_recall",
+    # -- new in round 4 (r3 verdict item #2) --
+    "ref_group_metrics",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -2095,8 +2099,8 @@ _GATE_ORDER = [
     "graph_pagerank",
     "ann_lsh_topk",
     "sketch_hll_distinct",
-    "curation_sample_stratified",
     # ---- window boundary (~50): below here = green r3, pytest-covered ----
+    "curation_sample_stratified",
     "doc_lengths",
     "term_df",
     "term_tf_stemmed",
@@ -2257,8 +2261,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda spark, sf: ngram_jaccard_pairs(
             _docs(spark, sf), threshold=0.3
         ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")),
+        # exact=True: the oracle-parity all-pairs path (oracle scale
+        # only); the production default routes through the LSH blocking
         "dedup_embedding_cosine": lambda spark, sf: embedding_near_pairs(
-            _embeddings(spark, sf), threshold=0.4
+            _embeddings(spark, sf), threshold=0.4, exact=True
         ).select("vec_a", "vec_b", F.round("cosine", 4).alias("cosine")),
         # scale path: MinHash LSH candidates -> exact Jaccard, one call
         "dedup_pipeline_pairs": lambda spark, sf: near_duplicate_pairs(
@@ -2363,6 +2369,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ref_popularity_topk": lambda spark, sf: _ref_recs(spark, sf),
         "ref_topn_metrics": lambda spark, sf: _ref_metrics(spark, sf),
+        "ref_group_metrics": lambda spark, sf: _ref_group_metrics(spark, sf),
         # --- multimodal plumbing (byte features over binary media) ---
         "media_features": lambda spark, sf: extract_media_features(
             media_from_documents(spark, sf)
@@ -2494,6 +2501,28 @@ def _ref_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
     recs = _ref_recs(spark, sf)
     return topn_metrics(recs, test.select("user_id", "item_id"), ks=[5, 10])
+
+
+def _ref_group_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-wise evaluation (reference Test_group,
+    /root/reference/src/Inference.py:74-152): metrics per user cohort.
+    Cohorts are derived deterministically from hist activity
+    (cold/light/heavy) instead of the reference's precomputed user-id
+    files — same intersect-with-test-users + omit-empty semantics."""
+    blocks = _ref_blocks(spark, sf)
+    hist = blocks.filter(
+        (F.col("snapshot_idx") == 0) & (F.col("block_type") == "hist")
+    )
+    test = blocks.filter(
+        (F.col("snapshot_idx") == 0) & (F.col("block_type") == "test")
+    )
+    # light_max=40 ~ the sf0.01 median hist count, so the gate actually
+    # materializes two cohorts (default 2 would put every user in 'heavy')
+    groups = groups_by_activity(hist, test.select("user_id"), light_max=40)
+    recs = _ref_recs(spark, sf)
+    return topn_metrics_grouped(
+        recs, test.select("user_id", "item_id"), groups, ks=[5, 10]
+    )
 
 
 def _minhash_bands(spark: SparkSession, sf: str) -> DataFrame:
@@ -3197,6 +3226,63 @@ SELECT metric, CAST(k AS INTEGER) AS k, value FROM (
   UNION ALL SELECT k, 'precision', precision FROM agg
   UNION ALL SELECT k, 'ndcg', ndcg FROM agg
   UNION ALL SELECT k, 'mrr', mrr FROM agg
+)
+""",
+        # group-wise Test_group twin: cohorts from hist0 activity
+        # (cold = test user absent from hist, light = 1..2, heavy = 3+),
+        # then the same per-user metric math partitioned by grp.
+        "ref_group_metrics": _SQL_REF_RECS
+        + """,
+hist_counts AS (SELECT user_id, count(*) AS n_hist FROM hist0 GROUP BY user_id),
+grps AS (
+  SELECT u.user_id,
+         CASE WHEN hc.n_hist IS NULL THEN 'cold'
+              WHEN hc.n_hist <= 40 THEN 'light'
+              ELSE 'heavy' END AS grp
+  FROM (SELECT DISTINCT user_id FROM test0) u
+  LEFT JOIN hist_counts hc USING (user_id)
+),
+gt AS (
+  SELECT g.grp, t.user_id, t.item_id
+  FROM (SELECT DISTINCT user_id, item_id FROM test0) t
+  JOIN grps g USING (user_id)
+),
+gt_sizes AS (SELECT grp, user_id, count(*) AS n_gt FROM gt GROUP BY grp, user_id),
+ks AS (SELECT unnest([5, 10]) AS k),
+hits AS (
+  SELECT gt.grp, r.user_id, r.rank
+  FROM recs r JOIN gt ON r.user_id = gt.user_id AND r.item_id = gt.item_id
+  WHERE r.rank <= 10
+),
+per_user AS (
+  SELECT ks.k, g.grp, g.user_id, g.n_gt,
+         count(h.rank) FILTER (h.rank <= ks.k) AS n_hits,
+         coalesce(sum(1.0 / log2(h.rank + 1)) FILTER (h.rank <= ks.k), 0.0) AS dcg,
+         min(h.rank) FILTER (h.rank <= ks.k) AS first_hit
+  FROM gt_sizes g CROSS JOIN ks
+  LEFT JOIN hits h ON h.user_id = g.user_id AND h.grp = g.grp
+  GROUP BY ks.k, g.grp, g.user_id, g.n_gt
+),
+per_user2 AS (
+  SELECT k, grp, user_id,
+         n_hits * 1.0 / n_gt AS recall,
+         n_hits * 1.0 / k AS precision,
+         dcg / list_sum(list_transform(range(1, least(n_gt, k) + 1),
+                                       j -> 1.0 / log2(j + 1))) AS ndcg,
+         CASE WHEN first_hit IS NOT NULL THEN 1.0 / first_hit ELSE 0.0 END AS mrr
+  FROM per_user
+),
+agg AS (
+  SELECT k, grp, round(avg(recall), 4) AS recall,
+         round(avg(precision), 4) AS precision,
+         round(avg(ndcg), 4) AS ndcg, round(avg(mrr), 4) AS mrr
+  FROM per_user2 GROUP BY k, grp
+)
+SELECT grp, metric, CAST(k AS INTEGER) AS k, value FROM (
+  SELECT grp, k, 'recall' AS metric, recall AS value FROM agg
+  UNION ALL SELECT grp, k, 'precision', precision FROM agg
+  UNION ALL SELECT grp, k, 'ndcg', ndcg FROM agg
+  UNION ALL SELECT grp, k, 'mrr', mrr FROM agg
 )
 """,
         # --- multimodal plumbing ---

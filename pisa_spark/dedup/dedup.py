@@ -440,12 +440,58 @@ def embedding_near_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+    exact: bool = False,
+    nbits: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
-    """(vec_a, vec_b, cosine) for all pairs with cosine >= threshold.
+    """(vec_a, vec_b, cosine) pairs with cosine >= threshold.
 
-    Small-scale exact path: broadcast self-join (all pairs) — oracle
-    parity with DuckDB list_cosine_similarity. At scale compose with
-    similarity.lsh_bucket_candidates to restrict pairs first."""
+    Scale-safe by default: without ``candidates`` the call routes
+    through :func:`embedding_near_pairs_lsh` (bucketed candidate
+    equi-joins, never an all-pairs product; recall < 1 by
+    construction — raise ``n_tables`` to trade cost for recall).
+
+    candidates: (vec_a, vec_b) pre-computed pair set — the bounded
+    exact-verify stage a large pipeline runs after its own blocking;
+    each pair is scored exactly, work is O(|candidates|).
+
+    exact=True: the O(n²) crossJoin all-pairs path, oracle parity with
+    DuckDB list_cosine_similarity — ONLY for oracle-scale corpora; the
+    plan contains a CartesianProduct and must never ship at 10^12
+    rows. (The default path is asserted CartesianProduct-free in
+    docs/PLANS.md §14.)"""
+    if candidates is not None:
+        emb = embeddings.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_emb")
+        )
+        cand = candidates.select("vec_a", "vec_b").distinct()
+        pairs = cand.join(
+            emb.select(F.col("_id").alias("vec_a"), F.col("_emb").alias("emb_a")),
+            "vec_a",
+        ).join(
+            emb.select(F.col("_id").alias("vec_b"), F.col("_emb").alias("emb_b")),
+            "vec_b",
+        )
+        return pairs.select(
+            "vec_a",
+            "vec_b",
+            cosine_expr(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        ).filter(F.col("cosine") >= threshold)
+    if not exact:
+        if dim is None:
+            row = embeddings.select(F.size(vec_col)).first()
+            dim = int(row[0]) if row is not None else 0
+        return embedding_near_pairs_lsh(
+            embeddings,
+            threshold,
+            nbits=nbits,
+            n_tables=n_tables,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     a = embeddings.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a")
     )

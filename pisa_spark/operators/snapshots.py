@@ -179,24 +179,63 @@ def topn_metrics(
     DCG gain 1/log2(rank+1) for 1-based ranks (:37-43 with 0-based
     j -> 1/log2(j+2)); IDCG over min(|GT|, K) ideal prefix; MRR =
     1/(first hit rank); precision = hits/K; recall = hits/|GT|."""
-    gt_sizes = ground_truth.groupBy("user_id").agg(
+    out = _topn_metrics_by(
+        recommendations,
+        ground_truth.withColumn("grp", F.lit("_all")),
+        ks,
+    )
+    return out.select("metric", "k", "value")
+
+
+def topn_metrics_grouped(
+    recommendations: DataFrame,
+    ground_truth: DataFrame,
+    groups: DataFrame,
+    ks: list[int] = (5, 10, 20),
+) -> DataFrame:
+    """Group-wise Recall/NDCG/MRR/Precision@K -> rows
+    (grp, metric, k, value): the reference's Test_group
+    (/root/reference/src/Inference.py:74-152) — metrics computed
+    independently per user cohort (e.g. dynamic/static/intermediate
+    user files, :87-88), with the standard quirks intact.
+
+    groups: (user_id, grp). Per reference :116-118, the evaluated
+    users of a group are (test users) INTERSECT (group users) and a
+    group matching no test user is omitted entirely (no zero rows) —
+    hence the inner join. A user present in several groups
+    contributes to each independently (group files may overlap).
+    Averaging stays per-group over users with non-empty GT."""
+    gt_g = ground_truth.join(
+        groups.select("user_id", "grp").distinct(), "user_id"
+    )
+    return _topn_metrics_by(recommendations, gt_g, ks)
+
+
+def _topn_metrics_by(
+    recommendations: DataFrame,
+    ground_truth_g: DataFrame,
+    ks,
+) -> DataFrame:
+    """Shared metrics kernel over ground truth carrying a `grp`
+    dimension column; returns (grp, metric, k, value)."""
+    gt_sizes = ground_truth_g.groupBy("grp", "user_id").agg(
         F.countDistinct("item_id").alias("n_gt")
     )
     hits = recommendations.join(
-        ground_truth.select("user_id", "item_id").distinct(),
+        ground_truth_g.select("grp", "user_id", "item_id").distinct(),
         ["user_id", "item_id"],
-    ).select("user_id", "rank")
+    ).select("grp", "user_id", "rank")
     pieces = []
     for k in ks:
         hk = hits.filter(F.col("rank") <= k)
-        per_user = hk.groupBy("user_id").agg(
+        per_user = hk.groupBy("grp", "user_id").agg(
             F.count(F.lit(1)).alias("n_hits"),
             F.sum(1.0 / F.log2(F.col("rank") + 1)).alias("dcg"),
             F.min("rank").alias("first_hit"),
         )
         # every GT user participates (zero if no hits) — ref averages
         # over users with non-empty GT, hit or not
-        base = gt_sizes.join(per_user, "user_id", "left").fillna(
+        base = gt_sizes.join(per_user, ["grp", "user_id"], "left").fillna(
             {"n_hits": 0, "dcg": 0.0}
         )
         ideal_n = F.least(F.col("n_gt"), F.lit(k))
@@ -207,26 +246,28 @@ def topn_metrics(
             lambda acc, j: acc + 1.0 / F.log2(j.cast("double") + 1.0),
         )
         agg = base.select(
+            "grp",
             (F.col("n_hits") / F.col("n_gt")).alias("recall"),
             (F.col("n_hits") / F.lit(float(k))).alias("precision"),
             (F.col("dcg") / idcg).alias("ndcg"),
             F.when(F.col("first_hit").isNotNull(), 1.0 / F.col("first_hit"))
             .otherwise(0.0)
             .alias("mrr"),
-        ).agg(
+        ).groupBy("grp").agg(
             F.round(F.avg("recall"), 4).alias("recall"),
             F.round(F.avg("precision"), 4).alias("precision"),
             F.round(F.avg("ndcg"), 4).alias("ndcg"),
             F.round(F.avg("mrr"), 4).alias("mrr"),
         )
         row = agg.select(
-            F.lit(k).alias("k"), "recall", "precision", "ndcg", "mrr"
+            "grp", F.lit(k).alias("k"), "recall", "precision", "ndcg", "mrr"
         )
         pieces.append(row)
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
     melted = out.select(
+        "grp",
         "k",
         F.explode(
             F.create_map(
@@ -237,7 +278,35 @@ def topn_metrics(
             )
         ).alias("metric", "value"),
     )
-    return melted.select("metric", "k", "value")
+    return melted.select("grp", "metric", "k", "value")
+
+
+def groups_by_activity(
+    hist: DataFrame,
+    test_users: DataFrame,
+    light_max: int = 2,
+) -> DataFrame:
+    """Deterministic user cohorts from hist activity — the Spark
+    rendering of the reference's dynamic/static/intermediate group
+    files (/root/reference/src/Inference.py:87-88, which ships them as
+    precomputed user-id lists): 'cold' = test user absent from hist
+    (the cold-start cohort of :136-138), 'light' = 1..light_max hist
+    interactions, 'heavy' = more. Returns (user_id, grp)."""
+    counts = hist.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hist")
+    )
+    return (
+        test_users.select("user_id")
+        .distinct()
+        .join(counts, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("n_hist").isNull(), "cold")
+            .when(F.col("n_hist") <= light_max, "light")
+            .otherwise("heavy")
+            .alias("grp"),
+        )
+    )
 
 
 def per_snapshot_recall(

@@ -159,6 +159,14 @@ def main() -> None:
         "shingle relation lost its candidate semi-joins"
     )
 
+    from pisa_spark.dedup.dedup import embedding_near_pairs
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb_plan = fmt(embedding_near_pairs(emb, threshold=0.4))
+    assert "CartesianProduct" not in emb_plan and "NestedLoop" not in emb_plan, (
+        "default embedding_near_pairs regressed to an all-pairs product"
+    )
+
     out = f"""# PLANS — physical plan evidence (.explain("formatted"), real output)
 
 Regenerate with `python scripts/dump_plans.py`. What to check, per plan:
@@ -332,6 +340,21 @@ whatever consumes it, adding no stage boundary.
 
 ```
 {samp_plan}
+```
+
+## 14. Embedding near-dup: scale-safe default (no cross product)
+
+`embedding_near_pairs` without `candidates=`/`exact=True` routes
+through the random-hyperplane LSH blocking: n_tables key-equi
+self-joins on (table, signature) followed by exact cosine rescoring.
+Look for: NO `CartesianProduct` / `BroadcastNestedLoopJoin` anywhere
+(the dump script asserts this) — every join is a hash join on a
+signature key, so work is bounded by bucket collisions, never |V|².
+The O(n²) exact path still exists behind an explicit `exact=True`
+opt-in for oracle-scale parity checks.
+
+```
+{emb_plan}
 ```
 """
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(

@@ -107,9 +107,39 @@ def test_simhash_64bit_collision_rate(spark):
 
 def test_embedding_near_pairs_symmetric_free(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = embedding_near_pairs(emb, threshold=0.3)
+    pairs = embedding_near_pairs(emb, threshold=0.3, exact=True)
     assert pairs.filter(F.col("vec_a") >= F.col("vec_b")).count() == 0
     assert pairs.filter(F.col("cosine") < 0.3).count() == 0
+
+
+def test_embedding_near_pairs_default_is_scale_safe(spark, sf_dir):
+    """Default (no candidates, no exact) must route through the LSH
+    blocking: no CartesianProduct / nested-loop join in the plan, and
+    the result is a subset of the exact answer at the same threshold."""
+    from pisa_spark.dedup.dedup import embedding_near_pairs_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    default = embedding_near_pairs(emb, threshold=0.4)
+    plan = default._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    lsh = embedding_near_pairs_lsh(emb, threshold=0.4)
+    got = {(r["vec_a"], r["vec_b"]) for r in default.collect()}
+    want = {(r["vec_a"], r["vec_b"]) for r in lsh.collect()}
+    assert got == want
+
+
+def test_embedding_near_pairs_candidates_bounded_verify(spark, sf_dir):
+    """candidates= scores exactly the given pair set: equal to the
+    exact answer restricted to those pairs, no others."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = embedding_near_pairs(emb, threshold=0.4, exact=True)
+    cand = exact.select("vec_a", "vec_b").limit(10)
+    got = embedding_near_pairs(emb, threshold=0.4, candidates=cand)
+    assert got.count() == 10
+    joined = got.join(
+        exact.withColumnRenamed("cosine", "c2"), ["vec_a", "vec_b"]
+    )
+    assert joined.filter(F.abs(F.col("cosine") - F.col("c2")) > 1e-12).count() == 0
 
 
 def test_embedding_lsh_pairs_subset_with_recall(spark, sf_dir):
@@ -121,7 +151,7 @@ def test_embedding_lsh_pairs_subset_with_recall(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # the synthetic embeddings top out near cosine ~0.6; 0.4 keeps a
     # non-trivial exact answer (66 pairs at sf0.001)
-    exact = embedding_near_pairs(emb, threshold=0.4).cache()
+    exact = embedding_near_pairs(emb, threshold=0.4, exact=True).cache()
     lsh = embedding_near_pairs_lsh(emb, threshold=0.4, nbits=4, n_tables=8).cache()
     assert lsh.join(exact, ["vec_a", "vec_b"], "left_anti").count() == 0
     n_exact, n_lsh = exact.count(), lsh.count()

@@ -133,3 +133,52 @@ def test_metrics_skip_users_without_gt(spark):
     }
     # user 1 has no GT -> excluded from averaging (ref Inference.py:25)
     assert got[("recall", 5)] == 1.0
+
+def test_topn_metrics_grouped_matches_per_group_ungrouped(spark):
+    """Group-wise metrics == running topn_metrics on each cohort's GT
+    alone (ref Inference.py:74-152: groups evaluated independently);
+    a group with no test users is omitted, and the ungrouped result
+    equals the grouped result under a single all-users group."""
+    from pisa_spark.operators.snapshots import topn_metrics_grouped
+
+    recs = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 11), (1, 1, 20), (2, 1, 30), (2, 2, 31), (2, 3, 32)],
+        "user_id long, rank int, item_id long",
+    )
+    gt = spark.createDataFrame(
+        [(0, 10), (0, 99), (1, 98), (2, 32)], "user_id long, item_id long"
+    )
+    groups = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (7, "empty")], "user_id long, grp string"
+    )
+    got = {
+        (r["grp"], r["metric"], r["k"]): r["value"]
+        for r in topn_metrics_grouped(recs, gt, groups, ks=[5]).collect()
+    }
+    # group with no test users omitted entirely (ref :117-118)
+    assert not any(k[0] == "empty" for k in got)
+    for grp, members in (("a", [0, 1]), ("b", [2])):
+        sub = {
+            (r["metric"], r["k"]): r["value"]
+            for r in topn_metrics(
+                recs, gt.filter(F.col("user_id").isin(members)), ks=[5]
+            ).collect()
+        }
+        for (m, k), v in sub.items():
+            assert got[(grp, m, k)] == pytest.approx(v), (grp, m)
+
+
+def test_groups_by_activity_cohorts(spark):
+    from pisa_spark.operators.snapshots import groups_by_activity
+
+    hist = spark.createDataFrame(
+        [(1, 100), (1, 101), (1, 102), (2, 100)], "user_id long, item_id long"
+    )
+    test_users = spark.createDataFrame(
+        [(1,), (2,), (3,)], "user_id long"
+    )
+    got = {
+        r["user_id"]: r["grp"]
+        for r in groups_by_activity(hist, test_users, light_max=2).collect()
+    }
+    assert got == {1: "heavy", 2: "light", 3: "cold"}
