@@ -203,9 +203,19 @@ def main() -> None:
     ).collect()
     timings["q_negation"] = round(time.perf_counter() - t0, 4)
 
-    # RM3 expansion (two passes over the decoded tf relation; the
-    # facade's index-served variant prunes pass 2 — this measures the
-    # relation path at bench scale)
+    # RM3 — headline = the facade path users call (WAND pass 1, pushed
+    # doc fetch + driver-side RM1 over fb_docs texts, pruned pass 2)
+    from pisa_spark.engine import SearchEngine
+
+    eng = SearchEngine(spark, postings, stats, pre_arranged=True).with_corpus(
+        sf_dir
+    )
+    t0 = time.perf_counter()
+    eng.search_rm3("data join", k=10).collect()
+    timings["q_rm3"] = round(time.perf_counter() - t0, 4)
+
+    # RM3 relation path: one lazy plan, no driver round-trips — the
+    # shape for offline batch expansion over the decoded tf relation
     from pisa_spark.query.feedback import rm3_topk
 
     t0 = time.perf_counter()
@@ -215,8 +225,11 @@ def main() -> None:
             [(91, "data"), (91, "join")], "query_id int, term string"
         ),
         stats["n_docs"], stats["avgdl"], k=10,
+        # df from block METADATA (one row per posting block), not a
+        # groupBy over the decoded relation — the serving-path contract
+        df_df=postings.groupBy("term").agg(F.sum("n").alias("df")),
     ).collect()
-    timings["q_rm3"] = round(time.perf_counter() - t0, 4)
+    timings["q_rm3_relation"] = round(time.perf_counter() - t0, 4)
 
     # faceted search: top-50 + lang/source facet counts
     from pisa_spark.query.facets import facet_counts

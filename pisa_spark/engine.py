@@ -225,9 +225,16 @@ class SearchEngine:
             [q], k=k, two_phase=two_phase, algorithm=algorithm
         )
 
+    # above this many queries, MaxScore's per-query term-at-a-time
+    # cannot share decode across the batch the way WAND's union-mask
+    # does (2x slower at 10.24M docs — BENCH.md pruning table), so
+    # search_batch reroutes; both kernels are rank-identical, so the
+    # hint only ever changes the physical strategy, never the answer
+    MAXSCORE_BATCH_LIMIT = 8
+
     def search_batch(
         self, queries, k: int = 10, two_phase: bool = False,
-        algorithm: str = "wand",
+        algorithm: str = "wand", strict_algorithm: bool = False,
     ) -> DataFrame:
         """Batch of queries in one pass. algorithm: 'wand' (block-max
         pruning with batch-shared union decode — the batched-serving
@@ -235,13 +242,34 @@ class SearchEngine:
         candidate freezing — strongest on long disjunctive queries mixing
         rare and stop-word-ish terms). Both are rank-identical to the
         exhaustive scorer; two_phase stays opt-in for batches (measured
-        slower at bench scales — see BENCH.md)."""
+        slower at bench scales — see BENCH.md).
+
+        'maxscore' is a single-query latency mode: for batches larger
+        than MAXSCORE_BATCH_LIMIT it is rerouted to the WAND
+        union-decode with a warning (identical ranks, ~2x less work at
+        10M docs). Pass strict_algorithm=True to force the requested
+        kernel anyway (e.g. for kernel A/B measurement)."""
+        import warnings
+
         from pisa_spark.query.bm25 import bm25_topk_maxscore
 
         impl = {"wand": bm25_topk_wand, "maxscore": bm25_topk_maxscore}
         if algorithm not in impl:
             raise ValueError(f"algorithm must be one of {sorted(impl)}")
         normalized = self._normalize(queries)
+        if (
+            algorithm == "maxscore"
+            and len(normalized) > self.MAXSCORE_BATCH_LIMIT
+            and not strict_algorithm
+        ):
+            warnings.warn(
+                f"search_batch: maxscore is a single-query latency mode;"
+                f" rerouting this {len(normalized)}-query batch to the"
+                f" WAND union-decode (rank-identical, ~2x faster at"
+                f" scale). strict_algorithm=True forces maxscore.",
+                stacklevel=2,
+            )
+            algorithm = "wand"
         return impl[algorithm](
             self.postings,
             normalized,
@@ -435,8 +463,21 @@ class SearchEngine:
         pass 2 decodes only the merged terms' posting blocks
         (term-pruned below the decode, as search_scored) and scores
         the weighted query. Pass 2 is disjunctive over the expanded
-        term set — standard RM3. Requires with_corpus()."""
-        from pisa_spark.corpus import tokens_col
+        term set — standard RM3. Requires with_corpus().
+
+        Latency shape (two driver round-trips, pass 2 lazy): pass 1
+        collects fb_docs ids; the text fetch is an id-PUSHED parquet
+        scan (never a join — a broadcast join would full-scan the doc
+        store at any corpus size); RM1 weighting then runs ON THE
+        DRIVER over those <= fb_docs texts with the build tokenizer's
+        exact regex — bounded work (a few documents), and it removes
+        the explode/groupBy shuffle job that made this the slowest
+        facade entry in BENCH r3. The 9-dp quantization keeps term
+        selection identical to the relation-path rm3_topk (same
+        contract as query/feedback.py)."""
+        import re as _re
+
+        from pisa_spark.corpus import TOKEN_SPLIT_REGEX
         from pisa_spark.query.feedback import weighted_bm25_topk
         from pisa_spark.query.scorers import postings_to_tf
 
@@ -449,27 +490,29 @@ class SearchEngine:
         ]
         if not fb_ids:
             return self.search(q, k=k)
-        toks = self._docs_df().filter(
-            F.col("doc_id").isin(fb_ids)
-        ).select(
-            "doc_id", tokens_col(F.col("text")).alias("tokens")
-        ).withColumn("doc_len", F.size("tokens"))
-        rm1 = (
-            toks.select(
-                "doc_id", "doc_len", F.explode("tokens").alias("term")
-            )
-            .groupBy("term", "doc_id", "doc_len")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .groupBy("term")
-            .agg(F.sum(F.col("tf") / F.col("doc_len")).alias("s"))
-            .select(
-                "term",
-                F.round(F.col("s") / F.lit(len(fb_ids)), 9).alias("w_rm"),
-            )
-            .orderBy(F.col("w_rm").desc(), F.col("term").asc())
-            .limit(fb_terms)
+        texts = (
+            self._docs_df()
+            .filter(F.col("doc_id").isin(fb_ids))
+            .select("text")
+            .collect()
         )
-        w_exp = {r["term"]: r["w_rm"] for r in rm1.collect()}
+        split = _re.compile(TOKEN_SPLIT_REGEX)
+        acc: dict[str, float] = {}
+        for row in texts:
+            toks = [t for t in split.split(row["text"].lower()) if t]
+            if not toks:
+                continue
+            dl = float(len(toks))
+            counts: dict[str, int] = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            for t, tf in counts.items():
+                acc[t] = acc.get(t, 0.0) + tf / dl
+        ranked = sorted(
+            ((round(s / len(fb_ids), 9), t) for t, s in acc.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:fb_terms]
+        w_exp = {t: w for w, t in ranked}
         orig_terms = sorted(set(q["terms"]))
         p_orig = 1.0 / len(orig_terms)
         v = {
@@ -488,6 +531,8 @@ class SearchEngine:
             self.stats["n_docs"],
             self.stats["avgdl"],
             k=k,
+            # df from pruned block metadata — never re-scan the decode
+            df_df=pruned.groupBy("term").agg(F.sum("n").alias("df")),
         )
 
     def search_reranked(

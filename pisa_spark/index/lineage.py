@@ -72,6 +72,44 @@ def latest_lineage(spark: SparkSession, index_root: str) -> dict[int, dict]:
     return {r["bucket"]: r.asDict() for r in df.collect()}
 
 
+# Driver-side paging bound for bucket-id streams. At the 10^12-doc
+# design point (10^7 buckets at 100k docs/bucket) collecting every
+# pending id at once would put ~10^7 rows on the driver; streaming
+# sorted pages through toLocalIterator caps resident ids at
+# max(page_rows, one sort partition) regardless of bucket count.
+DRIVER_PAGE_ROWS = 1_000_000
+
+
+def _bucket_id_pages(df: DataFrame, page_rows: int = DRIVER_PAGE_ROWS):
+    """Yield the ``bucket`` column of ``df`` as sorted, bounded pages.
+
+    The range-partitioned sort keeps global order across pages, so
+    consumers chunking pages into waves reproduce exactly the waves a
+    full sorted collect would have produced."""
+    page: list[int] = []
+    for r in df.select("bucket").orderBy("bucket").toLocalIterator():
+        page.append(r["bucket"])
+        if len(page) >= page_rows:
+            yield page
+            page = []
+    if page:
+        yield page
+
+
+def _waves_from_pages(pages, wave_size: int):
+    """Chunk a stream of sorted id pages into wave_size waves, carrying
+    remainders across page boundaries — wave composition is identical
+    to slicing the fully-collected sorted list."""
+    buf: list[int] = []
+    for page in pages:
+        buf.extend(page)
+        while len(buf) >= wave_size:
+            yield buf[:wave_size]
+            buf = buf[wave_size:]
+    if buf:
+        yield buf
+
+
 def committed_buckets(spark: SparkSession, index_root: str) -> set[int]:
     df = latest_lineage_df(spark, index_root)
     if df is None:
@@ -95,6 +133,7 @@ def build_index_resumable(
     docs_per_bucket: int | None = None,
     docs_df: DataFrame | None = None,
     with_positions: bool = False,
+    driver_page_rows: int = DRIVER_PAGE_ROWS,
 ) -> dict:
     """Build (or resume, or incrementally extend) the persistent index.
 
@@ -162,7 +201,9 @@ def build_index_resumable(
         # pending = never committed OR content fingerprint changed
         # (growth/repair/in-place edits). The comparison happens IN
         # SPARK (join of per-bucket state against latest lineage);
-        # only the pending/stale bucket IDS reach the driver.
+        # only the pending/stale bucket IDS reach the driver, and only
+        # in bounded sorted pages (driver_page_rows at a time) — the
+        # driver's resident-id budget is page-sized at any bucket count.
         cur = toks.groupBy(
             ((F.col("doc_id") / span).cast("int")).alias("bucket")
         ).agg(
@@ -171,59 +212,56 @@ def build_index_resumable(
         )
         latest = latest_lineage_df(spark, index_root)
         if latest is None:
-            pending = sorted(
-                r["bucket"] for r in cur.select("bucket").collect()
-            )
-            stale = []
+            pending_df = cur.select("bucket")
+            stale_df = None
         else:
             lat = latest.select(
                 "bucket", "status", F.col("fp").alias("old_fp"), "docs"
             )
             joined = cur.join(lat, "bucket", "left")
-            pending = sorted(
-                r["bucket"]
-                for r in joined.filter(
-                    F.col("status").isNull()
-                    | (F.col("status") != "committed")
-                    | (F.col("old_fp") != F.col("cur_fp"))
-                )
-                .select("bucket")
-                .collect()
-            )
+            pending_df = joined.filter(
+                F.col("status").isNull()
+                | (F.col("status") != "committed")
+                | (F.col("old_fp") != F.col("cur_fp"))
+            ).select("bucket")
             # buckets that previously held docs but now hold none
             # (corpus shrank or ids vanished): dynamic overwrite writes
             # no rows for them, so their stale partitions are pruned
             # explicitly and a 'pruned' lineage row records it (Iceberg
             # analog: delete-files commit for the partition)
-            stale = sorted(
-                r["bucket"]
-                for r in lat.filter(
+            stale_df = (
+                lat.filter(
                     (F.col("status") == "committed") & (F.col("docs") > 0)
                 )
                 .join(cur, "bucket", "left_anti")
                 .select("bucket")
-                .collect()
             )
-        if stale:
+        if stale_df is not None:
             # atomic manifest commit without the dropped partitions —
             # no physical delete on the commit path (Iceberg
-            # delete-files semantics; orphans are GC'd out-of-band)
-            catalog.delete_partitions(index_root, POSTINGS_TABLE, stale)
-            catalog.write_table(
-                spark.createDataFrame(
-                    [
-                        (b, "pruned", 0, 0, 0, 0, 0.0, -1, time.time(), 0)
-                        for b in stale
-                    ],
-                    LINEAGE_SCHEMA,
-                ),
-                index_root,
-                LINEAGE_TABLE,
-                mode="append",
-            )
-        waves = [
-            pending[i : i + wave_size] for i in range(0, len(pending), wave_size)
-        ]
+            # delete-files semantics; orphans are GC'd out-of-band).
+            # Paged: each page is its own atomic commit; a crash
+            # mid-stream leaves the rest still detected as stale next
+            # run (same idempotent rule as bucket rebuild).
+            for stale_page in _bucket_id_pages(stale_df, driver_page_rows):
+                catalog.delete_partitions(
+                    index_root, POSTINGS_TABLE, stale_page
+                )
+                catalog.write_table(
+                    spark.createDataFrame(
+                        [
+                            (b, "pruned", 0, 0, 0, 0, 0.0, -1, time.time(), 0)
+                            for b in stale_page
+                        ],
+                        LINEAGE_SCHEMA,
+                    ),
+                    index_root,
+                    LINEAGE_TABLE,
+                    mode="append",
+                )
+        waves = _waves_from_pages(
+            _bucket_id_pages(pending_df, driver_page_rows), wave_size
+        )
         waves_run = 0
         for wave_no, wave in enumerate(waves):
             t0 = time.perf_counter()

@@ -45,11 +45,20 @@ from pyspark.sql import functions as F
 from pisa_spark.query.bm25 import score_expr, topk_window
 
 
-def _with_df(tf_df: DataFrame) -> DataFrame:
+def _with_df(tf_df: DataFrame, df_df: DataFrame | None = None) -> DataFrame:
+    """Decorate the tf relation with per-term document frequency.
+
+    df_df: optional precomputed (term, df) side table. When serving off
+    the compressed index, pass ``postings.groupBy("term").agg(
+    F.sum("n"))`` — an aggregation over BLOCK METADATA rows (thousands)
+    instead of the decoded posting relation (billions); without it the
+    fallback groupBy re-traverses the full decode, which at bench scale
+    dominated the RM3 plan (BENCH r3: q_rm3 4.45 s)."""
     if "df" in tf_df.columns:
         return tf_df
-    dfreq = tf_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    return tf_df.join(F.broadcast(dfreq), "term")
+    if df_df is None:
+        df_df = tf_df.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf_df.join(F.broadcast(df_df.select("term", "df")), "term")
 
 
 def rm3_expansion_terms(
@@ -60,13 +69,16 @@ def rm3_expansion_terms(
     fb_docs: int = 3,
     fb_terms: int = 5,
     orig_weight: float = 0.5,
+    df_df: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, term, v) — the RM3-interpolated weighted query.
 
     ``tf_df``: (doc_id, term, tf, doc_len) [+ df]; ``queries_df``:
-    (query_id, term). See module docstring for the pinned semantics.
+    (query_id, term); ``df_df``: optional (term, df) side table (see
+    _with_df). See module docstring for the pinned semantics.
     """
-    tf_df = _with_df(tf_df)
+    raw = tf_df  # RM1 needs no df — keep its subtree join-free
+    tf_df = _with_df(tf_df, df_df)
     qterms = queries_df.select("query_id", "term").distinct()
     qn = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
     # pass 1: BM25 feedback docs
@@ -85,9 +97,12 @@ def rm3_expansion_terms(
         .select("query_id", "doc_id")
     )
     nfb = fb.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_fb"))
-    # RM1: mean P(t|D) over feedback docs, quantized to 9 dp
+    # RM1: mean P(t|D) over feedback docs, quantized to 9 dp.
+    # fb is |queries| x fb_docs rows — broadcast it so the big decoded
+    # relation streams through a map-side hash join, never a shuffle.
     rm1 = (
-        fb.join(tf_df.select("doc_id", "term", "tf", "doc_len"), "doc_id")
+        F.broadcast(fb)
+        .join(raw.select("doc_id", "term", "tf", "doc_len"), "doc_id")
         .groupBy("query_id", "term")
         .agg(F.sum(F.col("tf") / F.col("doc_len")).alias("s"))
         .join(nfb, "query_id")
@@ -128,12 +143,13 @@ def weighted_bm25_topk(
     n_docs: float,
     avgdl: float,
     k: int = 10,
+    df_df: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k under a weighted term query: score(d) = sum_t v(t) *
     bm25_t(d) over ``weighted_terms`` (query_id, term, v). The
     scoring pass every expansion/reformulation front ends on."""
     scored = (
-        _with_df(tf_df)
+        _with_df(tf_df, df_df)
         .join(F.broadcast(weighted_terms), "term")
         .withColumn("pscore", F.col("v") * score_expr(n_docs, avgdl))
         .groupBy("query_id", "doc_id")
@@ -151,10 +167,15 @@ def rm3_topk(
     fb_docs: int = 3,
     fb_terms: int = 5,
     orig_weight: float = 0.5,
+    df_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Two-pass RM3 retrieval: expand, then weighted-BM25 top-k."""
-    tf_df = _with_df(tf_df)
+    """Two-pass RM3 retrieval: expand, then weighted-BM25 top-k.
+
+    df_df: (term, df) side table — pass the block-metadata aggregate
+    when tf_df is a postings decode so neither pass re-scans the
+    decoded relation to count document frequencies."""
     v = rm3_expansion_terms(
-        tf_df, queries_df, n_docs, avgdl, fb_docs, fb_terms, orig_weight
+        tf_df, queries_df, n_docs, avgdl, fb_docs, fb_terms, orig_weight,
+        df_df=df_df,
     )
-    return weighted_bm25_topk(tf_df, v, n_docs, avgdl, k)
+    return weighted_bm25_topk(tf_df, v, n_docs, avgdl, k, df_df=df_df)

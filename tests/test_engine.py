@@ -121,6 +121,29 @@ def test_search_algorithm_maxscore(eng, oracle):
         eng.search("data", algorithm="nope")
 
 
+def test_search_batch_reroutes_large_maxscore_batch(eng):
+    """maxscore is single-query latency mode: a batch beyond
+    MAXSCORE_BATCH_LIMIT reroutes to WAND with a warning (identical
+    ranks); strict_algorithm=True keeps the requested kernel silently."""
+    import warnings
+
+    qs = [f"data join q{i}" for i in range(eng.MAXSCORE_BATCH_LIMIT + 1)]
+    with pytest.warns(UserWarning, match="rerouting"):
+        rerouted = eng.search_batch(qs, k=5, algorithm="maxscore").collect()
+    wand = eng.search_batch(qs, k=5, algorithm="wand").collect()
+    assert sorted(map(tuple, rerouted)) == sorted(map(tuple, wand))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        forced = eng.search_batch(
+            qs, k=5, algorithm="maxscore", strict_algorithm=True
+        ).collect()
+    assert sorted(map(tuple, forced)) == sorted(map(tuple, wand))
+    # small batches keep the requested kernel without noise
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        eng.search_batch(["data join"], k=5, algorithm="maxscore").collect()
+
+
 def test_term_df_cache_populates_and_serves(eng, oracle):
     eng._df_cache.clear()
     first = eng.search("data join", k=5).collect()

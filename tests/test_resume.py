@@ -427,3 +427,39 @@ def test_compact_table_folds_generations(spark, tmp_path):
     assert got == list(range(9))
     # below min_dirs it is a no-op
     assert catalog.compact_table(spark, root, "t") is False
+
+def test_paged_driver_collect_identical_index(spark, sf_dir, tmp_path):
+    """Bucket-id streams reach the driver in bounded sorted pages
+    (lineage._bucket_id_pages); forcing a page size smaller than a
+    wave — so every wave spans page boundaries — must produce an index
+    byte-identical to the unpaged build, with the same wave count."""
+    root_a = str(tmp_path / "idx_paged")
+    root_b = str(tmp_path / "idx_plain")
+    s_a = build_index_resumable(
+        spark, sf_dir, root_a, n_buckets=8, wave_size=3, driver_page_rows=2
+    )
+    s_b = build_index_resumable(
+        spark, sf_dir, root_b, n_buckets=8, wave_size=3
+    )
+    assert s_a["waves_run"] == s_b["waves_run"] == 3  # ceil(8/3)
+    pa, _ = load_index(spark, root_a)
+    pb, _ = load_index(spark, root_b)
+    assert decode_index(pa.collect()) == decode_index(pb.collect())
+    # paged stale pruning: shrink the corpus to bucket 0 only and
+    # rebuild with 1-id pages — every stale bucket pruned, one commit
+    # per page, index still correct
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    small = docs.filter(F.col("doc_id") < 63)
+    # docs_per_bucket pins the span the first build derived (500 docs /
+    # 8 buckets = 63), so the shrunken corpus maps to bucket 0 only
+    build_index_resumable(
+        spark, None, root_a, docs_df=small, docs_per_bucket=63,
+        driver_page_rows=1,
+    )
+    lin = catalog.read_table(spark, root_a, "lineage")
+    from pyspark.sql import Window
+    w = Window.partitionBy("bucket").orderBy(F.col("ts").desc())
+    latest = lin.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1")
+    assert latest.filter(F.col("status") == "pruned").count() == 7
+    pa2, stats2 = load_index(spark, root_a)
+    assert pa2.select(F.max("bucket")).collect()[0][0] == 0
