@@ -46,6 +46,8 @@ from pisa_spark.dedup.dedup import (  # noqa: E402
 )
 from pisa_spark.functions.multimodal import (  # noqa: E402
     extract_media_features,
+    media_decode_stats,
+    media_fixture_table,
     media_from_documents,
 )
 from pisa_spark.functions.quality import (  # noqa: E402
@@ -2056,8 +2058,9 @@ _GATE_ORDER = [
     "fuzzy_corrections",
     "ann_ivf_topk",
     "ann_ivf_recall",
-    # -- new in round 4 (r3 verdict item #2) --
+    # -- new in round 4 (r3 verdict items #2 and #7) --
     "ref_group_metrics",
+    "media_decode_stats",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -2098,8 +2101,8 @@ _GATE_ORDER = [
     "dedup_components",
     "graph_pagerank",
     "ann_lsh_topk",
-    "sketch_hll_distinct",
     # ---- window boundary (~50): below here = green r3, pytest-covered ----
+    "sketch_hll_distinct",
     "curation_sample_stratified",
     "doc_lengths",
     "term_df",
@@ -2384,6 +2387,12 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.transform("histogram16", lambda c: c.cast("string")), ","
                 )
             ).alias("hist_fp"),
+        ),
+        # --- real media decode: BMP/WAV encode->decode round trip;
+        # every decoded stat is a closed form of (doc_id, text) the
+        # DuckDB twin recomputes without touching any blob ---
+        "media_decode_stats": lambda spark, sf: media_decode_stats(
+            media_fixture_table(spark, sf)
         ),
         # --- composed curation pipeline: dedup keep-list + quality +
         # langid + token budget — the end-to-end training-data shape ---
@@ -3284,6 +3293,50 @@ SELECT grp, metric, CAST(k AS INTEGER) AS k, value FROM (
   UNION ALL SELECT grp, k, 'ndcg', ndcg FROM agg
   UNION ALL SELECT grp, k, 'mrr', mrr FROM agg
 )
+""",
+        # --- real media decode twin ---
+        # Recomputes the decoded stats in CLOSED FORM from the text
+        # column (same ASCII contract as media_features below): image
+        # pixels are text bytes cycled to w*h*3 (w = 4 + doc_id % 5,
+        # h = 3 + doc_id % 7), audio samples are (byte - 128) * 256 at
+        # rate 8000 + (doc_id % 4) * 4000. The Spark side actually
+        # encodes BMP/WAV bytes and decodes them back (pure-NumPy
+        # codecs) — a hash match proves the byte-level round trip.
+        "media_decode_stats": """
+WITH params AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INT) AS w,
+         CAST(3 + doc_id % 7 AS INT) AS h,
+         CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate
+  FROM documents
+),
+bytes0 AS (
+  SELECT doc_id, generate_subscripts(cs, 1) AS i, unnest(cs) AS ch
+  FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents)
+),
+bytes AS (SELECT doc_id, i, ascii(ch) AS v FROM bytes0),
+sums AS (
+  SELECT doc_id, sum(v) AS sum_all, count(*) AS n FROM bytes GROUP BY doc_id
+),
+img AS (
+  SELECT p.doc_id, p.w, p.h,
+         ((p.w * p.h * 3) // s.n) * s.sum_all
+         + coalesce(sum(b.v) FILTER (b.i <= (p.w * p.h * 3) % s.n), 0)
+           AS px_sum
+  FROM params p
+  JOIN sums s USING (doc_id)
+  JOIN bytes b USING (doc_id)
+  WHERE p.doc_id % 2 = 0
+  GROUP BY p.doc_id, p.w, p.h, s.n, s.sum_all
+)
+SELECT doc_id, 'image' AS media_type, w AS dim_a, h AS dim_b,
+       CAST(px_sum AS BIGINT) AS payload_sum
+FROM img
+UNION ALL
+SELECT p.doc_id, 'audio', CAST(s.n AS INT), p.rate,
+       CAST((s.sum_all - 128 * s.n) * 256 AS BIGINT)
+FROM params p JOIN sums s USING (doc_id)
+WHERE p.doc_id % 2 = 1
 """,
         # --- multimodal plumbing ---
         # NOTE: the engine computes over UTF-8 BYTES (np.frombuffer);

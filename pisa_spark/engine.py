@@ -173,10 +173,18 @@ class SearchEngine:
         return out
 
     def search(
-        self, query, k: int = 10, two_phase: bool = True,
+        self, query, k: int = 10, two_phase: bool = False,
         algorithm: str = "wand",
     ) -> DataFrame:
         """One query (string or dict) -> (query_id, rank, doc_id, score).
+
+        two_phase defaults OFF for single queries too (it was the one
+        surface still defaulting on): the phase-1 threshold bootstrap
+        is an extra Spark job + collect on the latency path, and it
+        measured slower at BOTH scale points — 2.5x at sf0.1 (5k docs)
+        and 1.4-1.9x at 10.24M docs (BENCH.md pruning table). It stays
+        available as an explicit hint for corpora where block-max
+        spread makes threshold skipping effective.
 
         A double-quoted segment makes it a MIXED query: the phrase is
         required (positional index needed), loose terms boost the

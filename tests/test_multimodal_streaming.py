@@ -42,12 +42,87 @@ def test_media_features_real_and_deterministic(spark, sf_dir):
 
 
 def test_media_decode_stubs_raise(spark):
+    """Codec-dependent formats still raise (no PIL/av in container);
+    BMP/WAV are real now and covered below."""
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         resize_image(b"\x89PNG", 32, 32)
     with pytest.raises(NotImplementedError):
         sample_video_frames(b"\x00\x00")
+
+
+def test_bmp_roundtrip_and_resize():
+    import numpy as np
+
+    from pisa_spark.functions.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_image,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (7, 4), (16, 16)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = encode_bmp(arr)
+        back = decode_bmp(blob)
+        assert back.shape == (h, w, 3)
+        assert (back == arr).all()
+    # decode_image sniffs the BM magic
+    arr = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    assert (decode_image(encode_bmp(arr)) == arr).all()
+    # nearest-neighbor resize: exact on integer upscales
+    up = resize_image(encode_bmp(arr), 18, 12)
+    assert up.shape == (12, 18, 3)
+    assert (up[::2, ::2] == arr).all()
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from pisa_spark.functions.multimodal import decode_wav, encode_wav
+
+    samples = (np.arange(-500, 500, 7) * 13).astype(np.int16)
+    rate, back = decode_wav(encode_wav(samples, 16000))
+    assert rate == 16000
+    assert (back == samples).all()
+    with pytest.raises(ValueError):
+        decode_wav(b"nope")
+
+
+def test_media_decode_stats_closed_form(spark, sf_dir):
+    """Spark-side encode->decode stats equal the closed form the
+    DuckDB gate twin uses (pixels/samples are text bytes cycled)."""
+    import numpy as np
+
+    from pisa_spark.functions.multimodal import (
+        media_decode_stats,
+        media_fixture_table,
+    )
+
+    stats = {
+        r["doc_id"]: r
+        for r in media_decode_stats(media_fixture_table(spark, sf_dir))
+        .collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert len(stats) == len(docs)
+    for d in docs[:50]:
+        raw = np.frombuffer(d["text"].encode(), dtype=np.uint8)
+        r = stats[d["doc_id"]]
+        if d["doc_id"] % 2 == 0:
+            w, h = 4 + d["doc_id"] % 5, 3 + d["doc_id"] % 7
+            assert (r["media_type"], r["dim_a"], r["dim_b"]) == ("image", w, h)
+            assert r["payload_sum"] == int(
+                np.resize(raw, (h, w, 3)).astype(np.int64).sum()
+            )
+        else:
+            assert r["media_type"] == "audio"
+            assert r["dim_a"] == raw.size
+            assert r["dim_b"] == 8000 + (d["doc_id"] % 4) * 4000
+            assert r["payload_sum"] == int(
+                ((raw.astype(np.int64) - 128) * 256).sum()
+            )
 
 
 def test_streaming_windowed_counts_match_batch(spark, tmp_path):
