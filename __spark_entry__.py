@@ -175,6 +175,124 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+def _snippets_sql(qs, k: int = 10, width: int = 12) -> str:
+    """Best-window snippet twin: the same posexplode + ROWS-framed
+    window sum + earliest-argmax plan as query/snippets.py, operator
+    for operator, over the BM25 top-k result set."""
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+res AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY raw_score DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {k}
+),
+ptoks AS (
+  SELECT r.query_id, t.doc_id,
+         generate_subscripts(t.tokens, 1) - 1 AS pos,
+         unnest(t.tokens) AS token
+  FROM res r JOIN toks t USING (doc_id)
+),
+marked AS (
+  SELECT p.query_id, p.doc_id, p.pos,
+         CASE WHEN q.term IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ptoks p
+  LEFT JOIN q ON q.query_id = p.query_id AND q.term = p.token
+),
+winsum AS (
+  SELECT query_id, doc_id, pos,
+         SUM(hit) OVER (PARTITION BY query_id, doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {width - 1} FOLLOWING)
+           AS win_hits
+  FROM marked
+),
+best AS (
+  SELECT query_id, doc_id, pos, win_hits,
+         row_number() OVER (PARTITION BY query_id, doc_id
+                            ORDER BY win_hits DESC, pos ASC) AS rn
+  FROM winsum
+)
+SELECT b.query_id, b.doc_id, CAST(b.pos AS INTEGER) AS best_start,
+       CAST(b.win_hits AS BIGINT) AS n_hits,
+       array_to_string(t.tokens[b.pos + 1 : b.pos + {width}], ' ') AS snippet
+FROM best b JOIN toks t USING (doc_id)
+WHERE b.rn = 1
+"""
+
+
+# S-stem as a scalar SQL CASE — identical rule rendering to the
+# term_tf_stemmed oracle (first matching suffix class wins, failed
+# guard returns the word unchanged)
+_STEM_CASE = """CASE
+  WHEN regexp_matches({t}, 'ies$') THEN
+    CASE WHEN regexp_matches({t}, '[^ae]ies$')
+         THEN substr({t}, 1, length({t}) - 3) || 'y' ELSE {t} END
+  WHEN regexp_matches({t}, 'es$') THEN
+    CASE WHEN regexp_matches({t}, '[^aeo]es$')
+         THEN substr({t}, 1, length({t}) - 1) ELSE {t} END
+  WHEN regexp_matches({t}, 's$') THEN
+    CASE WHEN regexp_matches({t}, '[^us]s$')
+         THEN substr({t}, 1, length({t}) - 1) ELSE {t} END
+  ELSE {t} END"""
+
+
+def _synonym_sql(qs, k: int = 10, weight: float = 0.4) -> str:
+    """Synonym-expansion twin: vocabulary stem-mate pairs (S-stem
+    equality, identity excluded), max-merged weighted expansion,
+    weighted-BM25 scoring — query/synonyms.py stage for stage."""
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+vocab AS (
+  SELECT term, {_STEM_CASE.format(t="term")} AS stem
+  FROM (SELECT DISTINCT term FROM tf)
+),
+syn AS (
+  SELECT a.term, b.term AS synonym
+  FROM vocab a JOIN vocab b ON a.stem = b.stem AND a.term <> b.term
+),
+expanded AS (
+  SELECT query_id, term, max(v) AS v FROM (
+    SELECT query_id, term, 1.0 AS v FROM q
+    UNION ALL
+    SELECT DISTINCT q.query_id, s.synonym AS term, {weight} AS v
+    FROM q JOIN syn s USING (term)
+  ) GROUP BY query_id, term
+),
+p2 AS (
+  SELECT m.query_id, tf.doc_id, sum(m.v * ({_BM25_TERM_EXPR})) AS raw_score
+  FROM tf
+  JOIN expanded m ON m.term = tf.term
+  JOIN dfreq ON dfreq.term = tf.term
+  JOIN doclen ON doclen.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY m.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM p2
+) WHERE rank <= {k}
+"""
+
+
 def _bm25_prior_sql(qs, k: int = 10, weight: float = 0.1) -> str:
     """BM25 + weighted log click-graph prior; the prior CTE nests the
     unrolled integer PageRank twin (see _pagerank_sql) and the blend
@@ -2063,6 +2181,8 @@ _GATE_ORDER = [
     "media_decode_stats",
     "ref_mf_topk",
     "ref_lightgcn_topk",
+    "search_snippets",
+    "bm25_synonym_topk",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -2099,9 +2219,9 @@ _GATE_ORDER = [
     "bm25f_topk_indexed",
     "qld_topk",
     "dedup_exact",
+    # ---- window boundary (~50): below here = green r3, pytest-covered ----
     "dedup_components",
     "graph_pagerank",
-    # ---- window boundary (~50): below here = green r3, pytest-covered ----
     "dedup_pipeline_pairs",
     "ann_lsh_topk",
     "sketch_hll_distinct",
@@ -2377,6 +2497,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_group_metrics": lambda spark, sf: _ref_group_metrics(spark, sf),
         "ref_mf_topk": lambda spark, sf: _ref_mf_topk(spark, sf),
         "ref_lightgcn_topk": lambda spark, sf: _ref_lightgcn_topk(spark, sf),
+        "search_snippets": lambda spark, sf: _search_snippets(spark, sf),
+        "bm25_synonym_topk": lambda spark, sf: _bm25_synonym_df(
+            spark, sf, _OR_QUERIES
+        ),
         # --- multimodal plumbing (byte features over binary media) ---
         "media_features": lambda spark, sf: extract_media_features(
             media_from_documents(spark, sf)
@@ -2514,6 +2638,42 @@ def _ref_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
     recs = _ref_recs(spark, sf)
     return topn_metrics(recs, test.select("user_id", "item_id"), ks=[5, 10])
+
+
+def _bm25_synonym_df(spark: SparkSession, sf: str, qs, k: int = 10) -> DataFrame:
+    """Synonym-expanded BM25 (query/synonyms.py): stem-mate pairs from
+    the corpus vocabulary, originals 1.0 / mates 0.4, one weighted
+    scoring pass."""
+    from pisa_spark.query.synonyms import synonym_bm25_topk
+
+    n_docs, avgdl = _stats(spark, sf)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in qs for t in terms],
+        "query_id int, term string",
+    )
+    out = synonym_bm25_topk(
+        _tf_full(spark, sf), qdf, n_docs, avgdl, k=k, weight=0.4
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _search_snippets(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-10 for the OR query set, then best-window snippets
+    (query/snippets.py): the window-sum + argmax plan is pure
+    relational, so the DuckDB twin replays it operator for operator
+    (integer hit counts, earliest-window tie rule, identical token
+    slice rendering)."""
+    from pisa_spark.query.snippets import best_window_snippets
+
+    res = _bm25_df(spark, sf, _OR_QUERIES, False, k=10)
+    docs = _docs(spark, sf)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in _OR_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    return best_window_snippets(res, docs, qdf, width=12)
 
 
 def _ref_mf_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -3317,6 +3477,8 @@ SELECT metric, CAST(k AS INTEGER) AS k, value FROM (
         # MF inference twin: identical md5-derived integer embedding
         # tables, exact integer dot scores, seen-masked top-10 —
         # bit-exact because every sum is over integers
+        "search_snippets": _snippets_sql(_OR_QUERIES, k=10, width=12),
+        "bm25_synonym_topk": _synonym_sql(_OR_QUERIES, k=10, weight=0.4),
         "ref_mf_topk": _SQL_REF
         + """,
 hist0 AS (SELECT * FROM blocks WHERE snapshot_idx = 0 AND block_type = 'hist'),

@@ -543,6 +543,64 @@ class SearchEngine:
             df_df=pruned.groupBy("term").agg(F.sum("n").alias("df")),
         )
 
+    def search_synonyms(
+        self, query, k: int = 10, weight: float = 0.4
+    ) -> DataFrame:
+        """Synonym-expanded search served off the loaded index: query
+        terms are joined with their vocabulary stem-mates
+        (query/synonyms.py — S-stem equality over the term dictionary),
+        originals weight 1.0 / stem-mates ``weight``, then ONE weighted
+        scoring pass over posting blocks pruned to the expanded term
+        set (term-literal filter below the decode, PushedFilters
+        reaches the scan — the search_rm3 pass-2 shape).
+
+        The stem-mate lookup scans the term DICTIONARY (block metadata,
+        vocabulary-sized — not the postings payload); the expanded term
+        set is bounded by the query's stem classes, so the collect that
+        turns it into scan literals is a few rows."""
+        from pisa_spark.corpus import stem_s
+        from pisa_spark.query.feedback import weighted_bm25_topk
+        from pisa_spark.query.scorers import postings_to_tf
+
+        q = self._normalize([query])[0]
+        if q.get("conjunctive") or q.get("negated"):
+            raise ValueError(
+                "search_synonyms is disjunctive expansion only; compose"
+                " with search()/search_batch for +/- operators"
+            )
+        terms = sorted(set(q["terms"]))
+        qstem = self.spark.createDataFrame(
+            [(t,) for t in terms], "term string"
+        ).select("term", stem_s(F.col("term")).alias("stem"))
+        vocab = self.postings.select("term").distinct().select(
+            F.col("term").alias("synonym")
+        ).withColumn("vstem", stem_s(F.col("synonym")))
+        mates = {
+            r["synonym"]
+            for r in F.broadcast(qstem)
+            .join(vocab, F.col("stem") == F.col("vstem"))
+            .filter(F.col("term") != F.col("synonym"))
+            .select("synonym")
+            .collect()
+        }
+        v_rows = [(q["query_id"], t, 1.0) for t in terms] + [
+            (q["query_id"], s, float(weight))
+            for s in sorted(mates - set(terms))
+        ]
+        v_df = self.spark.createDataFrame(
+            v_rows, "query_id int, term string, v double"
+        )
+        all_terms = sorted({t for _, t, _ in v_rows})
+        pruned = self.postings.filter(F.col("term").isin(all_terms))
+        return weighted_bm25_topk(
+            postings_to_tf(pruned),
+            v_df,
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            k=k,
+            df_df=pruned.groupBy("term").agg(F.sum("n").alias("df")),
+        )
+
     def search_reranked(
         self,
         query,
