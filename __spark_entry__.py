@@ -3666,21 +3666,29 @@ WITH params AS (
   FROM documents
 ),
 bytes0 AS (
+  -- text <> '' guard: string_split('', '') yields [''] (a phantom
+  -- zero-length element), but the engine encodes ZERO samples/pixels
+  -- for an empty text — exclude it and LEFT JOIN below so empty docs
+  -- keep a row with n = 0
   SELECT doc_id, generate_subscripts(cs, 1) AS i, unnest(cs) AS ch
-  FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents)
+  FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents
+        WHERE text <> '')
 ),
 bytes AS (SELECT doc_id, i, ascii(ch) AS v FROM bytes0),
 sums AS (
-  SELECT doc_id, sum(v) AS sum_all, count(*) AS n FROM bytes GROUP BY doc_id
+  SELECT d.doc_id, coalesce(sum(b.v), 0) AS sum_all, count(b.v) AS n
+  FROM documents d LEFT JOIN bytes b USING (doc_id) GROUP BY d.doc_id
 ),
 img AS (
+  -- greatest(n, 1): when n = 0 both terms are 0 (np.resize of an
+  -- empty array is all-zero pixels), and it guards the // and %
   SELECT p.doc_id, p.w, p.h,
-         ((p.w * p.h * 3) // s.n) * s.sum_all
-         + coalesce(sum(b.v) FILTER (b.i <= (p.w * p.h * 3) % s.n), 0)
+         ((p.w * p.h * 3) // greatest(s.n, 1)) * s.sum_all
+         + coalesce(sum(b.v) FILTER (b.i <= (p.w * p.h * 3) % greatest(s.n, 1)), 0)
            AS px_sum
   FROM params p
   JOIN sums s USING (doc_id)
-  JOIN bytes b USING (doc_id)
+  LEFT JOIN bytes b USING (doc_id)
   WHERE p.doc_id % 2 = 0
   GROUP BY p.doc_id, p.w, p.h, s.n, s.sum_all
 )

@@ -481,8 +481,20 @@ def embedding_near_pairs(
         ).filter(F.col("cosine") >= threshold)
     if not exact:
         if dim is None:
-            row = embeddings.select(F.size(vec_col)).first()
-            dim = int(row[0]) if row is not None else 0
+            # hyperplanes are driver-generated, so the signature width
+            # must be known at plan-construction time. Inferring it
+            # costs ONE bounded Spark job (a limit-1 scan) — pipelines
+            # that assemble plans without executing them (or run over
+            # mixed-width vectors) should pass dim= explicitly.
+            rows = embeddings.select(
+                F.size(vec_col).alias("d")
+            ).limit(1).collect()
+            if not rows:
+                raise ValueError(
+                    "embedding_near_pairs: cannot infer vector dim from"
+                    " an empty relation; pass dim= explicitly"
+                )
+            dim = int(rows[0]["d"])
         return embedding_near_pairs_lsh(
             embeddings,
             threshold,

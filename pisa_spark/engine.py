@@ -562,7 +562,16 @@ class SearchEngine:
         from pisa_spark.query.feedback import weighted_bm25_topk
         from pisa_spark.query.scorers import postings_to_tf
 
-        q = self._normalize([query])[0]
+        raw = parse_query(query) if isinstance(query, str) else dict(query)
+        if raw.get("phrases"):
+            # _normalize flattens quoted tokens to loose terms — an
+            # exact-phrase constraint must not silently degrade to
+            # synonym-expanded disjunction (same guard as search_fuzzy)
+            raise ValueError(
+                "search_synonyms does not support quoted phrases; use"
+                " search_phrase/search_mixed for exact phrases"
+            )
+        q = self._normalize([raw])[0]
         if q.get("conjunctive") or q.get("negated"):
             raise ValueError(
                 "search_synonyms is disjunctive expansion only; compose"

@@ -103,9 +103,14 @@ def _waves_from_pages(pages, wave_size: int):
     buf: list[int] = []
     for page in pages:
         buf.extend(page)
-        while len(buf) >= wave_size:
-            yield buf[:wave_size]
-            buf = buf[wave_size:]
+        # index-walk instead of re-slicing the carry buffer per wave:
+        # keeps the chunking O(page_rows) at the 10^7-bucket design
+        # point rather than O(page_rows^2 / wave_size)
+        pos = 0
+        while len(buf) - pos >= wave_size:
+            yield buf[pos : pos + wave_size]
+            pos += wave_size
+        buf = buf[pos:]
     if buf:
         yield buf
 

@@ -184,7 +184,21 @@ def topn_metrics(
         ground_truth.withColumn("grp", F.lit("_all")),
         ks,
     )
-    return out.select("metric", "k", "value")
+    # the grouped kernel emits no rows for an empty ground truth (its
+    # groupBy sees zero groups); the ungrouped contract is one row per
+    # (metric, k) with a null value — global .agg() semantics — so
+    # callers like per_snapshot_recall keep a visible (null) row for
+    # snapshots whose test block is empty instead of silently losing
+    # the snapshot from downstream means/trends
+    spark = recommendations.sparkSession
+    grid = spark.createDataFrame(
+        [(m, int(k)) for k in ks
+         for m in ("recall", "precision", "ndcg", "mrr")],
+        "metric string, k int",
+    )
+    return grid.join(
+        out.select("metric", "k", "value"), ["metric", "k"], "left"
+    ).select("metric", "k", "value")
 
 
 def topn_metrics_grouped(

@@ -176,3 +176,16 @@ def test_near_duplicate_pairs_one_call(docs):
     assert joined.filter(F.abs(F.col("jaccard") - F.col("jx")) > 1e-9).count() == 0
     high = ngram_jaccard_pairs(docs, threshold=0.9)
     assert high.join(composed, ["doc_a", "doc_b"], "left_anti").count() == 0
+
+
+def test_embedding_near_pairs_empty_relation_requires_dim(spark):
+    """Default (LSH) path infers the hyperplane width with one bounded
+    job; an empty relation cannot supply it and must raise instead of
+    silently building zero-width signatures."""
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        embedding_near_pairs(empty, threshold=0.5)
+    # explicit dim= is the plan-construction-only escape hatch
+    assert embedding_near_pairs(empty, threshold=0.5, dim=4).count() == 0

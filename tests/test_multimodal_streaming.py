@@ -343,3 +343,49 @@ def test_stream_index_ingest_content_dedup(spark, sf_dir, tmp_path):
     assert ids == set(range(100))
     _, stats = load_index(spark, idx)
     assert stats["n_docs"] == 100
+
+
+def test_media_decode_stats_empty_text_matches_twin(spark, tmp_path):
+    """Empty-text docs: the engine encodes ZERO samples (audio) and
+    all-zero cycled pixels (image); the DuckDB gate twin must agree —
+    regression for string_split('', '') yielding a phantom ''
+    element (one zero byte) in the oracle."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as E
+    from pisa_spark.functions.multimodal import (
+        media_decode_stats,
+        media_fixture_table,
+    )
+
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1, 2, 3], "text": ["", "", "ab", "ab"]}
+    )
+    sf = str(tmp_path / "sf_empty")
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    got = (
+        media_decode_stats(media_fixture_table(spark, sf))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    want = (
+        con.execute(E.oracle_sql()["media_decode_stats"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)]), (
+        got.to_dict(), want.to_dict()
+    )
+    # the empty-text audio doc decodes to zero samples, sum 0
+    r1 = got[got.doc_id == 1].iloc[0]
+    assert (r1["dim_a"], r1["payload_sum"]) == (0, 0)

@@ -463,3 +463,19 @@ def test_paged_driver_collect_identical_index(spark, sf_dir, tmp_path):
     assert latest.filter(F.col("status") == "pruned").count() == 7
     pa2, stats2 = load_index(spark, root_a)
     assert pa2.select(F.max("bucket")).collect()[0][0] == 0
+
+
+def test_waves_from_pages_matches_flat_slicing():
+    """Wave chunking over paged ids == slicing the fully-collected
+    sorted list, across page boundaries and ragged tails — and the
+    index-walk implementation is linear in page rows (regression for
+    the per-wave buffer re-slice)."""
+    from pisa_spark.index.lineage import _waves_from_pages
+
+    for n, page_rows, wave in [(103, 10, 8), (64, 7, 16), (5, 100, 2),
+                               (0, 10, 4), (9, 3, 3)]:
+        ids = list(range(n))
+        pages = [ids[i:i + page_rows] for i in range(0, n, page_rows)]
+        got = list(_waves_from_pages(iter(pages), wave_size=wave))
+        flat = [ids[i:i + wave] for i in range(0, n, wave)]
+        assert got == flat, (n, page_rows, wave)

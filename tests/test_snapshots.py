@@ -134,6 +134,25 @@ def test_metrics_skip_users_without_gt(spark):
     # user 1 has no GT -> excluded from averaging (ref Inference.py:25)
     assert got[("recall", 5)] == 1.0
 
+
+def test_topn_metrics_empty_gt_keeps_null_rows(spark):
+    """Empty ground truth -> one (metric, k) row per combination with a
+    null value (global-agg semantics), NOT zero rows: callers like
+    per_snapshot_recall must see a visible null for a snapshot whose
+    test block is empty rather than silently losing the snapshot."""
+    recs = spark.createDataFrame(
+        [(0, 1, 10)], "user_id long, rank int, item_id long"
+    )
+    gt = spark.createDataFrame([], "user_id long, item_id long")
+    rows = topn_metrics(recs, gt, ks=[5, 10]).collect()
+    assert {(r["metric"], r["k"]) for r in rows} == {
+        (m, k)
+        for k in (5, 10)
+        for m in ("recall", "precision", "ndcg", "mrr")
+    }
+    assert len(rows) == 8
+    assert all(r["value"] is None for r in rows)
+
 def test_topn_metrics_grouped_matches_per_group_ungrouped(spark):
     """Group-wise metrics == running topn_metrics on each cohort's GT
     alone (ref Inference.py:74-152: groups evaluated independently);

@@ -90,3 +90,7 @@ def test_facade_matches_relation_path(spark, sf_dir, tmp_path_factory):
     assert got == want
     with pytest.raises(ValueError, match="disjunctive"):
         eng.search_synonyms("data +table")
+    # a quoted phrase must raise, not silently degrade to loose
+    # synonym-expanded terms (same guard discipline as search_fuzzy)
+    with pytest.raises(ValueError, match="phrase"):
+        eng.search_synonyms('"data table" fast')
