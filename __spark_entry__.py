@@ -175,6 +175,46 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+def _bm25_quant_sql(qs: list[tuple[int, list[str]]], conjunctive: bool, k: int = 10) -> str:
+    """Bit-exact twin of the quantized impact index (index/quantized.py):
+    impact = floor(255.0*tf/(tf+(0.54+0.36*dl/avgdl))), idf_q =
+    floor(ln(idf_arg)*65536.0), score_q = sum(impact*idf_q) — every op
+    mirrors the engine token-for-token, and the integer sum is
+    order-free, so NO rounding is needed on the compared score."""
+    conj_filter = "HAVING count(*) = max(qn.n_terms)" if conjunctive else ""
+    return f"""
+{_SQL_BASE},
+imp AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(255.0 * tf.tf / (tf.tf + (0.54 + 0.36 * doclen.doc_len / stats.avgdl))) AS BIGINT) AS imp
+  FROM tf JOIN doclen USING (doc_id) CROSS JOIN stats
+),
+idfq AS (
+  SELECT term,
+         CAST(floor(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) * 65536.0) AS BIGINT) AS idf_q
+  FROM dfreq CROSS JOIN stats
+),
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+scored AS (
+  SELECT q.query_id, imp.doc_id,
+         CAST(sum(imp.imp * idfq.idf_q) AS BIGINT) AS score_q
+  FROM imp
+  JOIN q USING (term)
+  JOIN idfq USING (term)
+  JOIN qn USING (query_id)
+  GROUP BY q.query_id, imp.doc_id
+  {conj_filter}
+)
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT query_id, doc_id, score_q,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _snippets_sql(qs, k: int = 10, width: int = 12) -> str:
     """Best-window snippet twin: the same posexplode + ROWS-framed
     window sum + earliest-argmax plan as query/snippets.py, operator
@@ -684,6 +724,33 @@ def _built_index(spark: SparkSession, sf_dir: str):
         postings, _, _, stats = build_index_dataframes(spark, sf_dir, n_buckets=16)
         _MEMO[key] = (postings.cache(), stats)
     return _MEMO[key]
+
+
+def _built_quant_index(spark: SparkSession, sf_dir: str):
+    """Quantized impact index (index/quantized.py), memoized like
+    _built_index: 8-bit impacts baked at build time, integer serving."""
+    key = ("qidx", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        from pisa_spark.index.quantized import quantized_index_dataframes
+
+        postings, stats = quantized_index_dataframes(spark, sf_dir, n_buckets=16)
+        _MEMO[key] = (postings.cache(), stats)
+    return _MEMO[key]
+
+
+def _bm25_quant(
+    spark: SparkSession, sf_dir: str, qs, conjunctive: bool, k: int = 10
+) -> DataFrame:
+    """Top-k over the quantized index — integer scores, so the output
+    needs no rounding and ranking is exactly deterministic."""
+    from pisa_spark.index.quantized import quantized_topk
+
+    postings, stats = _built_quant_index(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms, "conjunctive": conjunctive}
+        for qid, terms in qs
+    ]
+    return quantized_topk(postings, queries, stats["n_docs"], k=k)
 
 
 def _bm25_wand(
@@ -2183,6 +2250,8 @@ _GATE_ORDER = [
     "ref_lightgcn_topk",
     "search_snippets",
     "bm25_synonym_topk",
+    "bm25_topk_or_quant",
+    "bm25_topk_and_quant",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -2213,13 +2282,13 @@ _GATE_ORDER = [
     "bm25_topk_or",
     "bm25_topk_and",
     "bm25_topk_or_wand",
-    "bm25_topk_and_maxscore",
     "bm25_phrase_topk",
     "bm25_rm3_topk",
     "bm25f_topk_indexed",
-    "qld_topk",
     "dedup_exact",
     # ---- window boundary (~50): below here = green r3, pytest-covered ----
+    "bm25_topk_and_maxscore",
+    "qld_topk",
     "dedup_components",
     "graph_pagerank",
     "dedup_pipeline_pairs",
@@ -2301,6 +2370,12 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_doc_ids": lambda spark, sf: assign_doc_ids(
             pages_from_documents(spark, sf)
         ).select("url", F.col("doc_id").cast("long").alias("doc_id")),
+        "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
+            spark, sf, _OR_QUERIES, False
+        ),
+        "bm25_topk_and_quant": lambda spark, sf: _bm25_quant(
+            spark, sf, _AND_QUERIES, True
+        ),
         "bm25_topk_or": lambda spark, sf: _bm25_df(spark, sf, _OR_QUERIES, False),
         "bm25_topk_and": lambda spark, sf: _bm25_df(spark, sf, _AND_QUERIES, True),
         # BM25 + static click-graph PageRank prior (web-ranking blend)
@@ -2816,6 +2891,8 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "doc_lengths": _SQL_BASE + "SELECT doc_id, doc_len FROM doclen",
         "term_df": _SQL_BASE + "SELECT term, df FROM dfreq",
         "term_tf": _SQL_BASE + "SELECT doc_id, term, tf FROM tf",
+        "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
+        "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),
         "bm25_topk_or": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and": _bm25_sql(_AND_QUERIES, conjunctive=True),
         "bm25_prior_topk": _bm25_prior_sql(_OR_QUERIES),

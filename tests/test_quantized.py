@@ -1,0 +1,211 @@
+"""Quantized impact index: build/decode round-trip, integer top-k
+semantics, quantization-error bound vs exact BM25, layout invariance."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pisa_spark.corpus import tokens_col
+from pisa_spark.index.quantized import (
+    IDF_SCALE,
+    IMPACT_SCALE,
+    _decode_quant_blocks,
+    build_quantized_postings,
+    idf_quantized,
+    impact_expr,
+    quantized_index_dataframes,
+    quantized_topk,
+)
+
+DOCS = [
+    (0, "data join data table"),
+    (1, "the the the the data"),
+    (2, "query scan spark join"),
+    (3, "spark query scan data join"),
+    (4, "scan"),
+    (5, "data data data data data data"),
+    (6, "join the query"),
+    (7, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def toks(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return (
+        docs.select("doc_id", tokens_col(F.col("text")).alias("tokens"))
+        .withColumn("doc_len", F.size("tokens"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def stats(toks):
+    r = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    return int(r["n"]), float(r["avgdl"])
+
+
+def _brute(qterms, conjunctive, n_docs, avgdl, k=10):
+    """Pure-Python replay of the quantization contract over DOCS."""
+    tf: dict[tuple[int, str], int] = {}
+    dl: dict[int, int] = {}
+    for doc_id, text in DOCS:
+        ts = [t for t in text.split() if t]
+        dl[doc_id] = len(ts)
+        for t in ts:
+            tf[(doc_id, t)] = tf.get((doc_id, t), 0) + 1
+    df: dict[str, int] = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    scores: dict[int, int] = {}
+    matched: dict[int, int] = {}
+    terms = list(dict.fromkeys(qterms))
+    for t in terms:
+        if t not in df:
+            if conjunctive:
+                return []
+            continue
+        iq = math.floor(
+            math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5)) * float(IDF_SCALE)
+        )
+        for d in dl:
+            f = tf.get((d, t))
+            if f is None:
+                continue
+            imp = math.floor(
+                255.0 * f / (f + (0.54 + 0.36 * dl[d] / avgdl))
+            )
+            scores[d] = scores.get(d, 0) + imp * iq
+            matched[d] = matched.get(d, 0) + 1
+    if conjunctive:
+        scores = {d: s for d, s in scores.items() if matched[d] == len(terms)}
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(r + 1, d, s) for r, (d, s) in enumerate(ranked)]
+
+
+def test_block_payloads_round_trip(toks, stats):
+    """Decoded (doc, impact) pairs == the codegen quantizer applied to
+    the tf relation; impacts payload is fixed 1 byte/posting."""
+    n_docs, avgdl = stats
+    blocks = build_quantized_postings(
+        toks, n_docs, avgdl, n_buckets=4, block_size=3
+    ).toPandas()
+    assert (blocks["imps"].str.len() == blocks["n"]).all()
+    got = []
+    for term, g in blocks.groupby("term"):
+        g = g.sort_values(["bucket", "block_idx"])
+        for _, bucket_g in g.groupby("bucket"):
+            docs, imps = _decode_quant_blocks(bucket_g)
+            got.extend((term, int(d), int(i)) for d, i in zip(docs, imps))
+    from pisa_spark.index.build import term_frequencies
+
+    want_df = term_frequencies(toks).select(
+        "term", "doc_id", impact_expr(avgdl).alias("imp")
+    ).toPandas()
+    want = {(r.term, int(r.doc_id), int(r.imp)) for r in want_df.itertuples()}
+    assert set(got) == want and len(got) == len(want)
+    assert blocks["imp_max"].between(0, IMPACT_SCALE - 1).all()
+
+
+@pytest.mark.parametrize(
+    "terms,conjunctive",
+    [
+        (["data", "join"], False),
+        (["the"], False),
+        (["query", "scan", "spark"], True),
+        (["data", "nosuchterm"], False),
+        (["data", "nosuchterm"], True),  # missing term -> empty AND
+        (["data", "data", "join"], False),  # repeated term scores once
+    ],
+)
+def test_topk_matches_brute_force(spark, toks, stats, terms, conjunctive):
+    n_docs, avgdl = stats
+    postings = build_quantized_postings(
+        toks, n_docs, avgdl, n_buckets=4, block_size=2
+    )
+    out = quantized_topk(
+        postings,
+        [{"query_id": 7, "terms": terms, "conjunctive": conjunctive}],
+        n_docs,
+        k=5,
+    ).collect()
+    got = [(r["rank"], r["doc_id"], r["score_q"]) for r in out]
+    assert got == _brute(terms, conjunctive, n_docs, avgdl, k=5)
+
+
+def test_quantization_error_bound(spark, toks, stats):
+    """score_q * 1.9 / (255 * 2^16) approximates exact BM25 within the
+    per-term bound 1.9*(|idf|+1)/255 + 1.9*|idf|/2^16 (module doc)."""
+    n_docs, avgdl = stats
+    terms = ["data", "join", "the"]
+    postings = build_quantized_postings(toks, n_docs, avgdl, n_buckets=4)
+    out = quantized_topk(
+        postings,
+        [{"query_id": 0, "terms": terms, "conjunctive": False}],
+        n_docs,
+        k=8,
+    ).toPandas()
+    from pisa_spark.index.build import term_frequencies
+    from pisa_spark.query.bm25 import bm25_topk_dataframe
+
+    tf = term_frequencies(toks)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    exact = bm25_topk_dataframe(
+        tf.join(dfreq, "term"),
+        spark.createDataFrame([(0, t) for t in terms], "query_id int, term string"),
+        n_docs,
+        avgdl,
+        k=8,
+    ).toPandas().set_index("doc_id")["score"]
+    dfs = {r["term"]: r["df"] for r in dfreq.collect()}
+    bound = sum(
+        1.9 * (abs(math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))) + 1) / 255
+        + 1.9 * abs(math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))) / IDF_SCALE
+        for t in terms
+    ) + 3 * 1.9 / IDF_SCALE
+    approx = out.set_index("doc_id")["score_q"] * 1.9 / (255.0 * IDF_SCALE)
+    joined = approx.to_frame("a").join(exact.to_frame("e"), how="inner")
+    assert len(joined) >= 5
+    assert (joined["a"] - joined["e"]).abs().max() <= bound
+
+
+def test_layout_invariance(spark, toks, stats):
+    """Same top-k rows regardless of bucket count / block size — the
+    integer ranking admits exactly one answer."""
+    n_docs, avgdl = stats
+    q = [{"query_id": 3, "terms": ["data", "query"], "conjunctive": False}]
+    outs = []
+    for nb, bs in [(2, 128), (5, 1), (8, 3)]:
+        postings = build_quantized_postings(
+            toks, n_docs, avgdl, n_buckets=nb, block_size=bs
+        )
+        outs.append(
+            tuple(
+                (r["rank"], r["doc_id"], r["score_q"])
+                for r in quantized_topk(postings, q, n_docs, k=10).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) > 0
+
+
+def test_index_dataframes_smoke(spark, sf_dir):
+    postings, stats = quantized_index_dataframes(spark, sf_dir, n_buckets=8)
+    q = [
+        {"query_id": 0, "terms": ["data", "join"], "conjunctive": False},
+        {"query_id": 1, "terms": ["query", "scan"], "conjunctive": True},
+    ]
+    out = quantized_topk(postings, q, stats["n_docs"], k=10).toPandas()
+    assert set(out.columns) == {"query_id", "rank", "doc_id", "score_q"}
+    assert (out.groupby("query_id")["rank"].max() <= 10).all()
+    assert out["score_q"].dtype == np.int64
+
+
+def test_idf_quantized_sign():
+    assert idf_quantized(1, 1000) > 0
+    assert idf_quantized(900, 1000) < 0
