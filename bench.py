@@ -184,6 +184,42 @@ def main() -> None:
     t_big_ms = time.perf_counter() - t0
     timings["q_batch64_maxscore"] = round(t_big_ms, 4)
 
+    # quantized impact index: 8-bit impacts baked at build, integer
+    # serving (index/quantized.py). Build timed separately; the same
+    # 64-query batch measures the int64 multiply-add path against the
+    # float WAND batch above. imps payload is fixed 1 byte/posting.
+    from pisa_spark.index.quantized import (
+        build_quantized_postings,
+        quantized_topk,
+    )
+
+    t0 = time.perf_counter()
+    docs_q = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pisa_spark.corpus import tokens_col
+
+    toks_q = docs_q.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    q_postings = build_quantized_postings(
+        toks_q, stats["n_docs"], stats["avgdl"], n_buckets=32,
+        max_doc_id=int(stats["n_docs"]),
+    ).repartition(n_part, "bucket").cache()
+    quant_bytes = q_postings.agg(
+        (F.sum(F.octet_length("docs")) + F.sum(F.octet_length("imps")))
+        .alias("b")
+    ).collect()[0]["b"]
+    timings["index_build_quant"] = round(time.perf_counter() - t0, 4)
+    quantized_topk(  # warm the plan shape (same rationale as WAND warm)
+        q_postings, big_batch[:1], stats["n_docs"], k=10,
+        term_dfs=term_dfs, pre_arranged=True,
+    ).collect()
+    t0 = time.perf_counter()
+    quantized_topk(
+        q_postings, big_batch, stats["n_docs"], k=10, term_dfs=term_dfs,
+        pre_arranged=True,
+    ).collect()
+    timings["q_batch64_quant"] = round(time.perf_counter() - t0, 4)
+
     # alternative-scorer serving (QLD off the decoded index): measures
     # the postings_to_tf decode + exhaustive scorer path that
     # search_scored uses, INCLUDING its term pruning below the decode
@@ -327,6 +363,7 @@ def main() -> None:
         "latency_p95_s": p95,
         "batch64_queries_per_s": round(64 / t_big, 2),
         "batch64_2p_queries_per_s": round(64 / t_big2, 2),
+        "quant_payload_bytes": int(quant_bytes),
         "positional_payload_bytes": int(
             pos_agg["base_bytes"] + pos_agg["poss_bytes"]
         ),

@@ -317,7 +317,13 @@ def quantized_topk(
     arranged, term_dfs = _arrange_pruned(
         postings, all_terms, term_dfs, pre_arranged
     )
-    idf_q = {t: idf_quantized(d, n_docs) for t, d in term_dfs.items()}
+    # only the query's terms — a caller may hand the full-vocabulary df
+    # dict (e.g. the bench shares one with the exact index)
+    idf_q = {
+        t: idf_quantized(term_dfs[t], n_docs)
+        for t in all_terms
+        if t in term_dfs
+    }
     local = arranged.mapInPandas(
         quantized_kernel(queries, idf_q, k), schema=_TOPK_SCHEMA
     )
