@@ -610,6 +610,62 @@ class SearchEngine:
             df_df=pruned.groupBy("term").agg(F.sum("n").alias("df")),
         )
 
+    def search_quantized(self, queries, k: int = 10) -> DataFrame:
+        """Serve from the 8-bit quantized impact twin of the loaded
+        index (index/quantized.py): integer scores, exactly
+        deterministic ranking, ~1 byte/posting payloads. The twin is
+        derived LAZILY from the exact index on first use — a
+        shuffle-free requantization pass (docs payloads copied, block
+        structure preserved) — then cached for the engine's lifetime.
+
+        Accepts one query or a list (strings or dicts); OR and '+'
+        conjunctive syntax. Quoted phrases and '-term' negation raise:
+        the quantized kernel carries no positions and no exclusion
+        path — route those to search()/search_batch(). Scores are
+        score_q = sum(impact * idf_q) (LongType), monotone in BM25 up
+        to the documented quantization error."""
+        from pisa_spark.index.quantized import quantized_topk
+
+        if not isinstance(queries, list):
+            queries = [queries]
+        raw = [
+            parse_query(q) if isinstance(q, str) else dict(q)
+            for q in queries
+        ]
+        for q in raw:
+            if q.get("phrases"):
+                raise ValueError(
+                    "search_quantized carries no positions; use"
+                    " search()/search_phrase for quoted phrases"
+                )
+            if q.get("negated"):
+                raise ValueError(
+                    "search_quantized has no exclusion path; use"
+                    " search()/search_batch for '-term' negation"
+                )
+        parsed = self._normalize(raw)
+        terms = {t for q in parsed for t in q["terms"]}
+        return quantized_topk(
+            self._quantized_postings(),
+            parsed,
+            int(self.stats["n_docs"]),
+            k=k,
+            term_dfs=self._term_dfs(terms),
+            pre_arranged=self._pre_arranged,
+        )
+
+    def _quantized_postings(self) -> DataFrame:
+        """The cached quantized twin (requantize_postings preserves
+        partitioning, so the exact index's bucket co-location carries
+        over — no extra shuffle at serve time either)."""
+        if getattr(self, "_quant", None) is None:
+            from pisa_spark.index.quantized import requantize_postings
+
+            self._quant = requantize_postings(
+                self.postings, float(self.stats["avgdl"])
+            ).cache()
+        return self._quant
+
     def search_reranked(
         self,
         query,

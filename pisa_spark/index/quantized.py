@@ -223,6 +223,60 @@ def quantized_index_dataframes(
     return postings, stats
 
 
+def requantize_postings(postings: DataFrame, avgdl: float) -> DataFrame:
+    """Exact-index blocks -> quantized blocks, 1:1 and SHUFFLE-FREE.
+
+    Every exact block (build.py layout) already carries (tf, dl) per
+    posting, which is all the quantizer needs, so the derivation is a
+    narrow mapInPandas: docs payloads are copied verbatim, block
+    structure/skip metadata survive unchanged, and partitioning is
+    preserved — a bucket-co-located (pre_arranged) exact index yields a
+    pre_arranged quantized index. Bit-identical to building with
+    build_quantized_postings at the same (n_buckets, block_size): the
+    quantizer arithmetic matches impact_expr op-for-op in IEEE binary64.
+
+    This is the stats-drift answer the module doc promises: when avgdl
+    moves enough to matter, re-derive the quantized twin from the
+    still-valid exact index — one narrow pass, no re-tokenize, no
+    shuffle."""
+    a = float(avgdl)
+
+    def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            ns = pdf["n"].to_numpy(np.int64)
+            tfs = codec.varint_decode(b"".join(pdf["tfs"])).astype(np.int64) + 1
+            dls = codec.varint_decode(b"".join(pdf["dls"])).astype(np.int64)
+            t = tfs.astype(np.float64)
+            d = dls.astype(np.float64)
+            imps = np.floor(
+                255.0 * t / (t + (0.54 + 0.36 * d / a))
+            ).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+            segs = np.split(imps.astype(np.uint8), np.cumsum(ns)[:-1])
+            yield pd.DataFrame(
+                {
+                    "bucket": pdf["bucket"].to_numpy(np.int32),
+                    "term": pdf["term"],
+                    "block_idx": pdf["block_idx"].to_numpy(np.int32),
+                    "first_doc": pdf["first_doc"].to_numpy(np.int64),
+                    "max_doc": pdf["max_doc"].to_numpy(np.int64),
+                    "n": pdf["n"].to_numpy(np.int32),
+                    "imp_max": np.maximum.reduceat(imps, starts).astype(
+                        np.int32
+                    ),
+                    "imp_min": np.minimum.reduceat(imps, starts).astype(
+                        np.int32
+                    ),
+                    "docs": pdf["docs"],
+                    "imps": [s.tobytes() for s in segs],
+                }
+            )
+
+    return postings.mapInPandas(kernel, schema=QUANT_SCHEMA)
+
+
 def _decode_quant_blocks(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """All of a term's blocks in one varint pass (docs) + one
     frombuffer (impacts) — block byte-strings concatenate losslessly."""

@@ -209,3 +209,55 @@ def test_index_dataframes_smoke(spark, sf_dir):
 def test_idf_quantized_sign():
     assert idf_quantized(1, 1000) > 0
     assert idf_quantized(900, 1000) < 0
+
+
+def test_requantize_matches_direct_build(spark, toks, stats):
+    """requantize(exact blocks) == build_quantized_postings at the same
+    (n_buckets, block_size) — bit-identical rows, payloads included."""
+    from pisa_spark.index.build import build_postings
+    from pisa_spark.index.quantized import requantize_postings
+
+    n_docs, avgdl = stats
+    exact = build_postings(toks, n_docs, avgdl, n_buckets=4, block_size=3)
+    via_requant = requantize_postings(exact, avgdl).toPandas()
+    direct = build_quantized_postings(
+        toks, n_docs, avgdl, n_buckets=4, block_size=3
+    ).toPandas()
+    key = ["bucket", "term", "block_idx"]
+    a = via_requant.sort_values(key).reset_index(drop=True)
+    b = direct.sort_values(key).reset_index(drop=True)
+    assert a[sorted(a.columns)].equals(b[sorted(b.columns)])
+    assert len(a) > 0
+
+
+def test_facade_search_quantized(spark, sf_dir, tmp_path_factory):
+    """Facade == module path; phrase/negation guards raise."""
+    import pytest as _pytest
+
+    from pisa_spark.engine import SearchEngine
+    from pisa_spark.index.quantized import (
+        quantized_index_dataframes,
+        quantized_topk,
+    )
+
+    root = str(tmp_path_factory.mktemp("qidx"))
+    eng = SearchEngine.build(spark, sf_dir, root)
+    got = eng.search_quantized(["data join", "+query scan"], k=10).collect()
+    postings, st = quantized_index_dataframes(spark, sf_dir, n_buckets=16)
+    want = quantized_topk(
+        postings,
+        [
+            {"query_id": 0, "terms": ["data", "join"], "conjunctive": False},
+            {"query_id": 1, "terms": ["query", "scan"], "conjunctive": True},
+        ],
+        st["n_docs"],
+        k=10,
+    ).collect()
+    as_tuples = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score_q"]) for r in rows
+    )
+    assert as_tuples(got) == as_tuples(want)
+    with _pytest.raises(ValueError, match="phrase"):
+        eng.search_quantized('"data join" fast')
+    with _pytest.raises(ValueError, match="negation|exclusion"):
+        eng.search_quantized("data -spam")
