@@ -261,3 +261,61 @@ def test_facade_search_quantized(spark, sf_dir, tmp_path_factory):
         eng.search_quantized('"data join" fast')
     with _pytest.raises(ValueError, match="negation|exclusion"):
         eng.search_quantized("data -spam")
+
+
+def test_two_phase_pruning_is_exact(spark):
+    """two_phase=True (integer block-max pruning, no epsilon) returns
+    EXACTLY the exhaustive answer — fuzzed over a seeded corpus with
+    head terms (negative idf_q), AND/OR, and single-term queries."""
+    import random
+
+    rng = random.Random(421)
+    vocab = [f"t{i}" for i in range(20)]
+    docs = []
+    for d in range(240):
+        n = rng.randint(1, 30)
+        # skew: t0/t1 are head terms (negative idf territory)
+        words = [
+            vocab[0] if rng.random() < 0.4
+            else vocab[1] if rng.random() < 0.3
+            else rng.choice(vocab)
+            for _ in range(n)
+        ]
+        docs.append((d, " ".join(words)))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = sdf.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    r = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = int(r["n"]), float(r["avgdl"])
+    postings = build_quantized_postings(
+        toks, n_docs, avgdl, n_buckets=6, block_size=8
+    ).cache()
+    queries = []
+    for i in range(10):
+        terms = rng.sample(vocab, rng.randint(1, 4))
+        queries.append(
+            {"query_id": i, "terms": terms, "conjunctive": rng.random() < 0.4}
+        )
+    queries.append({"query_id": 10, "terms": ["t0", "t1"], "conjunctive": False})
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], r["score_q"])
+            for r in df.collect()
+        )
+
+    exhaustive = rows(quantized_topk(postings, queries, n_docs, k=5))
+    pruned = rows(
+        quantized_topk(
+            postings, queries, n_docs, k=5, two_phase=True, sample_buckets=2
+        )
+    )
+    assert pruned == exhaustive
+    # single-query latency shape too (one threshold, one query)
+    one = [{"query_id": 99, "terms": ["t2", "t3", "t0"], "conjunctive": False}]
+    assert rows(
+        quantized_topk(postings, one, n_docs, k=3, two_phase=True)
+    ) == rows(quantized_topk(postings, one, n_docs, k=3))
