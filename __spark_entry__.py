@@ -769,6 +769,81 @@ def _bm25_wand(
     )
 
 
+# wildcard gate queries: (query_id, literal terms, prefix patterns)
+_WILDCARD_QUERIES = [(40, [], ["da*"]), (41, ["join"], ["s*"])]
+
+
+def _bm25_wildcard(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Prefix-wildcard search off the compressed index: patterns expand
+    against the term dictionary (block metadata, df DESC cap) and the
+    disjunction of expansions + literals runs through WAND
+    (query/fuzzy.py wildcard_topk)."""
+    from pisa_spark.query.fuzzy import wildcard_topk
+
+    postings, stats = _built_index(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms, "wildcards": wilds}
+        for qid, terms, wilds in _WILDCARD_QUERIES
+    ]
+    out = wildcard_topk(
+        postings, queries, stats["n_docs"], stats["avgdl"], k=k,
+        max_expand=64,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_wildcard_sql(qs, k: int = 10, max_expand: int = 64) -> str:
+    """Twin: LIKE-prefix expansion over the term dictionary with the
+    same (df DESC, term ASC) cap, UNION'd with the literal terms
+    (dedup — a literal matching a pattern scores once), then the
+    standard BM25 sum/rank tail."""
+    wvals = ", ".join(
+        f"({qid}, '{w[:-1]}')" for qid, _, wilds in qs for w in wilds
+    )
+    lvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in qs for t in sorted(set(terms))
+    )
+    literals = (
+        f"q(query_id, term) AS (VALUES {lvals}),\n"
+        "qx AS (SELECT query_id, term FROM q UNION"
+        " SELECT query_id, term FROM wx),"
+        if lvals
+        else "qx AS (SELECT query_id, term FROM wx),"
+    )
+    return f"""
+{_SQL_BASE},
+w(query_id, prefix) AS (VALUES {wvals}),
+wx AS (
+  SELECT w.query_id, d.term
+  FROM w JOIN dfreq d ON d.term LIKE w.prefix || '%'
+  QUALIFY row_number() OVER (PARTITION BY w.query_id, w.prefix
+                             ORDER BY d.df DESC, d.term ASC) <= {max_expand}
+),
+{literals}
+scored AS (
+  SELECT qx.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM tf
+  JOIN qx USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY qx.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 # negated-term gate queries: (query_id, positive terms, negated terms)
 _NEG_QUERIES = [
     (30, ["data", "join"], ["the"]),
@@ -2252,6 +2327,7 @@ _GATE_ORDER = [
     "bm25_synonym_topk",
     "bm25_topk_or_quant",
     "bm25_topk_and_quant",
+    "bm25_wildcard_topk",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -2275,7 +2351,6 @@ _GATE_ORDER = [
     "tpch_q5_regional",
     "tpch_q6_forecast",
     # -- round-3-green core gates kept inside the window for freshness --
-    "corpus_stats",
     "term_tf",
     "pages_extracted_stats",
     "pages_doc_ids",
@@ -2287,6 +2362,7 @@ _GATE_ORDER = [
     "bm25f_topk_indexed",
     "dedup_exact",
     # ---- window boundary (~50): below here = green r3, pytest-covered ----
+    "corpus_stats",
     "bm25_topk_and_maxscore",
     "qld_topk",
     "dedup_components",
@@ -2370,6 +2446,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_doc_ids": lambda spark, sf: assign_doc_ids(
             pages_from_documents(spark, sf)
         ).select("url", F.col("doc_id").cast("long").alias("doc_id")),
+        "bm25_wildcard_topk": _bm25_wildcard,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
         ),
@@ -2891,6 +2968,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "doc_lengths": _SQL_BASE + "SELECT doc_id, doc_len FROM doclen",
         "term_df": _SQL_BASE + "SELECT term, df FROM dfreq",
         "term_tf": _SQL_BASE + "SELECT doc_id, term, tf FROM tf",
+        "bm25_wildcard_topk": _bm25_wildcard_sql(_WILDCARD_QUERIES),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),
         "bm25_topk_or": _bm25_sql(_OR_QUERIES, conjunctive=False),

@@ -654,6 +654,61 @@ class SearchEngine:
             pre_arranged=self._pre_arranged,
         )
 
+    def search_wildcard(
+        self, query: str, k: int = 10, max_expand: int = 64
+    ) -> DataFrame:
+        """Prefix-wildcard search: 'dat* join' expands 'dat*' against
+        the index's own term dictionary (capped at ``max_expand``
+        terms per pattern, df DESC) and runs the disjunction of
+        expansions + literal terms through the WAND path — each
+        matched term scores with its own df. '+', '-' and quoted
+        phrases do not combine with wildcards (ambiguous expansion
+        semantics) and raise."""
+        import re
+
+        from pisa_spark.query.fuzzy import wildcard_topk
+
+        toks = query.split()
+        wild_raw = [t for t in toks if t.endswith("*")]
+        rest = " ".join(t for t in toks if not t.endswith("*"))
+        parsed = parse_query(rest) if rest.strip() else {"terms": []}
+        if (
+            parsed.get("conjunctive")
+            or parsed.get("negated")
+            or parsed.get("phrases")
+            or '"' in query
+        ):
+            raise ValueError(
+                "wildcard queries are disjunctive expansion only —"
+                " '+', '-' and quoted phrases do not combine with '*'"
+            )
+        wilds = []
+        for w in wild_raw:
+            prefix = re.sub(r"[^a-z0-9]", "", w[:-1].lower())
+            if not prefix or "*" in w[:-1]:
+                raise ValueError(
+                    f"unsupported wildcard {w!r}: prefix form 'abc*'"
+                    " with a non-empty prefix"
+                )
+            wilds.append(prefix + "*")
+        if not wilds:
+            raise ValueError(
+                "no '*' pattern in query — use search() for plain terms"
+            )
+        return wildcard_topk(
+            self.postings,
+            [{
+                "query_id": 0,
+                "terms": parsed["terms"],
+                "wildcards": wilds,
+            }],
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            k=k,
+            max_expand=max_expand,
+            pre_arranged=self._pre_arranged,
+        )
+
     def _quantized_postings(self) -> DataFrame:
         """The cached quantized twin (requantize_postings preserves
         partitioning, so the exact index's bucket co-location carries

@@ -406,20 +406,36 @@ def quantized_kernel(
                 docs_all = np.concatenate(doc_parts)
                 contribs = np.concatenate(contrib_parts)
                 uniq, inv = np.unique(docs_all, return_inverse=True)
-                scores = np.zeros(uniq.size, dtype=np.int64)
-                np.add.at(scores, inv, contribs)
+                # bincount's float64 accumulation is EXACT here: every
+                # contribution is an integer with |imp * idf_q| <
+                # 2^8 * 2^21 = 2^29 (idf_q <= ln(2e12)*2^16), so a doc
+                # would need > 2^24 matched terms before any partial
+                # sum could leave the 2^53 exact-integer range — far
+                # beyond any query shape. rint+cast recovers the int64.
+                # (np.add.at would accumulate in int64 directly but is
+                # an order of magnitude slower than bincount.)
+                sums = np.bincount(
+                    inv, weights=contribs.astype(np.float64),
+                    minlength=uniq.size,
+                )
+                scores = np.rint(sums).astype(np.int64)
                 if q["conjunctive"]:
                     cnt = np.bincount(inv, minlength=uniq.size)
                     keep = cnt == len(terms)
                     uniq, scores = uniq[keep], scores[keep]
                     if uniq.size == 0:
                         continue
-                # local top-k, (score_q DESC, doc_id ASC): lexsort is
-                # stable with the last key primary
-                order = np.lexsort((uniq, -scores))[:k]
-                out["query_id"].extend([q["query_id"]] * order.size)
-                out["doc_id"].extend(uniq[order].tolist())
-                out["score_q"].extend(scores[order].tolist())
+                # tie-safe bucket-local trim (keep every doc scoring
+                # >= the k-th largest); the global window applies the
+                # (score_q DESC, doc_id ASC) order — same contract as
+                # the float path's _accumulate_topk
+                if uniq.size > k:
+                    kth = np.partition(scores, uniq.size - k)[uniq.size - k]
+                    m = scores >= kth
+                    uniq, scores = uniq[m], scores[m]
+                out["query_id"].extend([q["query_id"]] * uniq.size)
+                out["doc_id"].extend(uniq.tolist())
+                out["score_q"].extend(scores.tolist())
         if out["query_id"]:
             yield pd.DataFrame(
                 {

@@ -140,3 +140,103 @@ def suggest_prefix(
         .filter(F.col("_rn") <= n)
         .select("prefix", F.col("_rn").alias("rank"), "term", "df")
     )
+
+
+def expand_wildcards(
+    postings: DataFrame,
+    prefixes: list[str],
+    max_expand: int = 64,
+) -> dict[str, list[str]]:
+    """Prefix-wildcard expansion against the index's own term
+    dictionary: 'dat*' -> every indexed term starting with 'dat',
+    capped at ``max_expand`` per pattern by (df DESC, term ASC) — the
+    deterministic 'most selective first' order every engine with
+    wildcard support applies when a pattern explodes.
+
+    One job over posting-block METADATA (term, n) only: the
+    starts-with disjunction is pushed to the scan (StringStartsWith),
+    payload columns are never read, and the result is
+    vocabulary-bounded (then capped), so it collects safely. Returns
+    {prefix: [terms]} with df-desc/term-asc order."""
+    if not prefixes:
+        return {}
+    cond = None
+    for p in prefixes:
+        c = F.col("term").startswith(p)
+        cond = c if cond is None else cond | c
+    rows = (
+        postings.filter(cond)
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"))
+        .collect()
+    )
+    out: dict[str, list[str]] = {p: [] for p in prefixes}
+    ranked = sorted(rows, key=lambda r: (-int(r["df"]), r["term"]))
+    for p in prefixes:
+        out[p] = [r["term"] for r in ranked if r["term"].startswith(p)][
+            :max_expand
+        ]
+    return out
+
+
+def wildcard_topk(
+    postings: DataFrame,
+    queries: list[dict],
+    n_docs: float,
+    avgdl: float,
+    k: int = 10,
+    max_expand: int = 64,
+    term_dfs: dict | None = None,
+    pre_arranged: bool = False,
+) -> DataFrame:
+    """BM25 top-k for queries mixing literal terms and prefix
+    wildcards: [{query_id, terms: [...], wildcards: ['dat*', ...]}].
+
+    Semantics: each wildcard expands to the indexed terms matching its
+    prefix (expand_wildcards); the query then runs as a plain
+    DISJUNCTION over literals + expansions through the block-max WAND
+    path — every matched term scores with its OWN df (no df pooling
+    across the expansion), each term scores once even when a literal
+    also matches a pattern. Conjunctive/negated syntax does not
+    combine with wildcards here (ambiguous: must EVERY expansion
+    match?) and raises."""
+    from pisa_spark.query.bm25 import bm25_topk_wand
+
+    pats: list[str] = []
+    for q in queries:
+        if q.get("conjunctive") or q.get("negated"):
+            raise ValueError(
+                "wildcard queries are disjunctive expansion only"
+            )
+        for w in q.get("wildcards", []):
+            if not w.endswith("*") or "*" in w[:-1] or len(w) < 2:
+                raise ValueError(
+                    f"unsupported wildcard {w!r}: prefix form 'abc*'"
+                    " with a non-empty prefix"
+                )
+            pats.append(w[:-1])
+    expansions = expand_wildcards(
+        postings, sorted(set(pats)), max_expand=max_expand
+    )
+    expanded = []
+    for q in queries:
+        terms = list(q.get("terms", []))
+        for w in q.get("wildcards", []):
+            terms.extend(expansions.get(w[:-1], []))
+        expanded.append(
+            {
+                "query_id": q["query_id"],
+                "terms": list(dict.fromkeys(terms)),
+                "conjunctive": False,
+            }
+        )
+    live = [q for q in expanded if q["terms"]]
+    if not live:
+        spark = postings.sparkSession
+        return spark.createDataFrame(
+            [], "query_id int, rank int, doc_id long, score double"
+        )
+    return bm25_topk_wand(
+        postings, live, n_docs, avgdl, k=k, term_dfs=term_dfs,
+        pre_arranged=pre_arranged,
+    )
