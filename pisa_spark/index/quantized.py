@@ -352,11 +352,12 @@ def quantized_kernel(
     Per term, decode the UNION of the batch's kept blocks ONCE; every
     query then accumulates the decoded arrays in full — extra blocks
     (kept for another query) only move a doc's score toward exact,
-    which is always sound. int64 scores via np.add.at over the
-    unique-doc inverse; AND keeps docs whose matched-term count equals
-    the query's distinct-term count (each term contributes one posting
-    per doc). thresholds: per-query integer lower bounds on the global
-    k-th score (from the two-phase bootstrap); empty -> no pruning."""
+    which is always sound. Scores accumulate via bincount over the
+    unique-doc inverse (exact — see the in-kernel note); AND keeps docs
+    whose matched-term count equals the query's distinct-term count
+    (each term contributes one posting per doc). thresholds: per-query
+    integer lower bounds on the global k-th score (from the two-phase
+    bootstrap); empty -> no pruning."""
     thresholds = thresholds or {}
 
     def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -155,8 +155,10 @@ def expand_wildcards(
 
     One job over posting-block METADATA (term, n) only: the
     starts-with disjunction is pushed to the scan (StringStartsWith),
-    payload columns are never read, and the result is
-    vocabulary-bounded (then capped), so it collects safely. Returns
+    payload columns are never read, and the per-pattern cap is applied
+    IN SPARK (suggest_prefix's window rank) before the collect — the
+    driver never receives more than |patterns| * max_expand rows, even
+    for a one-character pattern over a web-scale vocabulary. Returns
     {prefix: [terms]} with df-desc/term-asc order."""
     if not prefixes:
         return {}
@@ -164,18 +166,16 @@ def expand_wildcards(
     for p in prefixes:
         c = F.col("term").startswith(p)
         cond = c if cond is None else cond | c
-    rows = (
-        postings.filter(cond)
-        .groupBy("term")
-        .agg(F.sum("n").alias("df"))
-        .collect()
+    vocab = postings.filter(cond).groupBy("term").agg(
+        F.sum("n").alias("df")
     )
+    prefixes_df = postings.sparkSession.createDataFrame(
+        [(p,) for p in prefixes], "prefix string"
+    )
+    ranked = suggest_prefix(vocab, prefixes_df, n=max_expand).collect()
     out: dict[str, list[str]] = {p: [] for p in prefixes}
-    ranked = sorted(rows, key=lambda r: (-int(r["df"]), r["term"]))
-    for p in prefixes:
-        out[p] = [r["term"] for r in ranked if r["term"].startswith(p)][
-            :max_expand
-        ]
+    for r in sorted(ranked, key=lambda r: (r["prefix"], r["rank"])):
+        out[r["prefix"]].append(r["term"])
     return out
 
 
