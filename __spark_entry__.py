@@ -844,6 +844,91 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+# attribute-filtered gate queries: (query_id, terms, {col: value})
+_FILTERED_QUERIES = [
+    (50, ["data", "join"], {"lang": "en"}),
+    (51, ["the"], {"lang": "de", "source": "src3"}),
+]
+
+
+def _built_attr_index(spark: SparkSession, sf_dir: str):
+    """Index with lang/source filter pseudo-terms in the blocks
+    (build.attribute_tokens_col) — scoring stats identical to the
+    plain index by contract."""
+    key = ("aidx", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        postings, _, _, stats = build_index_dataframes(
+            spark, sf_dir, n_buckets=16, attribute_cols=["lang", "source"]
+        )
+        _MEMO[key] = (postings.cache(), stats)
+    return _MEMO[key]
+
+
+def _bm25_filtered(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Attribute-filtered BM25 off the compressed index: the metadata
+    predicate is a bucket-local doc-id intersection against the
+    filter pseudo-terms' postings (query/bm25.py _bucket_inclusion) —
+    no join against the documents table at query time."""
+    postings, stats = _built_attr_index(spark, sf_dir)
+    queries = [
+        {
+            "query_id": qid,
+            "terms": terms,
+            "conjunctive": False,
+            "filter": [f"{c}:{v}" for c, v in sorted(fs.items())],
+        }
+        for qid, terms, fs in _FILTERED_QUERIES
+    ]
+    out = bm25_topk_wand(
+        postings, queries, stats["n_docs"], stats["avgdl"], k=k
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_filtered_sql(qs, k: int = 10) -> str:
+    """Twin: the standard BM25 sum, then a per-query allowed-doc
+    semi-join straight off the documents table — restricting AFTER
+    scoring, so scores equal the unfiltered run on surviving docs
+    (the engine's scoring-integrity contract for filters)."""
+    allow = "\n  UNION ALL\n".join(
+        f"  SELECT {qid} AS query_id, doc_id FROM documents WHERE "
+        + " AND ".join(f"lower({c}) = '{v}'" for c, v in sorted(fs.items()))
+        for qid, _, fs in qs
+    )
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in qs for t in sorted(set(terms))
+    )
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {qvals}),
+allow AS (
+{allow}
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT s.query_id, s.doc_id, round(s.raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.raw_score DESC, s.doc_id ASC) AS INTEGER) AS rank
+  FROM scored s
+  JOIN allow USING (query_id, doc_id)
+) WHERE rank <= {k}
+"""
+
+
 # negated-term gate queries: (query_id, positive terms, negated terms)
 _NEG_QUERIES = [
     (30, ["data", "join"], ["the"]),
@@ -2328,6 +2413,7 @@ _GATE_ORDER = [
     "bm25_topk_or_quant",
     "bm25_topk_and_quant",
     "bm25_wildcard_topk",
+    "bm25_filtered_topk",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -2353,7 +2439,6 @@ _GATE_ORDER = [
     # -- round-3-green core gates kept inside the window for freshness --
     "term_tf",
     "pages_extracted_stats",
-    "pages_doc_ids",
     "bm25_topk_or",
     "bm25_topk_and",
     "bm25_topk_or_wand",
@@ -2362,6 +2447,7 @@ _GATE_ORDER = [
     "bm25f_topk_indexed",
     "dedup_exact",
     # ---- window boundary (~50): below here = green r3, pytest-covered ----
+    "pages_doc_ids",
     "corpus_stats",
     "bm25_topk_and_maxscore",
     "qld_topk",
@@ -2447,6 +2533,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pages_from_documents(spark, sf)
         ).select("url", F.col("doc_id").cast("long").alias("doc_id")),
         "bm25_wildcard_topk": _bm25_wildcard,
+        "bm25_filtered_topk": _bm25_filtered,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
         ),
@@ -2969,6 +3056,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "term_df": _SQL_BASE + "SELECT term, df FROM dfreq",
         "term_tf": _SQL_BASE + "SELECT doc_id, term, tf FROM tf",
         "bm25_wildcard_topk": _bm25_wildcard_sql(_WILDCARD_QUERIES),
+        "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),
         "bm25_topk_or": _bm25_sql(_OR_QUERIES, conjunctive=False),

@@ -654,6 +654,64 @@ class SearchEngine:
             pre_arranged=self._pre_arranged,
         )
 
+    def search_filtered(
+        self, query, filters, k: int = 10, two_phase: bool = False
+    ) -> DataFrame:
+        """Attribute-filtered search: BM25 over the query's terms,
+        restricted to docs matching EVERY filter, e.g.
+        search_filtered("data join", {"lang": "en"}).
+
+        Requires an index built with ``attribute_cols`` (the filter
+        postings live in the same blocks — build.attribute_tokens_col),
+        verified here per attribute: filtering against an attribute the
+        index never saw raises instead of silently returning nothing.
+        filters: {"col": value} dict or ready ["col:value"] pseudo-term
+        list. Composes with '+' (conjunctive) and '-term' (negation);
+        quoted phrases route through the positional kernels, which
+        don't carry the include intersection, and raise."""
+        if isinstance(filters, dict):
+            fterms = [
+                f"{c}:{str(v).lower()}" for c, v in sorted(filters.items())
+            ]
+        else:
+            fterms = list(filters)
+        if not fterms:
+            raise ValueError("no filters given — use search() instead")
+        q = parse_query(query) if isinstance(query, str) else dict(query)
+        if q.get("phrases"):
+            raise ValueError(
+                "quoted phrases do not combine with attribute filters"
+            )
+        attrs = {t.split(":", 1)[0] for t in fterms}
+        cache = getattr(self, "_attrs_indexed", None)
+        if cache is None:
+            cache = self._attrs_indexed = set()
+        for a in sorted(attrs - cache):
+            # one bounded job per new attribute: any pseudo-term with
+            # this prefix proves the attribute was indexed
+            if not self.postings.filter(
+                F.col("term").startswith(a + ":")
+            ).limit(1).collect():
+                raise ValueError(
+                    f"attribute {a!r} is not indexed — build the index"
+                    f" with attribute_cols=[..., {a!r}, ...]"
+                )
+            cache.add(a)
+        norm = self._normalize([q])[0]
+        norm["filter"] = fterms
+        return bm25_topk_wand(
+            self.postings,
+            [norm],
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            k=k,
+            two_phase=two_phase,
+            term_dfs=self._term_dfs(
+                set(norm["terms"]) | set(norm.get("negated", [])) | set(fterms)
+            ),
+            pre_arranged=self._pre_arranged,
+        )
+
     def search_wildcard(
         self, query: str, k: int = 10, max_expand: int = 64
     ) -> DataFrame:

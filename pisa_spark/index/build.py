@@ -307,18 +307,53 @@ def build_postings(
     )
 
 
+def attribute_tokens_col(attribute_cols: list[str]) -> F.Column:
+    """array<string> of attribute pseudo-terms for filtered search:
+    column 'lang' with value 'en' -> 'lang:en'. The ':' separator can
+    never collide with real terms (the tokenizer strips non-alnum), so
+    attributes live in the SAME posting-block relation as text terms —
+    the classic filter-as-postings design (Lucene filter terms): a
+    metadata predicate becomes a bucket-local doc-id intersection at
+    query time, no side join against a 10^12-row documents table.
+    Null attribute values index as '<col>:null'."""
+    return F.array(
+        *[
+            F.concat(
+                F.lit(c + ":"),
+                F.coalesce(F.lower(F.col(c).cast("string")), F.lit("null")),
+            )
+            for c in attribute_cols
+        ]
+    )
+
+
 def build_index_dataframes(
     spark: SparkSession,
     sf_dir: str,
     n_buckets: int = 32,
     block_size: int = BLOCK_SIZE,
     with_positions: bool = False,
+    attribute_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
-    """documents.parquet -> (postings, term_stats, corpus_stats, stats_dict)."""
+    """documents.parquet -> (postings, term_stats, corpus_stats, stats_dict).
+
+    attribute_cols: document metadata columns to index as filter
+    pseudo-terms ('lang:en'); doc_len / avgdl / total_terms count REAL
+    tokens only, so BM25 scores are identical with or without indexed
+    attributes — pseudo-terms are matched (filtered on), never scored.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sel = ["doc_id"] + list(attribute_cols or [])
     toks = docs.select(
-        "doc_id", tokens_col(F.col("text")).alias("tokens")
-    ).withColumn("doc_len", F.size("tokens")).cache()
+        *sel, tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    if attribute_cols:
+        # appended AFTER doc_len so scoring stats ignore pseudo-terms
+        toks = toks.withColumn(
+            "tokens",
+            F.concat("tokens", attribute_tokens_col(list(attribute_cols))),
+        ).select("doc_id", "tokens", "doc_len")
+    toks = toks.cache()
     # one pass collects every global stat the build needs
     stats_row = toks.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -139,6 +139,7 @@ def build_index_resumable(
     docs_df: DataFrame | None = None,
     with_positions: bool = False,
     driver_page_rows: int = DRIVER_PAGE_ROWS,
+    attribute_cols: list[str] | None = None,
 ) -> dict:
     """Build (or resume, or incrementally extend) the persistent index.
 
@@ -186,12 +187,30 @@ def build_index_resumable(
         docs_df = catalog.read_table(spark, sf_dir, "documents.parquet")
     toks = docs_df.select(
         "doc_id",
+        *(attribute_cols or []),
         tokens_col(F.col("text")).alias("tokens"),
         # per-doc content fingerprint rides along so bucket-change
         # detection sees CONTENT, not just counts; xor-aggregated per
-        # bucket (order-independent, overflow-free)
-        F.xxhash64(F.col("doc_id"), F.col("text")).alias("doc_fp"),
-    ).withColumn("doc_len", F.size("tokens")).cache()
+        # bucket (order-independent, overflow-free). Indexed attribute
+        # columns fold in too — an attribute-only edit must rebuild the
+        # bucket's filter postings just like a text edit.
+        F.xxhash64(
+            F.col("doc_id"), F.col("text"),
+            *[F.col(c) for c in (attribute_cols or [])],
+        ).alias("doc_fp"),
+    ).withColumn("doc_len", F.size("tokens"))
+    if attribute_cols:
+        # filter pseudo-terms ('lang:en') append AFTER doc_len so
+        # scoring stats count real tokens only (build.py contract);
+        # they ride the same blocks, so attribute filtering stays
+        # bucket-local at query time (query/bm25.py _bucket_inclusion)
+        from pisa_spark.index.build import attribute_tokens_col
+
+        toks = toks.withColumn(
+            "tokens",
+            F.concat("tokens", attribute_tokens_col(list(attribute_cols))),
+        ).select("doc_id", "tokens", "doc_len", "doc_fp")
+    toks = toks.cache()
     try:
         stats_row = corpus_stats(toks).collect()[0]
         n_docs = int(stats_row["n_docs"])

@@ -254,6 +254,7 @@ def _accumulate_topk(
     conjunctive: bool,
     k: int,
     exclude: np.ndarray | None = None,
+    include: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sum per-term contributions into per-doc scores and trim to the
     bucket-local top-k candidates. np.unique + np.bincount over the
@@ -262,6 +263,8 @@ def _accumulate_topk(
     exclude: sorted doc ids to drop (negated-term exclusion). Applied
     BEFORE the top-k trim — an excluded doc sitting in a trim slot
     must not displace a valid candidate below the k-th score.
+    include: sorted doc ids to KEEP (attribute-filter intersection),
+    same before-the-trim discipline; None means no filter (keep all).
     """
     empty = (np.empty(0, np.int64), np.empty(0, np.float64))
     if not doc_parts:
@@ -274,6 +277,13 @@ def _accumulate_topk(
         counts = np.bincount(inv)
         mask = counts == n_terms
         uniq, sums = uniq[mask], sums[mask]
+    if include is not None and uniq.size:
+        alive = (
+            _in_sorted(include, uniq)
+            if include.size
+            else np.zeros(uniq.size, bool)
+        )
+        uniq, sums = uniq[alive], sums[alive]
     if exclude is not None and exclude.size and uniq.size:
         alive = ~_in_sorted(exclude, uniq)
         uniq, sums = uniq[alive], sums[alive]
@@ -338,6 +348,37 @@ def _bucket_exclusion(
     if not parts:
         return None
     return np.unique(np.concatenate(parts)) if len(parts) > 1 else parts[0]
+
+
+def _bucket_inclusion(
+    by_term: dict,
+    filters: list[str],
+    cache: dict,
+) -> np.ndarray | None:
+    """Sorted doc ids of this bucket matching EVERY filter pseudo-term
+    ('lang:en' — build.attribute_tokens_col), or None when the query
+    carries no filters. The doc-range layout makes attribute filtering
+    local exactly like NOT: a doc's filter postings live in its own
+    bucket. A filter term absent from the bucket -> empty include set
+    (no doc here can satisfy the filter). Per-term decodes share the
+    same cache as negation (docs only, never scored)."""
+    if not filters:
+        return None
+    inter: np.ndarray | None = None
+    for t in filters:
+        if t not in by_term:
+            return np.empty(0, np.int64)
+        if t not in cache:
+            docs, _, _ = _decode_blocks_vectorized(by_term[t])
+            cache[t] = np.unique(docs)
+        inter = (
+            cache[t]
+            if inter is None
+            else inter[_in_sorted(cache[t], inter)]
+        )
+        if inter.size == 0:
+            return inter
+    return inter
 
 
 def wand_kernel(
@@ -450,6 +491,9 @@ def wand_kernel(
                     exclude=_bucket_exclusion(
                         by_term, q.get("negated", []), neg_cache
                     ),
+                    include=_bucket_inclusion(
+                        by_term, q.get("filter", []), neg_cache
+                    ),
                 )
                 if docs.size:
                     out_frames.append(
@@ -508,6 +552,7 @@ def bm25_topk_wand(
     all_terms = sorted(
         {t for q in queries for t in q["terms"]}
         | {t for q in queries for t in q.get("negated", [])}
+        | {t for q in queries for t in q.get("filter", [])}
     )
     # no cache: the term-pruned parquet scan (PushedFilters) is cheaper
     # to re-run than to materialize, and caching per call would leak;
@@ -875,6 +920,12 @@ def bm25_topk_maxscore(
     pruning strategy differs. two_phase bootstraps thresholds exactly
     as the WAND driver does (any k docs' k-th score from a bucket
     subset is a valid global lower bound)."""
+    if any(q.get("filter") for q in queries):
+        raise ValueError(
+            "attribute filters are served by the WAND path"
+            " (bm25_topk_wand / search_filtered); the MaxScore kernel"
+            " does not implement the include intersection"
+        )
     all_terms = sorted(
         {t for q in queries for t in q["terms"]}
         | {t for q in queries for t in q.get("negated", [])}

@@ -1,0 +1,170 @@
+"""Attribute-filtered search: filter-as-postings build, bucket-local
+include intersection, scoring integrity, facade guards."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pisa_spark.corpus import tokens_col
+from pisa_spark.index.build import attribute_tokens_col, build_postings
+from pisa_spark.query.bm25 import bm25_topk_maxscore, bm25_topk_wand
+
+DOCS = [
+    # (doc_id, text, lang, source)
+    (0, "data join data table", "en", "web"),
+    (1, "the the the data join", "de", "web"),
+    (2, "query scan spark join data", "en", "wiki"),
+    (3, "spark query scan data join", "en", "web"),
+    (4, "data join scan", "fr", "wiki"),
+    (5, "data data join", "en", None),  # null attribute -> 'source:null'
+    (6, "join the query data", "de", "wiki"),
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    docs = spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string"
+    )
+    toks = docs.select(
+        "doc_id", "lang", "source", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    toks = toks.withColumn(
+        "tokens", F.concat("tokens", attribute_tokens_col(["lang", "source"]))
+    ).select("doc_id", "tokens", "doc_len")
+    r = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    postings = build_postings(
+        toks, int(r["n"]), float(r["avgdl"]), n_buckets=3, block_size=2
+    ).cache()
+    return postings, int(r["n"]), float(r["avgdl"])
+
+
+def _filtered_ids(pred):
+    return {d for d, _, lang, src in DOCS if pred(lang, src)}
+
+
+def test_filter_restricts_and_preserves_scores(built):
+    """Filtered top-k == unfiltered top-k restricted to matching docs,
+    with IDENTICAL scores (pseudo-terms are never scored and doc_len
+    excludes them)."""
+    postings, n_docs, avgdl = built
+    base = {"query_id": 0, "terms": ["data", "join"], "conjunctive": False}
+    unfiltered = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk_wand(
+            postings, [dict(base)], n_docs, avgdl, k=10
+        ).collect()
+    }
+    got = bm25_topk_wand(
+        postings, [dict(base, filter=["lang:en"])], n_docs, avgdl, k=10
+    ).collect()
+    want_ids = _filtered_ids(lambda l, s: l == "en") & set(unfiltered)
+    assert {r["doc_id"] for r in got} == want_ids
+    for r in got:
+        assert r["score"] == pytest.approx(unfiltered[r["doc_id"]], abs=0)
+
+
+def test_multiple_filters_intersect(built):
+    postings, n_docs, avgdl = built
+    got = bm25_topk_wand(
+        postings,
+        [{"query_id": 1, "terms": ["data"], "conjunctive": False,
+          "filter": ["lang:en", "source:wiki"]}],
+        n_docs, avgdl, k=10,
+    ).collect()
+    assert {r["doc_id"] for r in got} == _filtered_ids(
+        lambda l, s: l == "en" and s == "wiki"
+    )
+
+
+def test_null_attribute_and_no_match(built):
+    postings, n_docs, avgdl = built
+    got = bm25_topk_wand(
+        postings,
+        [{"query_id": 2, "terms": ["data"], "conjunctive": False,
+          "filter": ["source:null"]}],
+        n_docs, avgdl, k=10,
+    ).collect()
+    assert {r["doc_id"] for r in got} == {5}
+    assert (
+        bm25_topk_wand(
+            postings,
+            [{"query_id": 3, "terms": ["data"], "conjunctive": False,
+              "filter": ["lang:zz"]}],
+            n_docs, avgdl, k=10,
+        ).count()
+        == 0
+    )
+
+
+def test_filter_composes_with_negation_conjunction_and_two_phase(built):
+    postings, n_docs, avgdl = built
+    q = {"query_id": 4, "terms": ["data", "join"], "conjunctive": True,
+         "negated": ["query"], "filter": ["lang:en"]}
+    got = {
+        r["doc_id"]
+        for r in bm25_topk_wand(
+            postings, [dict(q)], n_docs, avgdl, k=10
+        ).collect()
+    }
+    # en docs containing data AND join, minus those containing 'query'
+    assert got == {0, 5}
+    # two-phase thresholds stay exact under filters
+    a = bm25_topk_wand(postings, [dict(q)], n_docs, avgdl, k=2).collect()
+    b = bm25_topk_wand(
+        postings, [dict(q)], n_docs, avgdl, k=2, two_phase=True,
+        sample_buckets=1,
+    ).collect()
+    key = lambda rows: [
+        (r["rank"], r["doc_id"], round(r["score"], 9)) for r in rows
+    ]
+    assert key(a) == key(b)
+
+
+def test_maxscore_rejects_filters(built):
+    postings, n_docs, avgdl = built
+    with pytest.raises(ValueError, match="WAND"):
+        bm25_topk_maxscore(
+            postings,
+            [{"query_id": 5, "terms": ["data"], "conjunctive": False,
+              "filter": ["lang:en"]}],
+            n_docs, avgdl,
+        )
+
+
+def test_build_index_dataframes_attribute_stats_unchanged(spark, sf_dir):
+    """avgdl/total_terms identical with and without attribute_cols —
+    pseudo-terms must not leak into scoring stats."""
+    from pisa_spark.index.build import build_index_dataframes
+
+    _, _, cs_plain, st_plain = build_index_dataframes(spark, sf_dir, n_buckets=4)
+    _, _, cs_attr, st_attr = build_index_dataframes(
+        spark, sf_dir, n_buckets=4, attribute_cols=["lang", "source"]
+    )
+    assert st_plain == st_attr
+    assert cs_plain.collect() == cs_attr.collect()
+
+
+def test_facade_filtered_and_resumable_attrs(spark, sf_dir, tmp_path_factory):
+    from pisa_spark.engine import SearchEngine
+
+    root = str(tmp_path_factory.mktemp("fidx"))
+    eng = SearchEngine.build(
+        spark, sf_dir, root, attribute_cols=["lang"]
+    )
+    got = eng.search_filtered("data join", {"lang": "en"}, k=10).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    en_ids = set(docs[docs.lang == "en"].doc_id)
+    assert len(got) > 0 and set(got.doc_id) <= en_ids
+    # scores match the unfiltered run on the same docs
+    base = eng.search("data join", k=500).toPandas().set_index("doc_id")
+    for r in got.itertuples():
+        assert r.score == base.loc[r.doc_id, "score"]
+    # unindexed attribute raises, phrase raises, empty filters raise
+    with pytest.raises(ValueError, match="not indexed"):
+        eng.search_filtered("data", {"source": "web"})
+    with pytest.raises(ValueError, match="phrase"):
+        eng.search_filtered('"data join"', {"lang": "en"})
+    with pytest.raises(ValueError, match="no filters"):
+        eng.search_filtered("data", {})
