@@ -486,6 +486,14 @@ def quantized_topk(
     applied once a query has a full k phase-1 rows."""
     from pisa_spark.query.bm25 import _arrange_pruned
 
+    for q in queries:
+        if q.get("negated") or q.get("filter"):
+            # the integer kernel carries no exclusion/inclusion sets —
+            # refusing beats silently returning unfiltered results
+            raise ValueError(
+                "quantized_topk does not support negation or attribute"
+                " filters; route those queries to bm25_topk_wand"
+            )
     all_terms = sorted({t for q in queries for t in q["terms"]})
     arranged, term_dfs = _arrange_pruned(
         postings, all_terms, term_dfs, pre_arranged

@@ -223,13 +223,16 @@ def wildcard_topk(
         terms = list(q.get("terms", []))
         for w in q.get("wildcards", []):
             terms.extend(expansions.get(w[:-1], []))
-        expanded.append(
-            {
-                "query_id": q["query_id"],
-                "terms": list(dict.fromkeys(terms)),
-                "conjunctive": False,
-            }
-        )
+        exp = {
+            "query_id": q["query_id"],
+            "terms": list(dict.fromkeys(terms)),
+            "conjunctive": False,
+        }
+        if q.get("filter"):
+            # attribute filters compose: the WAND kernel intersects
+            # them bucket-locally after the expansion disjunction
+            exp["filter"] = list(q["filter"])
+        expanded.append(exp)
     live = [q for q in expanded if q["terms"]]
     if not live:
         spark = postings.sparkSession

@@ -168,3 +168,37 @@ def test_facade_filtered_and_resumable_attrs(spark, sf_dir, tmp_path_factory):
         eng.search_filtered('"data join"', {"lang": "en"})
     with pytest.raises(ValueError, match="no filters"):
         eng.search_filtered("data", {})
+
+
+def test_wildcard_composes_with_filter(built, spark):
+    """wildcard_topk forwards attribute filters to the WAND kernel."""
+    from pisa_spark.query.fuzzy import wildcard_topk
+
+    postings, n_docs, avgdl = built
+    got = wildcard_topk(
+        postings,
+        [{"query_id": 9, "terms": [], "wildcards": ["dat*"],
+          "filter": ["lang:en"]}],
+        n_docs, avgdl, k=10,
+    ).collect()
+    assert {r["doc_id"] for r in got} == _filtered_ids(
+        lambda l, s: l == "en"
+    ) & {0, 1, 2, 3, 4, 5, 6}
+    # 'dat*' matches 'data'; every doc has it, so the filter decides
+
+
+def test_quantized_rejects_filters_and_negation(built, spark):
+    from pisa_spark.index.quantized import (
+        quantized_topk, requantize_postings,
+    )
+
+    postings, n_docs, avgdl = built
+    quant = requantize_postings(postings, avgdl)
+    for bad in ({"negated": ["x"]}, {"filter": ["lang:en"]}):
+        with pytest.raises(ValueError, match="quantized_topk"):
+            quantized_topk(
+                quant,
+                [dict({"query_id": 0, "terms": ["data"],
+                       "conjunctive": False}, **bad)],
+                n_docs,
+            )
