@@ -169,6 +169,10 @@ class SearchEngine:
             }
             if q.get("negated"):
                 norm["negated"] = list(q["negated"])
+            if q.get("filter"):
+                # forwarded, not dropped: the WAND paths intersect it;
+                # paths without an include set raise on it explicitly
+                norm["filter"] = list(q["filter"])
             out.append(norm)
         return out
 
@@ -196,6 +200,12 @@ class SearchEngine:
             if len(q["phrases"]) != 1:
                 raise ValueError(
                     "one quoted phrase per query is supported"
+                )
+            if q.get("filter"):
+                raise ValueError(
+                    "quoted phrases do not combine with attribute"
+                    " filters (the positional kernels carry no include"
+                    " intersection)"
                 )
             if q.get("negated"):
                 raise ValueError(
@@ -339,6 +349,12 @@ class SearchEngine:
         )
 
         normalized = self._normalize(queries)
+        if any(q.get("negated") or q.get("filter") for q in normalized):
+            raise ValueError(
+                "search_scored has no exclusion/filter path; use"
+                " search()/search_filtered for '-term' or attribute"
+                " filters"
+            )
         qdf = self.spark.createDataFrame(
             [(q["query_id"], t) for q in normalized for t in q["terms"]],
             "query_id int, term string",
@@ -451,6 +467,9 @@ class SearchEngine:
         # batch path already supports exclusion — never silently drop.
         if q.get("negated"):
             corrected["negated"] = list(q["negated"])
+        # attribute pseudo-terms likewise pass through uncorrected
+        if q.get("filter"):
+            corrected["filter"] = list(q["filter"])
         return self.search(corrected, k=k, **search_kwargs)
 
     def search_rm3(
@@ -490,6 +509,11 @@ class SearchEngine:
         from pisa_spark.query.scorers import postings_to_tf
 
         q = self._normalize([query])[0]
+        if q.get("filter"):
+            raise ValueError(
+                "search_rm3 does not combine with attribute filters;"
+                " use search_filtered for filtered retrieval"
+            )
         fb_ids = [
             r["doc_id"]
             for r in self.search_batch([q], k=fb_docs)
@@ -572,10 +596,11 @@ class SearchEngine:
                 " search_phrase/search_mixed for exact phrases"
             )
         q = self._normalize([raw])[0]
-        if q.get("conjunctive") or q.get("negated"):
+        if q.get("conjunctive") or q.get("negated") or q.get("filter"):
             raise ValueError(
                 "search_synonyms is disjunctive expansion only; compose"
-                " with search()/search_batch for +/- operators"
+                " with search()/search_batch for +/- operators or"
+                " search_filtered for attribute filters"
             )
         terms = sorted(set(q["terms"]))
         qstem = self.spark.createDataFrame(
@@ -698,7 +723,8 @@ class SearchEngine:
                 )
             cache.add(a)
         norm = self._normalize([q])[0]
-        norm["filter"] = fterms
+        # a dict query may carry its own pseudo-terms too — union them
+        norm["filter"] = sorted(set(fterms) | set(norm.get("filter", [])))
         return bm25_topk_wand(
             self.postings,
             [norm],

@@ -202,3 +202,28 @@ def test_quantized_rejects_filters_and_negation(built, spark):
                        "conjunctive": False}, **bad)],
                 n_docs,
             )
+
+
+def test_facade_filter_forwarding_and_guards(spark, sf_dir, tmp_path_factory):
+    """Dict queries with 'filter' are forwarded by search()/search_batch
+    and refused (never silently dropped) by paths without an include
+    intersection."""
+    from pisa_spark.engine import SearchEngine
+
+    root = str(tmp_path_factory.mktemp("fwd"))
+    eng = SearchEngine.build(spark, sf_dir, root, attribute_cols=["lang"])
+    q = {"terms": ["data", "join"], "filter": ["lang:en"]}
+    via_search = eng.search(dict(q), k=10).toPandas()
+    via_filtered = eng.search_filtered(
+        {"terms": ["data", "join"]}, {"lang": "en"}, k=10
+    ).toPandas()
+    assert via_search[["doc_id", "score"]].round(9).values.tolist() == \
+        via_filtered[["doc_id", "score"]].round(9).values.tolist()
+    for call in (
+        lambda: eng.search_scored([dict(q)]),
+        lambda: eng.search_rm3(dict(q)),
+        lambda: eng.search_synonyms(dict(q)),
+        lambda: eng.search_quantized(dict(q)),
+    ):
+        with pytest.raises(ValueError):
+            call()
