@@ -543,3 +543,56 @@ def quantized_topk(
         )
         partial = partial.unionByName(phase1_df)
     return _quant_topk_window(partial, k)
+
+
+QUANT_TABLE = "postings_quant"
+
+
+def save_quantized_index(quant_postings: DataFrame, index_root: str) -> None:
+    """Persist the quantized twin next to the exact index, bucket-
+    partitioned through the same manifest catalog (atomic publish,
+    snapshots/time travel/vacuum for free). Global stats are NOT
+    duplicated — the twin is defined against the exact index's
+    corpus_stats (the avgdl it was quantized under), so readers load
+    one consistent (quant postings, stats) pair via load_quantized_index.
+
+    At 10^12 docs this is what makes the derivation pay once: the
+    requantize pass streams narrow and the write clusters by bucket,
+    preserving the one-file-per-bucket serving layout contract."""
+    from pisa_spark.sources import catalog
+
+    catalog.write_table(
+        quant_postings.repartition("bucket").sortWithinPartitions(
+            "bucket", "term", "block_idx"
+        ),
+        index_root,
+        QUANT_TABLE,
+        partition_by=["bucket"],
+    )
+
+
+def load_quantized_index(
+    spark: SparkSession, index_root: str, as_of_ts: float | None = None
+) -> tuple[DataFrame, dict]:
+    """(quant postings, stats) from the catalog; stats resolve from the
+    exact index's corpus_stats table (same time-travel semantics as
+    index.lineage.load_index)."""
+    from pisa_spark.index.lineage import STATS_TABLE
+    from pisa_spark.sources import catalog
+
+    seq_q = seq_s = None
+    if as_of_ts is not None:
+        seq_q = catalog.snapshot_as_of_ts(index_root, QUANT_TABLE, as_of_ts)
+        seq_s = catalog.snapshot_as_of_ts(index_root, STATS_TABLE, as_of_ts)
+        if seq_q is None or seq_s is None:
+            raise FileNotFoundError(
+                f"no quantized snapshot at or before ts={as_of_ts}"
+            )
+    postings = catalog.read_table(spark, index_root, QUANT_TABLE, as_of=seq_q)
+    srow = catalog.read_table(
+        spark, index_root, STATS_TABLE, as_of=seq_s
+    ).collect()[0]
+    return postings, {
+        "n_docs": int(srow["n_docs"]),
+        "avgdl": float(srow["avgdl"]),
+    }

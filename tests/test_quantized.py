@@ -319,3 +319,28 @@ def test_two_phase_pruning_is_exact(spark):
     assert rows(
         quantized_topk(postings, one, n_docs, k=3, two_phase=True)
     ) == rows(quantized_topk(postings, one, n_docs, k=3))
+
+
+def test_save_load_quantized_round_trip(spark, sf_dir, tmp_path_factory):
+    """Persist the requantized twin through the catalog; reload serves
+    the same top-k as the in-memory derivation."""
+    from pisa_spark.engine import SearchEngine
+    from pisa_spark.index.quantized import (
+        load_quantized_index,
+        requantize_postings,
+        save_quantized_index,
+    )
+
+    root = str(tmp_path_factory.mktemp("qcat"))
+    eng = SearchEngine.build(spark, sf_dir, root)
+    quant = requantize_postings(eng.postings, float(eng.stats["avgdl"]))
+    save_quantized_index(quant, root)
+    loaded, stats = load_quantized_index(spark, root)
+    assert stats["n_docs"] == eng.stats["n_docs"]
+    q = [{"query_id": 0, "terms": ["data", "join"], "conjunctive": False}]
+    a = quantized_topk(loaded, q, stats["n_docs"], k=10).collect()
+    b = quantized_topk(quant, q, stats["n_docs"], k=10).collect()
+    key = lambda rows: [
+        (r["rank"], r["doc_id"], r["score_q"]) for r in rows
+    ]
+    assert key(a) == key(b) and len(a) > 0
