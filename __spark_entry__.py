@@ -769,6 +769,42 @@ def _bm25_wand(
     )
 
 
+def _bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score EXPLAIN off the compressed index: the per-(query, doc,
+    term) BM25 anatomy rows (query/scorers.py explain_contributions) —
+    sum(contrib) per doc == the search score exactly."""
+    from pisa_spark.query.scorers import explain_contributions
+
+    postings, stats = _built_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in _OR_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    return explain_contributions(
+        postings, qdf, stats["n_docs"], stats["avgdl"]
+    )
+
+
+def _bm25_explain_sql(qs) -> str:
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)})
+SELECT q.query_id, tf.doc_id, tf.term, tf.tf, doclen.doc_len,
+       dfreq.df,
+       round(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)), 4)
+         AS idf,
+       round( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)), 4)
+         AS contrib
+FROM tf
+JOIN q USING (term)
+JOIN dfreq USING (term)
+JOIN doclen USING (doc_id)
+CROSS JOIN stats
+"""
+
+
 # wildcard gate queries: (query_id, literal terms, prefix patterns)
 _WILDCARD_QUERIES = [(40, [], ["da*"]), (41, ["join"], ["s*"])]
 
@@ -2414,6 +2450,7 @@ _GATE_ORDER = [
     "bm25_topk_and_quant",
     "bm25_wildcard_topk",
     "bm25_filtered_topk",
+    "bm25_explain_contribs",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -2444,9 +2481,9 @@ _GATE_ORDER = [
     "bm25_topk_or_wand",
     "bm25_phrase_topk",
     "bm25_rm3_topk",
-    "bm25f_topk_indexed",
     "dedup_exact",
     # ---- window boundary (~50): below here = green r3, pytest-covered ----
+    "bm25f_topk_indexed",
     "pages_doc_ids",
     "corpus_stats",
     "bm25_topk_and_maxscore",
@@ -2534,6 +2571,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("url", F.col("doc_id").cast("long").alias("doc_id")),
         "bm25_wildcard_topk": _bm25_wildcard,
         "bm25_filtered_topk": _bm25_filtered,
+        "bm25_explain_contribs": _bm25_explain,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
         ),
@@ -3057,6 +3095,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "term_tf": _SQL_BASE + "SELECT doc_id, term, tf FROM tf",
         "bm25_wildcard_topk": _bm25_wildcard_sql(_WILDCARD_QUERIES),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),
+        "bm25_explain_contribs": _bm25_explain_sql(_OR_QUERIES),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),
         "bm25_topk_or": _bm25_sql(_OR_QUERIES, conjunctive=False),

@@ -679,6 +679,32 @@ class SearchEngine:
             pre_arranged=self._pre_arranged,
         )
 
+    def explain(self, query, doc_ids=None) -> DataFrame:
+        """Why does a doc score what it scores? One row per
+        (doc_id, term) with tf / doc_len / df / idf / contribution —
+        sum(contrib) over a doc equals its search() score exactly
+        (same expression, same float association). doc_ids narrows to
+        specific docs; the common flow is search() then explain(query,
+        doc_ids=[top1]). Filters/negation/phrases don't score terms
+        and are ignored here by design (explain covers the SCORED
+        disjunction/conjunction terms)."""
+        from pisa_spark.query.scorers import explain_contributions
+
+        q = self._normalize(
+            [parse_query(query) if isinstance(query, str) else dict(query)]
+        )[0]
+        qdf = self.spark.createDataFrame(
+            [(q["query_id"], t) for t in q["terms"]],
+            "query_id int, term string",
+        )
+        return explain_contributions(
+            self.postings,
+            qdf,
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            doc_ids=doc_ids,
+        )
+
     def search_filtered(
         self, query, filters, k: int = 10, two_phase: bool = False
     ) -> DataFrame:

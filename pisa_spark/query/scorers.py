@@ -306,3 +306,67 @@ def postings_to_tf(postings: DataFrame) -> DataFrame:
     return postings.select("term", "n", "docs", "tfs", "dls").mapInPandas(
         _decode, schema=_TF_RELATION_SCHEMA
     )
+
+
+def explain_contributions(
+    postings: DataFrame,
+    queries_df: DataFrame,
+    n_docs: float,
+    avgdl: float,
+    doc_ids: list[int] | None = None,
+) -> DataFrame:
+    """Score EXPLAIN: one row per (query_id, doc_id, term) with the
+    full BM25 anatomy — tf, doc_len, df, idf and the term's
+    contribution — so a ranking can be audited term by term
+    (sum(contrib) over a doc == its search() score exactly: same
+    score_expr, same float association).
+
+    queries_df: (query_id, term) exploded. doc_ids: restrict to these
+    docs (the common 'why is THIS doc ranked here' case — the id
+    filter lands before the decode via block skip metadata).
+    Relational path off the compressed index: term-pruned scan ->
+    decode -> broadcast query join -> codegen score expression. No
+    kernel state; at scale it is one narrow pass over the queried
+    terms' blocks."""
+    from pisa_spark.query.bm25 import score_expr
+
+    qterms = queries_df.select("query_id", "term").distinct()
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    pruned = postings.filter(F.col("term").isin(terms))
+    if doc_ids is not None:
+        # block skip: (first_doc, max_doc) bound each block's doc range
+        conds = [
+            (F.col("first_doc") <= int(d)) & (F.col("max_doc") >= int(d))
+            for d in doc_ids
+        ]
+        keep = conds[0]
+        for c in conds[1:]:
+            keep = keep | c
+        pruned = pruned.filter(keep)
+    tf_rel = postings_to_tf(pruned)
+    if doc_ids is not None:
+        tf_rel = tf_rel.filter(F.col("doc_id").isin([int(d) for d in doc_ids]))
+    # df from block METADATA of the full pruned term set (never from
+    # the decoded relation, which may be doc-restricted)
+    df_df = (
+        postings.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"))
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    return (
+        tf_rel.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_df), "term")
+        .select(
+            "query_id",
+            "doc_id",
+            "term",
+            "tf",
+            "doc_len",
+            "df",
+            F.round(idf, 4).alias("idf"),
+            F.round(score_expr(n_docs, avgdl), 4).alias("contrib"),
+        )
+    )

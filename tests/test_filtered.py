@@ -227,3 +227,24 @@ def test_facade_filter_forwarding_and_guards(spark, sf_dir, tmp_path_factory):
     ):
         with pytest.raises(ValueError):
             call()
+
+
+def test_explain_sums_to_search_score(spark, sf_dir, tmp_path_factory):
+    """sum(contrib) per doc in explain() == the search() score (same
+    expression, same association), and the anatomy columns are sane."""
+    from pisa_spark.engine import SearchEngine
+
+    root = str(tmp_path_factory.mktemp("xidx"))
+    eng = SearchEngine.build(spark, sf_dir, root)
+    top = eng.search("data join", k=3).toPandas()
+    ids = top.doc_id.tolist()
+    ex = eng.explain("data join", doc_ids=ids).toPandas()
+    assert set(ex.doc_id) == set(ids)
+    assert set(ex.columns) == {
+        "query_id", "doc_id", "term", "tf", "doc_len", "df", "idf",
+        "contrib",
+    }
+    sums = ex.groupby("doc_id")["contrib"].sum()
+    for r in top.itertuples():
+        assert abs(sums[r.doc_id] - r.score) < 5e-4  # 4dp-rounded parts
+    assert (ex.tf >= 1).all() and (ex.df >= 1).all()
