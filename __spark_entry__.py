@@ -769,6 +769,51 @@ def _bm25_wand(
     )
 
 
+def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication spans (Lee-et-al-style trimming
+    dedup): maximal token spans covered by 6-grams occurring in >= 2
+    distinct docs (dedup/dedup.py substring_duplicate_spans)."""
+    from pisa_spark.dedup.dedup import substring_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return substring_duplicate_spans(docs, n=6, min_docs=2)
+
+
+def _dedup_substring_sql(n: int = 6, min_docs: int = 2) -> str:
+    return f"""
+{_SQL_BASE},
+sized AS (SELECT doc_id, tokens FROM toks WHERE len(tokens) >= {n}),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(tokens[i : i + {n} - 1], ' ') AS ngram
+  FROM sized, LATERAL unnest(generate_series(1, len(tokens) - {n} + 1)) AS t(i)
+),
+dup AS (
+  SELECT ngram FROM grams GROUP BY ngram
+  HAVING count(DISTINCT doc_id) >= {min_docs}
+),
+covered AS (
+  SELECT doc_id, pos FROM grams SEMI JOIN dup USING (ngram)
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL THEN 1
+              WHEN pos > lag(pos) OVER w + {n} THEN 1 ELSE 0 END AS new_island
+  FROM covered WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM flagged
+)
+SELECT doc_id,
+       CAST(min(pos) AS INTEGER) AS span_start,
+       CAST(max(pos) + {n} AS INTEGER) AS span_end,
+       CAST(max(pos) + {n} - min(pos) AS INTEGER) AS span_tokens
+FROM isl GROUP BY doc_id, island
+"""
+
+
 def _bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score EXPLAIN off the compressed index: the per-(query, doc,
     term) BM25 anatomy rows (query/scorers.py explain_contributions) —
@@ -2451,6 +2496,7 @@ _GATE_ORDER = [
     "bm25_wildcard_topk",
     "bm25_filtered_topk",
     "bm25_explain_contribs",
+    "dedup_substring_spans",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -2480,9 +2526,9 @@ _GATE_ORDER = [
     "bm25_topk_and",
     "bm25_topk_or_wand",
     "bm25_phrase_topk",
-    "bm25_rm3_topk",
     "dedup_exact",
     # ---- window boundary (~50): below here = green r3, pytest-covered ----
+    "bm25_rm3_topk",
     "bm25f_topk_indexed",
     "pages_doc_ids",
     "corpus_stats",
@@ -2572,6 +2618,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wildcard_topk": _bm25_wildcard,
         "bm25_filtered_topk": _bm25_filtered,
         "bm25_explain_contribs": _bm25_explain,
+        "dedup_substring_spans": _dedup_substring,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
         ),
@@ -3096,6 +3143,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_wildcard_topk": _bm25_wildcard_sql(_WILDCARD_QUERIES),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),
         "bm25_explain_contribs": _bm25_explain_sql(_OR_QUERIES),
+        "dedup_substring_spans": _dedup_substring_sql(),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),
         "bm25_topk_or": _bm25_sql(_OR_QUERIES, conjunctive=False),

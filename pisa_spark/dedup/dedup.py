@@ -571,3 +571,88 @@ def embedding_near_pairs_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def substring_duplicate_spans(
+    docs: DataFrame,
+    n: int = 6,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-duplication spans, the curation primitive behind
+    'deduplicating training data makes language models better' (Lee et
+    al. 2022): find every maximal token span of a document that is
+    covered by n-grams occurring in >= min_docs DISTINCT documents —
+    the spans a dedup pipeline trims (boilerplate, licenses, syndicated
+    passages) instead of dropping whole near-dup docs.
+
+    Returns (doc_id, span_start, span_end, span_tokens): token offsets,
+    end exclusive, overlapping/adjacent duplicated n-grams coalesced
+    into maximal islands.
+
+    Shape (all codegen + one window):
+      1. per doc, the n-gram array via transform(sequence) + slice —
+         no UDF, no self-join on text;
+      2. posexplode -> (doc_id, pos, ngram); corpus-duplicated grams
+         via one hash agg (count distinct doc_id >= min_docs);
+      3. semi-join positions to duplicated grams (candidate-bounded:
+         only covered positions survive);
+      4. gaps-and-islands per doc: equal-length spans sorted by start
+         merge iff pos <= prev_pos + n, rendered as a lag + running
+         sum window — one narrow shuffle on doc_id.
+
+    The join key is the literal n-gram string so the DuckDB twin is
+    replayable verbatim; a web-scale profile swaps it for
+    hash64(ngram) (same md5 primitive the MinHash path uses, still
+    oracle-replicable) to shrink the shuffle — the span semantics are
+    unchanged up to md5 collisions."""
+    from pisa_spark.corpus import tokens_col
+
+    toks = docs.select(
+        "doc_id", tokens_col(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= n)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+            )
+        ).alias("pos", "ngram"),
+    )
+    dup = (
+        grams.groupBy("ngram")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("ngram")
+    )
+    covered = grams.join(dup, "ngram", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = covered.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos") > F.lag("pos").over(w) + F.lit(n), 1
+        ).otherwise(
+            F.when(F.lag("pos").over(w).isNull(), 1).otherwise(0)
+        ),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("int")
+            .alias("span_tokens"),
+        )
+    )

@@ -189,3 +189,48 @@ def test_embedding_near_pairs_empty_relation_requires_dim(spark):
         embedding_near_pairs(empty, threshold=0.5)
     # explicit dim= is the plan-construction-only escape hatch
     assert embedding_near_pairs(empty, threshold=0.5, dim=4).count() == 0
+
+
+def test_substring_duplicate_spans(spark):
+    """Spans of corpus-duplicated n-grams coalesce into maximal
+    islands; unique text yields no rows; offsets are token-exact."""
+    from pisa_spark.dedup.dedup import substring_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"   # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro {shared} middle words here {shared} tail"),
+            (1, f"{shared} other text entirely unrelated thing"),
+            (2, "completely unique document with no repeats at all"),
+            (3, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_duplicate_spans(docs, n=6, min_docs=2).toPandas()
+    rows = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in out.itertuples()
+    }
+    # doc0: shared at offsets 1..7 and 10..16 (two distinct islands);
+    # doc1: shared at 0..6; docs 2/3: nothing
+    assert rows == {(0, 1, 7, 6), (0, 10, 16, 6), (1, 0, 6, 6)}
+
+
+def test_substring_spans_adjacent_merge(spark):
+    """Two duplicated 3-gram positions whose spans touch or overlap
+    merge into ONE maximal island."""
+    from pisa_spark.dedup.dedup import substring_duplicate_spans
+
+    rep = "a b c d e f g h"   # an 8-token passage shared by two docs
+    docs = spark.createDataFrame(
+        [(0, f"x {rep} y"), (1, f"z z {rep}")],
+        "doc_id long, text string",
+    )
+    out = substring_duplicate_spans(docs, n=3, min_docs=2).toPandas()
+    by_doc = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in out.itertuples()
+    }
+    # every 3-gram inside rep is shared -> one island covering rep
+    assert by_doc == {0: (1, 9), 1: (2, 10)}
+    assert (out.span_tokens == 8).all()
