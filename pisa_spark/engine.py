@@ -277,6 +277,21 @@ class SearchEngine:
         normalized = self._normalize(queries)
         if (
             algorithm == "maxscore"
+            and any(q.get("filter") for q in normalized)
+            and not strict_algorithm
+        ):
+            # algorithm is a physical-strategy hint, never an answer
+            # change: MaxScore has no include intersection, so filtered
+            # queries reroute to WAND (strict_algorithm surfaces the
+            # kernel's own refusal instead, for explicit A/B runs)
+            warnings.warn(
+                "search_batch: attribute filters are served by the WAND"
+                " kernel; rerouting this batch (rank-identical).",
+                stacklevel=2,
+            )
+            algorithm = "wand"
+        if (
+            algorithm == "maxscore"
             and len(normalized) > self.MAXSCORE_BATCH_LIMIT
             and not strict_algorithm
         ):

@@ -248,3 +248,25 @@ def test_explain_sums_to_search_score(spark, sf_dir, tmp_path_factory):
     for r in top.itertuples():
         assert abs(sums[r.doc_id] - r.score) < 5e-4  # 4dp-rounded parts
     assert (ex.tf >= 1).all() and (ex.df >= 1).all()
+
+
+def test_search_batch_reroutes_filtered_maxscore(spark, sf_dir, tmp_path_factory):
+    import warnings as _w
+
+    from pisa_spark.engine import SearchEngine
+
+    root = str(tmp_path_factory.mktemp("ms"))
+    eng = SearchEngine.build(spark, sf_dir, root, attribute_cols=["lang"])
+    q = {"terms": ["data", "join"], "filter": ["lang:en"]}
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        got = eng.search_batch([dict(q)], algorithm="maxscore", k=5).collect()
+    assert any("WAND" in str(r.message) for r in rec)
+    want = eng.search_batch([dict(q)], algorithm="wand", k=5).collect()
+    assert [(r["rank"], r["doc_id"]) for r in got] == [
+        (r["rank"], r["doc_id"]) for r in want
+    ]
+    with pytest.raises(ValueError, match="WAND"):
+        eng.search_batch(
+            [dict(q)], algorithm="maxscore", strict_algorithm=True
+        )
