@@ -227,3 +227,122 @@ def test_encode_groups_batch_split_invariance(seed):
     assert blocks(parts) == whole
     one_row = [pdf.iloc[i : i + 1].reset_index(drop=True) for i in range(n)]
     assert blocks(one_row) == whole
+
+
+def naive_filtered_topk(tf, doc_len, terms, conjunctive, k, n_docs,
+                        avgdl, negated=(), filters=()):
+    """naive_topk + attribute-filter semantics: a doc survives only if
+    it has EVERY filter pseudo-term."""
+    cand = naive_topk(
+        tf, doc_len, terms, conjunctive, 10**9, n_docs, avgdl,
+        negated=negated,
+    )
+    keep = [
+        (d, s) for d, s in cand
+        if all(tf[d, fi] > 0 for fi in filters)
+    ]
+    return keep[:k]
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_wand_kernel_filter_fuzz(seed):
+    """Attribute filters under fuzz: pseudo-terms ride the same block
+    relation; filtered results must equal the naive composition for
+    every combination of AND/OR, negation, thresholds, batch/single."""
+    rng = np.random.default_rng(1000 + seed)
+    n_docs = int(rng.integers(8, 60))
+    real = list("abcde"[: rng.integers(3, 5)])
+    pseudo = ["lang:x", "lang:y", "src:w"]
+    vocab = real + pseudo
+    blocks, tf, doc_len = make_blocks(rng, n_docs, vocab)
+    # pseudo-term tf must be 0/1 presence (build contract); rebuild the
+    # dense matrix columns accordingly by clipping
+    for p in pseudo:
+        pi = vocab.index(p)
+        tf[:, pi] = (tf[:, pi] > 0).astype(tf.dtype)
+    blocks, tf2, doc_len = make_blocks_from_tf(tf, vocab)
+    avgdl = float(doc_len.mean())
+    term_dfs = {
+        t: int((tf[:, i] > 0).sum()) for i, t in enumerate(vocab)
+    }
+    term_dfs = {t: d for t, d in term_dfs.items() if d > 0}
+    k = int(rng.integers(1, 6))
+
+    queries = []
+    for qid in range(4):
+        terms = [real[rng.integers(0, len(real))]
+                 for _ in range(rng.integers(1, 3))]
+        q = {
+            "query_id": qid,
+            "terms": [t for t in terms if t in term_dfs] or [real[0]],
+            "conjunctive": bool(rng.random() < 0.4),
+            "filter": [
+                pseudo[i]
+                for i in sorted(
+                    rng.choice(3, size=rng.integers(1, 3), replace=False)
+                )
+            ],
+        }
+        if rng.random() < 0.4:
+            q["negated"] = [real[rng.integers(0, len(real))]]
+        queries.append(q)
+
+    expected = {
+        q["query_id"]: naive_filtered_topk(
+            tf, doc_len,
+            [vocab.index(t) for t in q["terms"]],
+            q["conjunctive"], k, n_docs, avgdl,
+            negated=[vocab.index(t) for t in q.get("negated", [])],
+            filters=[vocab.index(t) for t in q["filter"]],
+        )
+        for q in queries
+    }
+    phase1 = run_kernel(blocks, queries, n_docs, avgdl, k, term_dfs, {})
+    kth = {
+        qid: (cand[k - 1][1] if len(cand) >= k else -np.inf)
+        for qid, cand in phase1.items()
+    }
+    for thr in ({}, {q: v for q, v in kth.items() if v != -np.inf}):
+        for qset in ([queries], [[q] for q in queries]):
+            for qs in qset:
+                got = run_kernel(blocks, qs, n_docs, avgdl, k, term_dfs, thr)
+                for q in qs:
+                    g = got.get(q["query_id"], [])
+                    e = expected[q["query_id"]]
+                    assert [d for d, _ in g] == [d for d, _ in e], (
+                        f"seed={seed} thr={bool(thr)} q={q} got={g} want={e}"
+                    )
+                    for (_, sg), (_, se) in zip(g, e):
+                        assert abs(sg - se) < 1e-9
+
+
+def make_blocks_from_tf(tf, vocab, n_buckets=2):
+    """Rebuild the block frame from an (already clipped) dense tf."""
+    rng = np.random.default_rng(0)  # unused randomness path
+    n_docs = tf.shape[0]
+    doc_len = np.maximum(tf.sum(axis=1), 1)
+    span = -(-n_docs // n_buckets)
+    rows = []
+    for ti, term in enumerate(vocab):
+        docs = np.flatnonzero(tf[:, ti])
+        if docs.size == 0:
+            continue
+        for b in range(n_buckets):
+            bd = docs[(docs >= b * span) & (docs < (b + 1) * span)]
+            for s in range(0, bd.size, BLOCK):
+                d = bd[s : s + BLOCK]
+                tfs = tf[d, ti]
+                dls = doc_len[d]
+                rows.append({
+                    "bucket": b, "term": term, "block_idx": s // BLOCK,
+                    "first_doc": int(d[0]), "max_doc": int(d[-1]),
+                    "n": int(d.size),
+                    "tf_max": int(tfs.max()), "tf_min": int(tfs.min()),
+                    "dl_min": int(dls.min()), "dl_max": int(dls.max()),
+                    "docs": codec.delta_encode_docids(d.astype(np.int64)),
+                    "tfs": codec.encode_payload(
+                        tfs.astype(np.int64), minus_one=True
+                    ),
+                    "dls": codec.encode_payload(dls.astype(np.int64)),
+                })
+    return pd.DataFrame(rows), tf, doc_len
