@@ -335,11 +335,12 @@ def explain_contributions(
     pruned = postings.filter(F.col("term").isin(terms))
     if doc_ids is not None:
         # block skip: (first_doc, max_doc) bound each block's doc range
+        # (an explicit empty list means 'no docs' -> empty result)
         conds = [
             (F.col("first_doc") <= int(d)) & (F.col("max_doc") >= int(d))
             for d in doc_ids
         ]
-        keep = conds[0]
+        keep = conds[0] if conds else F.lit(False)
         for c in conds[1:]:
             keep = keep | c
         pruned = pruned.filter(keep)

@@ -270,3 +270,11 @@ def test_search_batch_reroutes_filtered_maxscore(spark, sf_dir, tmp_path_factory
         eng.search_batch(
             [dict(q)], algorithm="maxscore", strict_algorithm=True
         )
+
+
+def test_explain_empty_doc_ids(spark, sf_dir, tmp_path_factory):
+    from pisa_spark.engine import SearchEngine
+
+    root = str(tmp_path_factory.mktemp("xempty"))
+    eng = SearchEngine.build(spark, sf_dir, root)
+    assert eng.explain("data join", doc_ids=[]).count() == 0
