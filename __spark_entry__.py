@@ -939,7 +939,8 @@ def _built_attr_index(spark: SparkSession, sf_dir: str):
     key = ("aidx", spark.sparkContext.applicationId, sf_dir)
     if key not in _MEMO:
         postings, _, _, stats = build_index_dataframes(
-            spark, sf_dir, n_buckets=16, attribute_cols=["lang", "source"]
+            spark, sf_dir, n_buckets=16,
+            attribute_cols=["lang", "source"], numeric_cols=["n_chars"],
         )
         _MEMO[key] = (postings.cache(), stats)
     return _MEMO[key]
@@ -980,6 +981,86 @@ def _bm25_filtered_sql(qs, k: int = 10) -> str:
     )
     qvals = ", ".join(
         f"({qid}, '{t}')" for qid, terms, _ in qs for t in sorted(set(terms))
+    )
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {qvals}),
+allow AS (
+{allow}
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT s.query_id, s.doc_id, round(s.raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.raw_score DESC, s.doc_id ASC) AS INTEGER) AS rank
+  FROM scored s
+  JOIN allow USING (query_id, doc_id)
+) WHERE rank <= {k}
+"""
+
+
+# range-filtered gate queries: (query_id, terms, {attr: val}, (lo, hi))
+_RANGE_QUERIES = [
+    (55, ["data", "join"], {}, (200, 900)),
+    (56, ["the"], {"lang": "en"}, (0, 300)),
+]
+
+
+def _bm25_range_filtered(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Numeric BETWEEN filters off the compressed index: the range
+    decomposes into precision-step pseudo-terms (index/numeric.py,
+    Lucene-precisionStep-style) whose bucket-local posting UNION is
+    intersected with the other filter groups — exact bounds, O(log
+    range) dictionary terms, no documents-table join."""
+    from pisa_spark.index.numeric import range_terms
+
+    postings, stats = _built_attr_index(spark, sf_dir)
+    queries = []
+    for qid, terms, attrs, (lo, hi) in _RANGE_QUERIES:
+        flt: list = [f"{c}:{v}" for c, v in sorted(attrs.items())]
+        flt.append(range_terms("n_chars", lo, hi))
+        queries.append(
+            {"query_id": qid, "terms": terms, "conjunctive": False,
+             "filter": flt}
+        )
+    out = bm25_topk_wand(
+        postings, queries, stats["n_docs"], stats["avgdl"], k=k
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_range_filtered_sql(qs, k: int = 10) -> str:
+    """Twin: plain BETWEEN (+ attr equality) on the documents table —
+    the whole precision-step machinery must reproduce the relational
+    predicate exactly."""
+    allow = "\n  UNION ALL\n".join(
+        f"  SELECT {qid} AS query_id, doc_id FROM documents WHERE "
+        + " AND ".join(
+            [f"n_chars BETWEEN {lo} AND {hi}"]
+            + [f"lower({c}) = '{v}'" for c, v in sorted(attrs.items())]
+        )
+        for qid, _, attrs, (lo, hi) in qs
+    )
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms, _, _ in qs
+        for t in sorted(set(terms))
     )
     return f"""
 {_SQL_BASE},
@@ -2497,6 +2578,7 @@ _GATE_ORDER = [
     "bm25_filtered_topk",
     "bm25_explain_contribs",
     "dedup_substring_spans",
+    "bm25_range_filtered_topk",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -2526,8 +2608,8 @@ _GATE_ORDER = [
     "bm25_topk_and",
     "bm25_topk_or_wand",
     "bm25_phrase_topk",
-    "dedup_exact",
     # ---- window boundary (~50): below here = green r3, pytest-covered ----
+    "dedup_exact",
     "bm25_rm3_topk",
     "bm25f_topk_indexed",
     "pages_doc_ids",
@@ -2619,6 +2701,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered_topk": _bm25_filtered,
         "bm25_explain_contribs": _bm25_explain,
         "dedup_substring_spans": _dedup_substring,
+        "bm25_range_filtered_topk": _bm25_range_filtered,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
         ),
@@ -3144,6 +3227,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),
         "bm25_explain_contribs": _bm25_explain_sql(_OR_QUERIES),
         "dedup_substring_spans": _dedup_substring_sql(),
+        "bm25_range_filtered_topk": _bm25_range_filtered_sql(_RANGE_QUERIES),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),
         "bm25_topk_or": _bm25_sql(_OR_QUERIES, conjunctive=False),

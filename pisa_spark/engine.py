@@ -727,18 +727,40 @@ class SearchEngine:
         restricted to docs matching EVERY filter, e.g.
         search_filtered("data join", {"lang": "en"}).
 
-        Requires an index built with ``attribute_cols`` (the filter
-        postings live in the same blocks — build.attribute_tokens_col),
-        verified here per attribute: filtering against an attribute the
-        index never saw raises instead of silently returning nothing.
-        filters: {"col": value} dict or ready ["col:value"] pseudo-term
+        Requires an index built with ``attribute_cols`` (equality) or
+        ``numeric_cols`` (ranges) — the filter postings live in the
+        same blocks (build.attribute_tokens_col /
+        index.numeric.numeric_tokens_col) — verified here per column:
+        filtering against a column the index never saw raises instead
+        of silently returning nothing.
+
+        filters: {"col": value} for equality, {"col": (lo, hi)} for an
+        inclusive numeric range (precision-step decomposition — O(log
+        range) dictionary terms, exact bounds), or a ready pseudo-term
         list. Composes with '+' (conjunctive) and '-term' (negation);
         quoted phrases route through the positional kernels, which
         don't carry the include intersection, and raise."""
+        from pisa_spark.index.numeric import range_terms
+
+        fterms: list = []
+        range_cols: list[str] = []
         if isinstance(filters, dict):
-            fterms = [
-                f"{c}:{str(v).lower()}" for c, v in sorted(filters.items())
-            ]
+            for c, v in sorted(filters.items()):
+                if isinstance(v, (tuple, list)):
+                    if len(v) != 2:
+                        raise ValueError(
+                            f"range filter for {c!r} must be (lo, hi)"
+                        )
+                    group = range_terms(c, int(v[0]), int(v[1]))
+                    if not group:
+                        raise ValueError(
+                            f"empty range {v!r} for {c!r} can match"
+                            " nothing"
+                        )
+                    fterms.append(group)
+                    range_cols.append(c)
+                else:
+                    fterms.append(f"{c}:{str(v).lower()}")
         else:
             fterms = list(filters)
         if not fterms:
@@ -748,24 +770,39 @@ class SearchEngine:
             raise ValueError(
                 "quoted phrases do not combine with attribute filters"
             )
-        attrs = {t.split(":", 1)[0] for t in fterms}
+        # indexed-column probes: equality attrs by '<col>:' prefix,
+        # range cols by the '<col>#0:' precision-0 prefix
+        probes = {
+            t.split(":", 1)[0] + ":": "attribute_cols"
+            for t in fterms
+            if isinstance(t, str)
+        }
+        probes.update({c + "#0:": "numeric_cols" for c in range_cols})
         cache = getattr(self, "_attrs_indexed", None)
         if cache is None:
             cache = self._attrs_indexed = set()
-        for a in sorted(attrs - cache):
-            # one bounded job per new attribute: any pseudo-term with
-            # this prefix proves the attribute was indexed
+        for prefix in sorted(set(probes) - cache):
+            # one bounded job per new column: any pseudo-term with
+            # this prefix proves the column was indexed
             if not self.postings.filter(
-                F.col("term").startswith(a + ":")
+                F.col("term").startswith(prefix)
             ).limit(1).collect():
+                col = prefix.split("#")[0].split(":")[0]
                 raise ValueError(
-                    f"attribute {a!r} is not indexed — build the index"
-                    f" with attribute_cols=[..., {a!r}, ...]"
+                    f"column {col!r} is not indexed for filtering —"
+                    f" build the index with"
+                    f" {probes[prefix]}=[..., {col!r}, ...]"
                 )
-            cache.add(a)
+            cache.add(prefix)
         norm = self._normalize([q])[0]
-        # a dict query may carry its own pseudo-terms too — union them
-        norm["filter"] = sorted(set(fterms) | set(norm.get("filter", [])))
+        # a dict query may carry its own filter spec too — concatenate
+        # groups (AND semantics make duplicates harmless)
+        norm["filter"] = list(norm.get("filter", [])) + fterms
+        flat = {
+            t
+            for g in norm["filter"]
+            for t in ([g] if isinstance(g, str) else g)
+        }
         return bm25_topk_wand(
             self.postings,
             [norm],
@@ -774,7 +811,7 @@ class SearchEngine:
             k=k,
             two_phase=two_phase,
             term_dfs=self._term_dfs(
-                set(norm["terms"]) | set(norm.get("negated", [])) | set(fterms)
+                set(norm["terms"]) | set(norm.get("negated", [])) | flat
             ),
             pre_arranged=self._pre_arranged,
         )

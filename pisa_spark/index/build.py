@@ -334,24 +334,34 @@ def build_index_dataframes(
     block_size: int = BLOCK_SIZE,
     with_positions: bool = False,
     attribute_cols: list[str] | None = None,
+    numeric_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """documents.parquet -> (postings, term_stats, corpus_stats, stats_dict).
 
     attribute_cols: document metadata columns to index as filter
-    pseudo-terms ('lang:en'); doc_len / avgdl / total_terms count REAL
-    tokens only, so BM25 scores are identical with or without indexed
-    attributes — pseudo-terms are matched (filtered on), never scored.
+    pseudo-terms ('lang:en'); numeric_cols: non-negative integer
+    columns to index as precision-step range pseudo-terms
+    (index/numeric.py — serves BETWEEN filters). doc_len / avgdl /
+    total_terms count REAL tokens only, so BM25 scores are identical
+    with or without indexed attributes — pseudo-terms are matched
+    (filtered on), never scored.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sel = ["doc_id"] + list(attribute_cols or [])
+    sel = ["doc_id"] + list(attribute_cols or []) + list(numeric_cols or [])
     toks = docs.select(
         *sel, tokens_col(F.col("text")).alias("tokens")
     ).withColumn("doc_len", F.size("tokens"))
-    if attribute_cols:
+    if attribute_cols or numeric_cols:
         # appended AFTER doc_len so scoring stats ignore pseudo-terms
+        from pisa_spark.index.numeric import numeric_tokens_col
+
+        extra = (
+            [attribute_tokens_col(list(attribute_cols))]
+            if attribute_cols
+            else []
+        ) + [numeric_tokens_col(c) for c in (numeric_cols or [])]
         toks = toks.withColumn(
-            "tokens",
-            F.concat("tokens", attribute_tokens_col(list(attribute_cols))),
+            "tokens", F.concat("tokens", *extra)
         ).select("doc_id", "tokens", "doc_len")
     toks = toks.cache()
     # one pass collects every global stat the build needs

@@ -140,6 +140,7 @@ def build_index_resumable(
     with_positions: bool = False,
     driver_page_rows: int = DRIVER_PAGE_ROWS,
     attribute_cols: list[str] | None = None,
+    numeric_cols: list[str] | None = None,
 ) -> dict:
     """Build (or resume, or incrementally extend) the persistent index.
 
@@ -188,27 +189,34 @@ def build_index_resumable(
     toks = docs_df.select(
         "doc_id",
         *(attribute_cols or []),
+        *(numeric_cols or []),
         tokens_col(F.col("text")).alias("tokens"),
         # per-doc content fingerprint rides along so bucket-change
         # detection sees CONTENT, not just counts; xor-aggregated per
         # bucket (order-independent, overflow-free). Indexed attribute
-        # columns fold in too — an attribute-only edit must rebuild the
-        # bucket's filter postings just like a text edit.
+        # and numeric filter columns fold in too — a metadata-only edit
+        # must rebuild the bucket's filter postings like a text edit.
         F.xxhash64(
             F.col("doc_id"), F.col("text"),
             *[F.col(c) for c in (attribute_cols or [])],
+            *[F.col(c) for c in (numeric_cols or [])],
         ).alias("doc_fp"),
     ).withColumn("doc_len", F.size("tokens"))
-    if attribute_cols:
-        # filter pseudo-terms ('lang:en') append AFTER doc_len so
-        # scoring stats count real tokens only (build.py contract);
-        # they ride the same blocks, so attribute filtering stays
+    if attribute_cols or numeric_cols:
+        # filter pseudo-terms ('lang:en', 'n_chars#4:...') append AFTER
+        # doc_len so scoring stats count real tokens only (build.py
+        # contract); they ride the same blocks, so filtering stays
         # bucket-local at query time (query/bm25.py _bucket_inclusion)
         from pisa_spark.index.build import attribute_tokens_col
+        from pisa_spark.index.numeric import numeric_tokens_col
 
+        extra = (
+            [attribute_tokens_col(list(attribute_cols))]
+            if attribute_cols
+            else []
+        ) + [numeric_tokens_col(c) for c in (numeric_cols or [])]
         toks = toks.withColumn(
-            "tokens",
-            F.concat("tokens", attribute_tokens_col(list(attribute_cols))),
+            "tokens", F.concat("tokens", *extra)
         ).select("doc_id", "tokens", "doc_len", "doc_fp")
     toks = toks.cache()
     try:

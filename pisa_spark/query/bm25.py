@@ -350,31 +350,59 @@ def _bucket_exclusion(
     return np.unique(np.concatenate(parts)) if len(parts) > 1 else parts[0]
 
 
+def _flat_filters(q: dict) -> list[str]:
+    """Flatten a query's filter spec (str | list[str] groups) to the
+    pseudo-terms it touches — for the pruned-scan term set."""
+    out: list[str] = []
+    for g in q.get("filter", []):
+        out.extend([g] if isinstance(g, str) else g)
+    return out
+
+
 def _bucket_inclusion(
     by_term: dict,
-    filters: list[str],
+    filters: list,
     cache: dict,
 ) -> np.ndarray | None:
-    """Sorted doc ids of this bucket matching EVERY filter pseudo-term
-    ('lang:en' — build.attribute_tokens_col), or None when the query
-    carries no filters. The doc-range layout makes attribute filtering
-    local exactly like NOT: a doc's filter postings live in its own
-    bucket. A filter term absent from the bucket -> empty include set
-    (no doc here can satisfy the filter). Per-term decodes share the
-    same cache as negation (docs only, never scored)."""
+    """Sorted doc ids of this bucket satisfying the filter spec, or
+    None when the query carries no filters.
+
+    Each element of ``filters`` is a GROUP: a plain string is a
+    single pseudo-term ('lang:en' — build.attribute_tokens_col), a
+    list of strings is a UNION of alternatives (the numeric
+    range-decomposition terms — index/numeric.py range_terms). A doc
+    must match at least one member of EVERY group (OR within, AND
+    across) — exactly the relational `AND` of per-column predicates.
+
+    The doc-range layout makes this local exactly like NOT: a doc's
+    filter postings live in its own bucket. A group with no member
+    present in the bucket -> empty include set. Per-term decodes share
+    the same cache as negation (docs only, never scored)."""
     if not filters:
         return None
-    inter: np.ndarray | None = None
-    for t in filters:
-        if t not in by_term:
-            return np.empty(0, np.int64)
+
+    def term_docs(t: str) -> np.ndarray:
         if t not in cache:
             docs, _, _ = _decode_blocks_vectorized(by_term[t])
             cache[t] = np.unique(docs)
+        return cache[t]
+
+    inter: np.ndarray | None = None
+    for group in filters:
+        members = [group] if isinstance(group, str) else list(group)
+        present = [t for t in members if t in by_term]
+        if not present:
+            return np.empty(0, np.int64)
+        if len(present) == 1:
+            gdocs = term_docs(present[0])
+        else:
+            # precision-step cells are disjoint by construction, but
+            # unique() keeps the union contract for arbitrary groups
+            gdocs = np.unique(
+                np.concatenate([term_docs(t) for t in present])
+            )
         inter = (
-            cache[t]
-            if inter is None
-            else inter[_in_sorted(cache[t], inter)]
+            gdocs if inter is None else inter[_in_sorted(gdocs, inter)]
         )
         if inter.size == 0:
             return inter
@@ -552,7 +580,7 @@ def bm25_topk_wand(
     all_terms = sorted(
         {t for q in queries for t in q["terms"]}
         | {t for q in queries for t in q.get("negated", [])}
-        | {t for q in queries for t in q.get("filter", [])}
+        | {t for q in queries for t in _flat_filters(q)}
     )
     # no cache: the term-pruned parquet scan (PushedFilters) is cheaper
     # to re-run than to materialize, and caching per call would leak;
