@@ -346,3 +346,65 @@ def make_blocks_from_tf(tf, vocab, n_buckets=2):
                     "dls": codec.encode_payload(dls.astype(np.int64)),
                 })
     return pd.DataFrame(rows), tf, doc_len
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_wand_kernel_filter_group_fuzz(seed):
+    """Filter GROUPS (OR within a group, AND across groups — the
+    numeric-range include shape) under fuzz vs the naive composition."""
+    rng = np.random.default_rng(2000 + seed)
+    n_docs = int(rng.integers(8, 50))
+    real = list("abcd"[: rng.integers(2, 4)])
+    pseudo = ["n#0:1", "n#0:2", "n#4:0", "lang:x"]
+    vocab = real + pseudo
+    blocks, tf, doc_len = make_blocks(rng, n_docs, vocab)
+    for p in pseudo:
+        pi = vocab.index(p)
+        tf[:, pi] = (tf[:, pi] > 0).astype(tf.dtype)
+    blocks, _, doc_len = make_blocks_from_tf(tf, vocab)
+    avgdl = float(doc_len.mean())
+    term_dfs = {
+        t: int((tf[:, i] > 0).sum()) for i, t in enumerate(vocab)
+    }
+    term_dfs = {t: d for t, d in term_dfs.items() if d > 0}
+    k = int(rng.integers(1, 6))
+
+    queries, expected = [], {}
+    for qid in range(3):
+        terms = [real[rng.integers(0, len(real))]
+                 for _ in range(rng.integers(1, 3))]
+        terms = [t for t in terms if t in term_dfs] or [real[0]]
+        # one union group (range-style) + optionally one equality term
+        group = [pseudo[i] for i in sorted(
+            rng.choice(3, size=rng.integers(1, 3), replace=False))]
+        flt: list = [group]
+        if rng.random() < 0.5:
+            flt.append("lang:x")
+        q = {"query_id": qid, "terms": terms,
+             "conjunctive": bool(rng.random() < 0.4), "filter": flt}
+        queries.append(q)
+        cand = naive_topk(
+            tf, doc_len, [vocab.index(t) for t in terms],
+            q["conjunctive"], 10**9, n_docs, avgdl,
+        )
+        gi = [vocab.index(t) for t in group]
+        keep = [
+            (d, s) for d, s in cand
+            if any(tf[d, i] > 0 for i in gi)
+            and ("lang:x" not in flt or tf[d, vocab.index("lang:x")] > 0)
+        ]
+        expected[qid] = keep[:k]
+
+    phase1 = run_kernel(blocks, queries, n_docs, avgdl, k, term_dfs, {})
+    kth = {
+        qid: (cand[k - 1][1] if len(cand) >= k else -np.inf)
+        for qid, cand in phase1.items()
+    }
+    for thr in ({}, {q: v for q, v in kth.items() if v != -np.inf}):
+        got = run_kernel(blocks, queries, n_docs, avgdl, k, term_dfs, thr)
+        for q in queries:
+            g = got.get(q["query_id"], [])
+            e = expected[q["query_id"]]
+            assert [d for d, _ in g] == [d for d, _ in e], (
+                f"seed={seed} thr={bool(thr)} q={q} got={g} want={e}"
+            )
