@@ -779,7 +779,8 @@ def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_duplicate_spans(docs, n=6, min_docs=2)
 
 
-def _dedup_substring_sql(n: int = 6, min_docs: int = 2) -> str:
+def _substring_spans_cte(n: int = 6, min_docs: int = 2) -> str:
+    """Shared CTE chain ending in spans(doc_id, span_start, span_end)."""
     return f"""
 {_SQL_BASE},
 sized AS (SELECT doc_id, tokens FROM toks WHERE len(tokens) >= {n}),
@@ -805,13 +806,61 @@ isl AS (
   SELECT doc_id, pos,
          sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
   FROM flagged
-)
+),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + {n} AS span_end
+  FROM isl GROUP BY doc_id, island
+)"""
+
+
+def _dedup_substring_sql(n: int = 6, min_docs: int = 2) -> str:
+    return f"""
+{_substring_spans_cte(n, min_docs)}
 SELECT doc_id,
-       CAST(min(pos) AS INTEGER) AS span_start,
-       CAST(max(pos) + {n} AS INTEGER) AS span_end,
-       CAST(max(pos) + {n} - min(pos) AS INTEGER) AS span_tokens
-FROM isl GROUP BY doc_id, island
+       CAST(span_start AS INTEGER) AS span_start,
+       CAST(span_end AS INTEGER) AS span_end,
+       CAST(span_end - span_start AS INTEGER) AS span_tokens
+FROM spans
 """
+
+
+def _dedup_trim_sql(n: int = 6, min_docs: int = 2) -> str:
+    """Trim twin: tokens outside every island, re-joined in order; a
+    fully-covered doc keeps a row with trimmed = ''."""
+    return f"""
+{_substring_spans_cte(n, min_docs)},
+tokpos AS (
+  SELECT doc_id, generate_subscripts(tokens, 1) AS i, unnest(tokens) AS t
+  FROM toks
+),
+kept AS (
+  SELECT tp.doc_id, tp.i, tp.t
+  FROM tokpos tp
+  WHERE EXISTS (SELECT 1 FROM spans s2 WHERE s2.doc_id = tp.doc_id)
+    AND NOT EXISTS (
+      SELECT 1 FROM spans s
+      WHERE s.doc_id = tp.doc_id
+        AND tp.i - 1 >= s.span_start AND tp.i - 1 < s.span_end
+    )
+),
+agg AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS trimmed
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.trimmed, '') AS trimmed
+FROM (SELECT DISTINCT doc_id FROM spans) d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def _dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span TRIM applied to the docs that had spans:
+    (doc_id, trimmed) in normalized token space (dedup/dedup.py
+    trim_duplicate_spans — HOF transform/filter/exists, no UDF)."""
+    from pisa_spark.dedup.dedup import trim_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return trim_duplicate_spans(docs, n=6, min_docs=2)
 
 
 def _bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2578,6 +2627,7 @@ _GATE_ORDER = [
     "bm25_filtered_topk",
     "bm25_explain_contribs",
     "dedup_substring_spans",
+    "dedup_substring_trim",
     "bm25_range_filtered_topk",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
@@ -2607,8 +2657,8 @@ _GATE_ORDER = [
     "bm25_topk_or",
     "bm25_topk_and",
     "bm25_topk_or_wand",
-    "bm25_phrase_topk",
     # ---- window boundary (~50): below here = green r3, pytest-covered ----
+    "bm25_phrase_topk",
     "dedup_exact",
     "bm25_rm3_topk",
     "bm25f_topk_indexed",
@@ -2702,6 +2752,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain_contribs": _bm25_explain,
         "dedup_substring_spans": _dedup_substring,
         "bm25_range_filtered_topk": _bm25_range_filtered,
+        "dedup_substring_trim": _dedup_trim,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
         ),
@@ -3228,6 +3279,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_explain_contribs": _bm25_explain_sql(_OR_QUERIES),
         "dedup_substring_spans": _dedup_substring_sql(),
         "bm25_range_filtered_topk": _bm25_range_filtered_sql(_RANGE_QUERIES),
+        "dedup_substring_trim": _dedup_trim_sql(),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),
         "bm25_topk_or": _bm25_sql(_OR_QUERIES, conjunctive=False),

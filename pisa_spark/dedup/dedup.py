@@ -656,3 +656,55 @@ def substring_duplicate_spans(
             .alias("span_tokens"),
         )
     )
+
+
+def trim_duplicate_spans(
+    docs: DataFrame,
+    n: int = 6,
+    min_docs: int = 2,
+    text_col: str = "text",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Apply substring_duplicate_spans as a TRIM: (doc_id, trimmed)
+    for every doc that had at least one duplicated span, with the
+    covered tokens excised and the remainder re-joined on single
+    spaces. Output is in normalized token space (the tokenizer's
+    lowercase-alnum rendering) — the representation the downstream
+    curation pipeline consumes.
+
+    Plan: spans collect to one (start, end) array per doc (bounded by
+    spans-per-doc, not corpus size), join back, then pure higher-order
+    expressions — transform/filter/exists — drop covered offsets. No
+    UDF, one narrow doc_id shuffle beyond the span computation.
+
+    spans: pass a precomputed/persisted span relation to skip the
+    n-gram pass (e.g. the output of substring_duplicate_spans run once
+    and audited)."""
+    from pisa_spark.corpus import tokens_col
+
+    if spans is None:
+        spans = substring_duplicate_spans(
+            docs, n=n, min_docs=min_docs, text_col=text_col
+        )
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toks = docs.select(
+        "doc_id", tokens_col(F.col(text_col)).alias("toks")
+    ).join(sp, "doc_id")
+    with_idx = F.transform(
+        "toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        with_idx,
+        lambda s: ~F.exists(
+            "spans",
+            lambda b: (s["i"] >= b["span_start"]) & (s["i"] < b["span_end"]),
+        ),
+    )
+    return toks.select(
+        "doc_id",
+        F.array_join(
+            F.transform(kept, lambda s: s["t"]), " "
+        ).alias("trimmed"),
+    )

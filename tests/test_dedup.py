@@ -234,3 +234,25 @@ def test_substring_spans_adjacent_merge(spark):
     # every 3-gram inside rep is shared -> one island covering rep
     assert by_doc == {0: (1, 9), 1: (2, 10)}
     assert (out.span_tokens == 8).all()
+
+
+def test_trim_duplicate_spans(spark):
+    from pisa_spark.dedup.dedup import trim_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro {shared} middle words here {shared} tail"),
+            (1, f"{shared} other text entirely unrelated thing"),
+            (2, "unique document no repeats anywhere at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["trimmed"]
+        for r in trim_duplicate_spans(docs, n=6, min_docs=2).collect()
+    }
+    assert got == {
+        0: "intro middle words here tail",
+        1: "other text entirely unrelated thing",
+    }  # doc 2 had no spans -> not in the trim relation
