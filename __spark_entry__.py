@@ -853,6 +853,62 @@ LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _built_split_indexes(spark: SparkSession, sf_dir: str):
+    """Two disjoint half-corpus indexes (doc_id split at the median) —
+    the base+delta federation fixture. Memoized like _built_index."""
+    key = ("fidx", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        from pisa_spark.corpus import tokens_col
+        from pisa_spark.index.build import build_postings
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        mid = docs.agg(
+            F.percentile_approx("doc_id", 0.5, 10000)
+        ).collect()[0][0]
+        members = []
+        for part in (docs.filter(F.col("doc_id") <= mid),
+                     docs.filter(F.col("doc_id") > mid)):
+            toks = part.select(
+                "doc_id", tokens_col(F.col("text")).alias("tokens")
+            ).withColumn("doc_len", F.size("tokens"))
+            r = toks.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("doc_len").alias("avgdl"),
+                F.sum("doc_len").alias("total"),
+                F.max("doc_id").alias("mx"),
+            ).collect()[0]
+            postings = build_postings(
+                toks, int(r["n"]), float(r["avgdl"]), n_buckets=8,
+                max_doc_id=int(r["mx"]),
+            ).cache()
+            members.append(
+                (postings, {"n_docs": int(r["n"]),
+                            "avgdl": float(r["avgdl"]),
+                            "total_terms": int(r["total"])})
+            )
+        _MEMO[key] = members
+    return _MEMO[key]
+
+
+def _bm25_federated(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Federated serving: two disjoint half-corpus indexes answer under
+    COMBINED global stats (df summed from block metadata, avgdl from
+    exact total_terms/n_docs sums) — the oracle is the ONE-corpus BM25
+    SQL, so the gate proves base+delta == a single merged index,
+    rank-identical (query/bm25.py bm25_topk_federated)."""
+    from pisa_spark.query.bm25 import bm25_topk_federated
+
+    members = _built_split_indexes(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms, "conjunctive": False}
+        for qid, terms in _OR_QUERIES
+    ]
+    out = bm25_topk_federated(members, queries, k=k)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span TRIM applied to the docs that had spans:
     (doc_id, trimmed) in normalized token space (dedup/dedup.py
@@ -2629,6 +2685,7 @@ _GATE_ORDER = [
     "dedup_substring_spans",
     "dedup_substring_trim",
     "bm25_range_filtered_topk",
+    "bm25_federated_topk",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -2656,8 +2713,8 @@ _GATE_ORDER = [
     "pages_extracted_stats",
     "bm25_topk_or",
     "bm25_topk_and",
-    "bm25_topk_or_wand",
     # ---- window boundary (~50): below here = green r3, pytest-covered ----
+    "bm25_topk_or_wand",
     "bm25_phrase_topk",
     "dedup_exact",
     "bm25_rm3_topk",
@@ -2752,6 +2809,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_explain_contribs": _bm25_explain,
         "dedup_substring_spans": _dedup_substring,
         "bm25_range_filtered_topk": _bm25_range_filtered,
+        "bm25_federated_topk": _bm25_federated,
         "dedup_substring_trim": _dedup_trim,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
@@ -3279,6 +3337,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_explain_contribs": _bm25_explain_sql(_OR_QUERIES),
         "dedup_substring_spans": _dedup_substring_sql(),
         "bm25_range_filtered_topk": _bm25_range_filtered_sql(_RANGE_QUERIES),
+        "bm25_federated_topk": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "dedup_substring_trim": _dedup_trim_sql(),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),

@@ -1262,3 +1262,72 @@ def bm25_near_topk(
         schema=TOPK_RESULT_SCHEMA,
     )
     return topk_window(partial, k)
+
+
+def bm25_topk_federated(
+    indexes: list[tuple[DataFrame, dict]],
+    queries: list[dict],
+    k: int = 10,
+    two_phase: bool = False,
+    pre_arranged: bool = False,
+) -> DataFrame:
+    """Top-k over a FEDERATION of indexes served as one logical corpus
+    — the base+delta freshness pattern: a large periodically-rebuilt
+    base index plus one or more small recent-delta indexes (e.g. the
+    streaming ingest's latest snapshot) answer queries together with
+    NO merge/rebuild, rank-identical to a single index over the union
+    (gate bm25_federated_topk proves it against the single-corpus
+    oracle).
+
+    indexes: [(postings, stats)] where stats carries n_docs and
+    total_terms (load_index provides both). Doc-id spaces must be
+    disjoint across members (the incremental builder's contract — new
+    docs extend the id space).
+
+    How rank-identity falls out: BM25's only global inputs are df and
+    avgdl. df(term) = sum of the members' dfs (block metadata, one
+    bounded aggregate per member); avgdl = sum(total_terms) /
+    sum(n_docs) — exact integer sums, one division. Every member then
+    scores its own buckets under the COMBINED stats (the corner-stat
+    block design makes member blocks valid under any global stats —
+    build.py module doc), and the global answer is the k-row window
+    over the members' top-ks. Per-member two_phase stays sound: a
+    member's phase-1 k-th score is attained by k real docs, hence a
+    valid lower bound on the federated k-th."""
+    if not indexes:
+        raise ValueError("bm25_topk_federated needs at least one index")
+    n_docs = sum(int(st["n_docs"]) for _, st in indexes)
+    totals = [st.get("total_terms") for _, st in indexes]
+    if all(t is not None for t in totals):
+        avgdl = float(sum(int(t) for t in totals)) / float(n_docs)
+    else:
+        # fall back to the avgdl-weighted reconstruction
+        avgdl = sum(
+            float(st["avgdl"]) * int(st["n_docs"]) for _, st in indexes
+        ) / float(n_docs)
+    all_terms = sorted(
+        {t for q in queries for t in q["terms"]}
+        | {t for q in queries for t in q.get("negated", [])}
+        | {t for q in queries for t in _flat_filters(q)}
+    )
+    term_dfs: dict[str, int] = {}
+    for postings, _ in indexes:
+        rows = (
+            postings.filter(F.col("term").isin(all_terms))
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+            .collect()
+        )
+        for r in rows:
+            term_dfs[r["term"]] = term_dfs.get(r["term"], 0) + int(r["df"])
+    parts = [
+        bm25_topk_wand(
+            postings, queries, n_docs, avgdl, k=k, two_phase=two_phase,
+            term_dfs=term_dfs, pre_arranged=pre_arranged,
+        ).select("query_id", "doc_id", "score")
+        for postings, _ in indexes
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return topk_window(union, k)
