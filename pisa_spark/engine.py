@@ -1008,3 +1008,66 @@ class SearchEngine:
             [(t, d) for t, d in dfs.items() if d > 0],
             schema="term string, df bigint",
         )
+
+
+class FederatedEngine:
+    """Serve several persisted indexes (disjoint doc-id spaces — the
+    incremental builder's contract) as ONE logical corpus: a big
+    rarely-rebuilt base plus small recent-delta roots (e.g. streaming
+    ingest snapshots) answer together, rank-identical to a single
+    merged index (query/bm25.py bm25_topk_federated; the
+    bm25_federated_topk gate proves the identity against the
+    one-corpus oracle).
+
+    Intentionally narrow: search/search_batch over OR/'+'/'-' queries.
+    The single-index SearchEngine keeps the wide facade; federation is
+    a serving-topology concern, not a new query language."""
+
+    def __init__(self, spark: SparkSession, members: list):
+        self.spark = spark
+        self.members = members  # [(postings, stats)]
+
+    @classmethod
+    def load(
+        cls, spark: SparkSession, roots: list[str], cache: bool = True
+    ) -> "FederatedEngine":
+        members = []
+        for root in roots:
+            eng = SearchEngine.load(spark, root, cache=cache)
+            members.append((eng.postings, eng.stats))
+        return cls(spark, members)
+
+    def search(self, query, k: int = 10, two_phase: bool = False):
+        return self.search_batch([query], k=k, two_phase=two_phase)
+
+    def search_batch(self, queries, k: int = 10, two_phase: bool = False):
+        from pisa_spark.query.bm25 import bm25_topk_federated
+
+        norm = []
+        for i, q in enumerate(queries):
+            q = parse_query(q) if isinstance(q, str) else dict(q)
+            if q.get("phrases"):
+                raise ValueError(
+                    "federated serving covers term queries; route"
+                    " phrases to a single-index SearchEngine"
+                )
+            norm.append(
+                {
+                    "query_id": q.get("query_id", i),
+                    "terms": list(q["terms"]),
+                    "conjunctive": q.get("conjunctive", False),
+                    **(
+                        {"negated": list(q["negated"])}
+                        if q.get("negated")
+                        else {}
+                    ),
+                    **(
+                        {"filter": list(q["filter"])}
+                        if q.get("filter")
+                        else {}
+                    ),
+                }
+            )
+        return bm25_topk_federated(
+            self.members, norm, k=k, two_phase=two_phase
+        )

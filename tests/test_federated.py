@@ -95,3 +95,55 @@ def test_federated_one_member_is_identity(spark):
                        st["avgdl"], k=5)
     )
     assert a == b
+
+
+def test_federated_engine_streaming_delta(spark, sf_dir, tmp_path_factory):
+    """End-to-end base+delta: a persisted base index over half the
+    corpus plus a STREAMING-ingested delta index over the other half,
+    served via FederatedEngine == one SearchEngine over the full
+    corpus, rank-identical including '-term' negation."""
+    from pisa_spark.engine import FederatedEngine, SearchEngine
+    from pisa_spark.streaming.ingest import stream_index_ingest
+
+    tmp = tmp_path_factory.mktemp("fed_e2e")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    base_docs = docs.filter(F.col("doc_id") <= mid)
+    delta_docs = docs.filter(F.col("doc_id") > mid)
+
+    base_root = str(tmp / "base")
+    eng_base = SearchEngine.build(spark, None, base_root, docs_df=base_docs)
+    assert eng_base.stats["n_docs"] > 0
+
+    # delta arrives through the streaming front (rate-limited files)
+    delta_src = str(tmp / "delta_src")
+    delta_docs.coalesce(1).write.parquet(delta_src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(delta_src)
+    )
+    delta_root = str(tmp / "delta")
+    q = stream_index_ingest(
+        stream, str(tmp / "staging"), delta_root,
+        str(tmp / "ckpt"), docs_per_bucket=64,
+    )
+    q.awaitTermination(120)
+
+    fed = FederatedEngine.load(spark, [base_root, delta_root])
+    single_root = str(tmp / "single")
+    eng_all = SearchEngine.build(spark, None, single_root, docs_df=docs)
+
+    for query in ["data join", "+query scan", "data -the"]:
+        got = [
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in fed.search(query, k=10).collect()
+        ]
+        want = [
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in eng_all.search(query, k=10).collect()
+        ]
+        assert got == want and len(got) > 0, query
+    with pytest.raises(ValueError, match="phrase"):
+        fed.search('"data join"')
