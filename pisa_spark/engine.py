@@ -1023,19 +1023,25 @@ class FederatedEngine:
     The single-index SearchEngine keeps the wide facade; federation is
     a serving-topology concern, not a new query language."""
 
-    def __init__(self, spark: SparkSession, members: list):
+    def __init__(
+        self, spark: SparkSession, members: list, pre_arranged: bool = False
+    ):
         self.spark = spark
         self.members = members  # [(postings, stats)]
+        self._pre_arranged = pre_arranged
 
     @classmethod
     def load(
         cls, spark: SparkSession, roots: list[str], cache: bool = True
     ) -> "FederatedEngine":
-        members = []
+        members, arranged = [], []
         for root in roots:
             eng = SearchEngine.load(spark, root, cache=cache)
             members.append((eng.postings, eng.stats))
-        return cls(spark, members)
+            arranged.append(eng._pre_arranged)
+        # the bucket-co-location invariant must hold for EVERY member
+        # before the per-query repartition can be skipped
+        return cls(spark, members, pre_arranged=all(arranged))
 
     def search(self, query, k: int = 10, two_phase: bool = False):
         return self.search_batch([query], k=k, two_phase=two_phase)
@@ -1069,5 +1075,6 @@ class FederatedEngine:
                 }
             )
         return bm25_topk_federated(
-            self.members, norm, k=k, two_phase=two_phase
+            self.members, norm, k=k, two_phase=two_phase,
+            pre_arranged=self._pre_arranged,
         )
