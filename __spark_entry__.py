@@ -856,7 +856,7 @@ LEFT JOIN agg a USING (doc_id)
 def _built_split_indexes(spark: SparkSession, sf_dir: str):
     """Two disjoint half-corpus indexes (doc_id split at the median) —
     the base+delta federation fixture. Memoized like _built_index."""
-    key = ("fidx", spark.sparkContext.applicationId, sf_dir)
+    key = ("fedidx", spark.sparkContext.applicationId, sf_dir)
     if key not in _MEMO:
         from pisa_spark.corpus import tokens_col
         from pisa_spark.index.build import build_postings
