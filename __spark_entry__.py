@@ -909,6 +909,86 @@ def _bm25_federated(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+def _reordered_index(spark: SparkSession, sf_dir: str):
+    """Index built over (lang, source)-reordered doc ids — PISA's
+    reorder-docids (index/reorder.py) as the build-time pre-pass.
+    Memoized like _built_index: (postings, stats, mapping)."""
+    key = ("reoidx", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        from pisa_spark.index.build import build_postings
+        from pisa_spark.index.reorder import apply_reorder, reorder_by_key
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        mapping = reorder_by_key(docs, ["lang", "source"]).cache()
+        toks = apply_reorder(_tokens(spark, sf_dir), mapping)
+        row = toks.agg(
+            F.count(F.lit(1)), F.avg("doc_len"), F.max("doc_id")
+        ).collect()[0]
+        n, avgdl = int(row[0]), float(row[1])
+        postings = build_postings(
+            toks, n, avgdl, n_buckets=16, max_doc_id=int(row[2])
+        ).cache()
+        _MEMO[key] = (postings, {"n_docs": n, "avgdl": avgdl}, mapping)
+    return _MEMO[key]
+
+
+def _bm25_reordered(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """BM25 over the doc-id-REORDERED index: scores are permutation-
+    invariant, so the oracle is the standard one-corpus BM25 SQL with
+    ranks tie-broken on the REPLAYED new ids; results map back to
+    original ids through the reorder mapping (index/reorder.py
+    restore_ids — the k-row side broadcasts, the mapping streams)."""
+    from pisa_spark.index.reorder import restore_ids
+    from pisa_spark.query.bm25 import bm25_topk_wand
+
+    postings, stats, mapping = _reordered_index(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms, "conjunctive": False}
+        for qid, terms in _OR_QUERIES
+    ]
+    out = bm25_topk_wand(
+        postings, queries, stats["n_docs"], stats["avgdl"], k=k,
+        two_phase=True,
+    )
+    return restore_ids(out, mapping).select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_reordered_sql(qs, k: int = 10) -> str:
+    """Twin: scores over ORIGINAL ids (BM25 is permutation-invariant),
+    ranks tie-broken on the replayed (lang, source, doc_id) dense rank
+    — exactly the reorder_by_key total order."""
+    return f"""
+{_SQL_BASE},
+map AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY lang, source, doc_id) - 1 AS new_id
+  FROM documents
+),
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, s.doc_id, round(s.raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.raw_score DESC, m.new_id ASC) AS INTEGER) AS rank
+  FROM scored s JOIN map m USING (doc_id)
+) WHERE rank <= {k}
+"""
+
+
 def _dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span TRIM applied to the docs that had spans:
     (doc_id, trimmed) in normalized token space (dedup/dedup.py
@@ -2686,6 +2766,7 @@ _GATE_ORDER = [
     "dedup_substring_trim",
     "bm25_range_filtered_topk",
     "bm25_federated_topk",
+    "bm25_reordered_topk",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -2712,8 +2793,8 @@ _GATE_ORDER = [
     "term_tf",
     "pages_extracted_stats",
     "bm25_topk_or",
-    "bm25_topk_and",
     # ---- window boundary (~50): below here = green r3, pytest-covered ----
+    "bm25_topk_and",
     "bm25_topk_or_wand",
     "bm25_phrase_topk",
     "dedup_exact",
@@ -2810,6 +2891,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": _dedup_substring,
         "bm25_range_filtered_topk": _bm25_range_filtered,
         "bm25_federated_topk": _bm25_federated,
+        "bm25_reordered_topk": _bm25_reordered,
         "dedup_substring_trim": _dedup_trim,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
@@ -3338,6 +3420,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "dedup_substring_spans": _dedup_substring_sql(),
         "bm25_range_filtered_topk": _bm25_range_filtered_sql(_RANGE_QUERIES),
         "bm25_federated_topk": _bm25_sql(_OR_QUERIES, conjunctive=False),
+        "bm25_reordered_topk": _bm25_reordered_sql(_OR_QUERIES),
         "dedup_substring_trim": _dedup_trim_sql(),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),
