@@ -989,6 +989,123 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+def _search_mmr(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_cand: int = 20
+) -> DataFrame:
+    """MMR-diversified top-k (query/diversify.py): candidates = the
+    index-served raw-score top-20 per query, greedy integer-objective
+    selection inside a per-query applyInPandas kernel. The objective is
+    pure int64 after the floors, so the output needs no rounding."""
+    from pisa_spark.query.diversify import candidate_tokens, mmr_rerank
+
+    postings, stats = _built_index(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms, "conjunctive": False}
+        for qid, terms in _OR_QUERIES
+    ]
+    cands = bm25_topk_wand(
+        postings, queries, stats["n_docs"], stats["avgdl"], k=n_cand,
+        two_phase=True,
+    )
+    toks = candidate_tokens(_docs(spark, sf_dir))
+    return mmr_rerank(cands, toks, k=k, div10=5)
+
+
+def _mmr_sql(qs, k: int = 10, n_cand: int = 20, div10: int = 5) -> str:
+    """MMR twin: the k greedy steps UNROLLED as chained CTEs (the
+    PageRank-twin pattern). Mirrors query/diversify.py op for op:
+    rq = floor(raw·10^6), min-max rn (all-equal guard pins 10^6),
+    pairwise Jaccard ppm over distinct-sorted token lists, objective
+    (10-L)·rn − L·maxsim in BIGINT, ties to doc_id ASC."""
+    rel, div = 10 - div10, div10
+    steps = []
+    for t in range(2, k + 1):
+        steps.append(f""",
+rem{t} AS MATERIALIZED (
+  SELECT c.query_id, c.doc_id, c.rn FROM cn c
+  ANTI JOIN all{t-1} s USING (query_id, doc_id)
+),
+ms{t} AS MATERIALIZED (
+  SELECT r.query_id, r.doc_id, r.rn, max(coalesce(p.s, 0)) AS ms
+  FROM rem{t} r
+  JOIN all{t-1} s USING (query_id)
+  LEFT JOIN psim p ON p.query_id = r.query_id
+                  AND p.da = r.doc_id AND p.db = s.doc_id
+  GROUP BY r.query_id, r.doc_id, r.rn
+),
+sel{t} AS MATERIALIZED (
+  SELECT query_id, doc_id, o, {t} AS rank FROM (
+    SELECT query_id, doc_id,
+           CAST({rel} AS BIGINT) * rn - CAST({div} AS BIGINT) * ms AS o,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY CAST({rel} AS BIGINT) * rn
+                      - CAST({div} AS BIGINT) * ms DESC,
+                      doc_id ASC) AS r
+    FROM ms{t}) WHERE r = 1
+),
+all{t} AS MATERIALIZED (SELECT * FROM all{t-1} UNION ALL SELECT * FROM sel{t})""")
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, doc_id,
+         CAST(floor(raw_score * 1000000.0) AS BIGINT) AS rq
+  FROM (
+    SELECT query_id, doc_id, raw_score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY raw_score DESC, doc_id ASC) AS r
+    FROM scored) WHERE r <= {n_cand}
+),
+cn AS MATERIALIZED (
+  SELECT query_id, doc_id,
+         CASE WHEN mrq = nrq THEN CAST(1000000 AS BIGINT)
+              ELSE CAST(floor(CAST(rq - nrq AS DOUBLE) * 1000000.0
+                              / (mrq - nrq)) AS BIGINT) END AS rn
+  FROM (SELECT query_id, doc_id, rq,
+               max(rq) OVER (PARTITION BY query_id) AS mrq,
+               min(rq) OVER (PARTITION BY query_id) AS nrq
+        FROM cand)
+),
+ctoks AS MATERIALIZED (
+  SELECT c.query_id, c.doc_id,
+         list_sort(list_distinct(t.tokens)) AS toks
+  FROM cn c JOIN toks t USING (doc_id)
+),
+psim AS MATERIALIZED (
+  SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+         CAST(floor(1000000.0 * len(list_intersect(a.toks, b.toks))
+              / (len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks)))) AS BIGINT) AS s
+  FROM ctoks a JOIN ctoks b
+    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+),
+sel1 AS MATERIALIZED (
+  SELECT query_id, doc_id, o, 1 AS rank FROM (
+    SELECT query_id, doc_id, CAST({rel} AS BIGINT) * rn AS o,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY CAST({rel} AS BIGINT) * rn DESC,
+                                       doc_id ASC) AS r
+    FROM cn) WHERE r = 1
+),
+all1 AS MATERIALIZED (SELECT * FROM sel1){"".join(steps)}
+SELECT query_id, rank, doc_id, o AS objective FROM all{k}
+"""
+
+
 def _dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span TRIM applied to the docs that had spans:
     (doc_id, trimmed) in normalized token space (dedup/dedup.py
@@ -2767,6 +2884,7 @@ _GATE_ORDER = [
     "bm25_range_filtered_topk",
     "bm25_federated_topk",
     "bm25_reordered_topk",
+    "search_mmr_topk",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -2792,8 +2910,8 @@ _GATE_ORDER = [
     # -- round-3-green core gates kept inside the window for freshness --
     "term_tf",
     "pages_extracted_stats",
-    "bm25_topk_or",
     # ---- window boundary (~50): below here = green r3, pytest-covered ----
+    "bm25_topk_or",
     "bm25_topk_and",
     "bm25_topk_or_wand",
     "bm25_phrase_topk",
@@ -2892,6 +3010,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_range_filtered_topk": _bm25_range_filtered,
         "bm25_federated_topk": _bm25_federated,
         "bm25_reordered_topk": _bm25_reordered,
+        "search_mmr_topk": _search_mmr,
         "dedup_substring_trim": _dedup_trim,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
@@ -3421,6 +3540,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_range_filtered_topk": _bm25_range_filtered_sql(_RANGE_QUERIES),
         "bm25_federated_topk": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_reordered_topk": _bm25_reordered_sql(_OR_QUERIES),
+        "search_mmr_topk": _mmr_sql(_OR_QUERIES),
         "dedup_substring_trim": _dedup_trim_sql(),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),

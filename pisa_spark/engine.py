@@ -927,6 +927,26 @@ class SearchEngine:
         res = self.search(query, k=k, **search_kwargs)
         return facet_counts(res, self._docs_df(), facet_cols)
 
+    def search_diverse(
+        self,
+        query,
+        k: int = 10,
+        candidates: int = 20,
+        div10: int = 5,
+        **search_kwargs,
+    ) -> DataFrame:
+        """MMR-diversified search (query/diversify.py): the raw-score
+        top-``candidates`` rerank under the integer MMR objective so
+        the k returned docs cover different content; div10/10 is the
+        diversity weight (0 = plain relevance order). Requires
+        with_corpus() — candidate token sets come from the doc store.
+        Returns (query_id, rank, doc_id, objective)."""
+        from pisa_spark.query.diversify import candidate_tokens, mmr_rerank
+
+        cands = self.search(query, k=candidates, **search_kwargs)
+        toks = candidate_tokens(self._docs_df())
+        return mmr_rerank(cands, toks, k=k, div10=div10)
+
     # -- document fetch (forward index) ------------------------------------
 
     def with_corpus(self, corpus_dir: str) -> "SearchEngine":
