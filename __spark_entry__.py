@@ -1106,6 +1106,77 @@ SELECT query_id, rank, doc_id, o AS objective FROM all{k}
 """
 
 
+def _bm25_deleted(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """BM25 with tombstone deletes (index/deletes.py): docs with
+    doc_id % 7 == 3 are deleted; serving excludes them bucket-locally
+    through the NOT machinery while survivors keep their EXACT scores
+    (Lucene stale-stats semantics — df/avgdl/n_docs unchanged until
+    compaction). The twin scores the FULL corpus and only filters the
+    result docs — exactly that contract."""
+    from pisa_spark.index.deletes import (
+        exclude_deleted,
+        tombstone_postings,
+        with_tombstones,
+    )
+
+    key = ("delidx", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        postings, stats = _built_index(spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+        span = max(1, -(-(int(mx) + 1) // 16))  # _built_index n_buckets=16
+        tomb = tombstone_postings(
+            docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+            stats["n_docs"],
+            stats["avgdl"],
+            span,
+        )
+        _MEMO[key] = (with_tombstones(postings, tomb).cache(), stats)
+    postings, stats = _MEMO[key]
+    queries = exclude_deleted(
+        [
+            {"query_id": qid, "terms": terms, "conjunctive": False}
+            for qid, terms in _OR_QUERIES
+        ]
+    )
+    out = bm25_topk_wand(
+        postings, queries, stats["n_docs"], stats["avgdl"], k=k,
+        two_phase=True,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_deleted_sql(qs, k: int = 10) -> str:
+    """Twin: full-corpus stats (df/doclen/avgdl include deleted docs —
+    the stale-stats contract), only the RESULT docs are filtered."""
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.doc_id % 7 <> 3
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _dedup_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span TRIM applied to the docs that had spans:
     (doc_id, trimmed) in normalized token space (dedup/dedup.py
@@ -2885,6 +2956,7 @@ _GATE_ORDER = [
     "bm25_federated_topk",
     "bm25_reordered_topk",
     "search_mmr_topk",
+    "bm25_deleted_topk",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -2908,9 +2980,9 @@ _GATE_ORDER = [
     "tpch_q5_regional",
     "tpch_q6_forecast",
     # -- round-3-green core gates kept inside the window for freshness --
-    "term_tf",
     "pages_extracted_stats",
     # ---- window boundary (~50): below here = green r3, pytest-covered ----
+    "term_tf",
     "bm25_topk_or",
     "bm25_topk_and",
     "bm25_topk_or_wand",
@@ -3011,6 +3083,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_federated_topk": _bm25_federated,
         "bm25_reordered_topk": _bm25_reordered,
         "search_mmr_topk": _search_mmr,
+        "bm25_deleted_topk": _bm25_deleted,
         "dedup_substring_trim": _dedup_trim,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
@@ -3541,6 +3614,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_federated_topk": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_reordered_topk": _bm25_reordered_sql(_OR_QUERIES),
         "search_mmr_topk": _mmr_sql(_OR_QUERIES),
+        "bm25_deleted_topk": _bm25_deleted_sql(_OR_QUERIES),
         "dedup_substring_trim": _dedup_trim_sql(),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),

@@ -48,6 +48,11 @@ class SearchEngine:
         self.stats = stats
         self._pre_arranged = pre_arranged
         self._corpus_dir: str | None = None
+        self._index_root: str | None = None
+        # tombstone deletes (index/deletes.py): base relation + the
+        # accumulated deleted-id set; None until delete_docs is called
+        self._base_postings: DataFrame | None = None
+        self._tombstone_ids: DataFrame | None = None
         # term -> global df, filled lazily per query (0 = term absent).
         # Valid for the lifetime of this loaded snapshot: the engine
         # serves an immutable generation, so dfs cannot drift under it.
@@ -99,6 +104,7 @@ class SearchEngine:
         counts + sizes through that formula); a layout that violates it
         falls back to a per-query bucket repartition (correct, one
         extra shuffle)."""
+        from pisa_spark.index.deletes import DELETES_TABLE
         from pisa_spark.index.lineage import POSTINGS_TABLE
         from pisa_spark.sources import catalog
 
@@ -106,24 +112,36 @@ class SearchEngine:
         if cache:
             n_part = max(spark.sparkContext.defaultParallelism, 8)
             arranged = postings.repartition(n_part, "bucket").cache()
-            return cls(spark, arranged, stats, pre_arranged=True)
-        if as_of_ts is not None:
+            eng = cls(spark, arranged, stats, pre_arranged=True)
+        elif as_of_ts is not None:
             # the one-file-per-bucket layout check below reads the
             # CURRENT manifest; a historical snapshot may predate the
             # clustered layout, so time-travel serving takes the
             # correct per-query bucket repartition instead
-            return cls(spark, postings, stats, pre_arranged=False)
-        try:
-            max_files, biggest, n_files, total_bytes = (
-                catalog.partition_file_stats(index_root, POSTINGS_TABLE)
+            eng = cls(spark, postings, stats, pre_arranged=False)
+        else:
+            try:
+                max_files, biggest, n_files, total_bytes = (
+                    catalog.partition_file_stats(index_root, POSTINGS_TABLE)
+                )
+                max_split = cls._effective_split_bytes(
+                    spark, n_files, total_bytes
+                )
+                stored_ok = max_files <= 1 and biggest <= max_split
+            except (FileNotFoundError, OSError):
+                stored_ok = False
+            eng = cls(spark, postings, stats, pre_arranged=stored_ok)
+        eng._index_root = index_root
+        # re-apply persisted tombstones (delete_docs(persist=True)).
+        # Current-state loads only: a time-travel read serves the index
+        # as it stood then, BEFORE later deletes existed.
+        if as_of_ts is None and catalog.table_exists(
+            index_root, DELETES_TABLE
+        ):
+            eng._apply_tombstones(
+                catalog.read_table(spark, index_root, DELETES_TABLE)
             )
-            max_split = cls._effective_split_bytes(
-                spark, n_files, total_bytes
-            )
-            stored_ok = max_files <= 1 and biggest <= max_split
-        except (FileNotFoundError, OSError):
-            stored_ok = False
-        return cls(spark, postings, stats, pre_arranged=stored_ok)
+        return eng
 
     @staticmethod
     def _effective_split_bytes(
@@ -148,6 +166,91 @@ class SearchEngine:
         return int(min(max_pb, max(open_cost, per_core)))
 
     # -- querying ----------------------------------------------------------
+
+    # -- deletes (tombstones — index/deletes.py) ---------------------------
+
+    def delete_docs(self, doc_ids, persist: bool = True) -> "SearchEngine":
+        """Tombstone-delete documents: they can no longer be returned
+        by search()/search_batch() (incl. filters, negation, AND,
+        two-phase), while surviving docs keep their exact scores —
+        Lucene semantics: corpus stats stay stale until the next
+        incremental rebuild compacts the tombstones away.
+
+        doc_ids: iterable of ids or a DataFrame with a doc_id column.
+        persist=True appends them to the index's ``deletes`` catalog
+        table (atomic publish), so a fresh load() re-applies them;
+        requires a load()ed persistent index. Facades whose kernels
+        cannot exclude (phrase/near/scored/rm3/quantized/wildcard/
+        explain) raise while deletes are active rather than silently
+        returning deleted docs."""
+        from pisa_spark.index.deletes import DELETES_TABLE
+        from pisa_spark.sources import catalog
+
+        if isinstance(doc_ids, DataFrame):
+            ids = doc_ids.select(F.col("doc_id").cast("long"))
+        else:
+            ids = self.spark.createDataFrame(
+                [(int(i),) for i in doc_ids], "doc_id long"
+            )
+        if persist:
+            if self._index_root is None:
+                raise ValueError(
+                    "persist=True needs a load()ed persistent index —"
+                    " pass persist=False for an in-memory engine"
+                )
+            catalog.write_table(
+                ids, self._index_root, DELETES_TABLE, mode="append"
+            )
+        self._apply_tombstones(ids)
+        return self
+
+    def _apply_tombstones(self, ids: DataFrame) -> None:
+        from pisa_spark.index.deletes import (
+            tombstone_postings,
+            with_tombstones,
+        )
+
+        span = self.stats.get("span")
+        if not span:
+            raise ValueError(
+                "delete_docs needs the index bucket span: load() a"
+                " persisted index (stats carry span since the deletes"
+                " feature) or set engine.stats['span'] explicitly"
+            )
+        if self._base_postings is None:
+            self._base_postings = self.postings
+        self._tombstone_ids = (
+            ids
+            if self._tombstone_ids is None
+            else self._tombstone_ids.unionByName(ids).distinct()
+        )
+        tomb = tombstone_postings(
+            self._tombstone_ids,
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            span,
+            with_positions="poss" in self._base_postings.columns,
+        )
+        n_part = max(self.spark.sparkContext.defaultParallelism, 8)
+        self.postings = (
+            with_tombstones(self._base_postings, tomb)
+            .repartition(n_part, "bucket")
+            .cache()
+        )
+        self._pre_arranged = True
+        # the quantized twin was derived from the base relation;
+        # rebuilding it would bake garbage impacts for the pseudo-term
+        # (search_quantized raises while deletes are active anyway)
+        self._quant = None
+
+    def _guard_no_deletes(self, what: str) -> None:
+        if self._tombstone_ids is not None:
+            raise ValueError(
+                f"{what} cannot exclude tombstone-deleted docs — its"
+                " kernel has no NOT path. Rebuild the index without the"
+                " deleted docs (compaction) or use search()/"
+                "search_batch()/search_filtered()."
+            )
 
     def _normalize(self, queries) -> list[dict]:
         """Parse/shape queries for the term-kernel paths. Quoted
@@ -174,6 +277,12 @@ class SearchEngine:
                 # paths without an include set raise on it explicitly
                 norm["filter"] = list(q["filter"])
             out.append(norm)
+        if self._tombstone_ids is not None:
+            # tombstone deletes ride the same NOT machinery — one
+            # pseudo-term per query, excluded bucket-locally
+            from pisa_spark.index.deletes import exclude_deleted
+
+            out = exclude_deleted(out)
         return out
 
     def search(
@@ -223,6 +332,7 @@ class SearchEngine:
                     "phrase syntax needs a positional index — build"
                     " with with_positions=True"
                 )
+            self._guard_no_deletes("phrase search")
             from pisa_spark.query.bm25 import bm25_mixed_topk
 
             phrase = q["phrases"][0]
@@ -358,6 +468,7 @@ class SearchEngine:
         contract the stored block-max metadata encodes for BM25, and
         exactness comes first (the same scorer/pruning split real
         engines make: pruning structures are scorer-specific)."""
+        self._guard_no_deletes("search_scored")
         from pisa_spark.query.scorers import (
             postings_to_tf,
             scored_topk_dataframe,
@@ -396,6 +507,7 @@ class SearchEngine:
     def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
         """Exact consecutive-token phrase top-k. Requires a positional
         index (build with with_positions=True)."""
+        self._guard_no_deletes("search_phrase")
         if "poss" not in self.postings.columns:
             raise ValueError(
                 "phrase search needs a positional index — build with"
@@ -422,6 +534,7 @@ class SearchEngine:
         (anchor semantics, any order). Requires a positional index.
         '-term' and quoted phrases don't compose with proximity and
         are rejected explicitly (never silently ignored)."""
+        self._guard_no_deletes("search_near")
         if "poss" not in self.postings.columns:
             raise ValueError(
                 "proximity search needs a positional index — build with"
@@ -519,6 +632,7 @@ class SearchEngine:
         contract as query/feedback.py)."""
         import re as _re
 
+        self._guard_no_deletes("search_rm3")
         from pisa_spark.corpus import TOKEN_SPLIT_REGEX
         from pisa_spark.query.feedback import weighted_bm25_topk
         from pisa_spark.query.scorers import postings_to_tf
@@ -664,6 +778,7 @@ class SearchEngine:
         path — route those to search()/search_batch(). Scores are
         score_q = sum(impact * idf_q) (LongType), monotone in BM25 up
         to the documented quantization error."""
+        self._guard_no_deletes("search_quantized")
         from pisa_spark.index.quantized import quantized_topk
 
         if not isinstance(queries, list):
@@ -703,6 +818,7 @@ class SearchEngine:
         doc_ids=[top1]). Filters/negation/phrases don't score terms
         and are ignored here by design (explain covers the SCORED
         disjunction/conjunction terms)."""
+        self._guard_no_deletes("explain")
         from pisa_spark.query.scorers import explain_contributions
 
         q = self._normalize(
@@ -828,6 +944,7 @@ class SearchEngine:
         semantics) and raise."""
         import re
 
+        self._guard_no_deletes("search_wildcard")
         from pisa_spark.query.fuzzy import wildcard_topk
 
         toks = query.split()

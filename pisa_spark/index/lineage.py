@@ -388,8 +388,8 @@ def build_index_resumable(
         # with buckets an interrupted run did not finish
         catalog.write_table(
             spark.createDataFrame(
-                [(n_docs, avgdl, int(stats_row["total_terms"]))],
-                "n_docs long, avgdl double, total_terms long",
+                [(n_docs, avgdl, int(stats_row["total_terms"]), int(span))],
+                "n_docs long, avgdl double, total_terms long, span long",
             ),
             index_root,
             STATS_TABLE,
@@ -444,8 +444,14 @@ def load_index(
     srow = catalog.read_table(
         spark, index_root, STATS_TABLE, as_of=seqs["stats"]
     ).collect()[0]
-    return postings, {
-        "n_docs": srow["n_docs"],
-        "avgdl": srow["avgdl"],
-        "total_terms": srow["total_terms"],
+    sdict = srow.asDict()
+    stats = {
+        "n_docs": sdict["n_docs"],
+        "avgdl": sdict["avgdl"],
+        "total_terms": sdict["total_terms"],
     }
+    # span persisted since the tombstone-delete feature; absent on
+    # older snapshots (delete_docs then needs an explicit span=)
+    if sdict.get("span") is not None:
+        stats["span"] = int(sdict["span"])
+    return postings, stats

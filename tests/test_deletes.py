@@ -1,0 +1,130 @@
+"""Tombstone deletes (index/deletes.py + SearchEngine.delete_docs).
+
+Contracts: deleted docs vanish from every search_batch-served surface
+while SURVIVORS KEEP THEIR EXACT SCORES (Lucene stale-stats
+semantics); deletes accumulate; persisted deletes survive a fresh
+load(); kernels without a NOT path refuse to serve while deletes are
+active; composes with conjunctive/negation/positional indexes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pisa_spark.engine import SearchEngine
+from pisa_spark.index.deletes import (
+    DELETED_TERM,
+    exclude_deleted,
+    tombstone_postings,
+)
+
+
+@pytest.fixture()
+def eng(spark, sf_dir, tmp_path):
+    return SearchEngine.build(
+        spark, sf_dir, str(tmp_path / "idx"), n_buckets=8, wave_size=8
+    )
+
+
+def _rows(df):
+    return [
+        (r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in sorted(df.collect(), key=lambda r: r["rank"])
+    ]
+
+
+def test_delete_excludes_and_keeps_exact_scores(eng):
+    before = eng.search("the", k=30).collect()
+    victims = [r["doc_id"] for r in before if r["rank"] in (1, 3, 7)]
+    eng.delete_docs(victims, persist=False)
+    after = _rows(eng.search("the", k=10))
+    # expected: pre-delete ranking minus the victims, ranks compacted,
+    # scores BIT-IDENTICAL (stats stay stale by design)
+    survivors = [r for r in before if r["doc_id"] not in victims]
+    expect = [
+        (i + 1, r["doc_id"], round(r["score"], 9))
+        for i, r in enumerate(
+            sorted(survivors, key=lambda r: r["rank"])[:10]
+        )
+    ]
+    assert after == expect
+    assert not set(victims) & {d for _, d, _ in after}
+
+
+def test_deletes_accumulate_and_compose(eng):
+    top = [r["doc_id"] for r in eng.search("data join", k=4).collect()]
+    eng.delete_docs(top[:2], persist=False)
+    eng.delete_docs(top[2:4], persist=False)
+    got = {r["doc_id"] for r in eng.search("data join", k=10).collect()}
+    assert not set(top[:4]) & got
+    # conjunctive and negation still served, still excluding
+    conj = {
+        r["doc_id"]
+        for r in eng.search("+window merge scan", k=10).collect()
+    }
+    assert not set(top[:4]) & conj
+    neg = {r["doc_id"] for r in eng.search("data -join", k=10).collect()}
+    assert not set(top[:4]) & neg
+
+
+def test_persisted_deletes_survive_reload(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "idx")
+    eng = SearchEngine.build(spark, sf_dir, root, n_buckets=8, wave_size=8)
+    victims = [
+        r["doc_id"] for r in eng.search("the", k=3).collect()
+    ]
+    eng.delete_docs(victims)  # persist=True default
+    fresh = SearchEngine.load(spark, root)
+    got = {r["doc_id"] for r in fresh.search("the", k=10).collect()}
+    assert not set(victims) & got
+    # and cache=False serving honors them too
+    cold = SearchEngine.load(spark, root, cache=False)
+    got2 = {r["doc_id"] for r in cold.search("the", k=10).collect()}
+    assert not set(victims) & got2
+
+
+def test_guarded_facades_refuse(eng):
+    eng.delete_docs([1, 2], persist=False)
+    for call in (
+        lambda: eng.search_scored("data join", scorer="qld"),
+        lambda: eng.explain("data join"),
+        lambda: eng.search_quantized(["data join"]),
+        lambda: eng.search_wildcard("dat*"),
+    ):
+        with pytest.raises(ValueError, match="tombstone"):
+            call()
+
+
+def test_positional_index_deletes(spark, sf_dir, tmp_path):
+    eng = SearchEngine.build(
+        spark, sf_dir, str(tmp_path / "pidx"), n_buckets=8,
+        wave_size=8, with_positions=True,
+    )
+    victims = [r["doc_id"] for r in eng.search("data", k=2).collect()]
+    eng.delete_docs(victims, persist=False)
+    got = {r["doc_id"] for r in eng.search("data", k=10).collect()}
+    assert not set(victims) & got
+    with pytest.raises(ValueError, match="tombstone"):
+        eng.search_phrase("order fast")
+
+
+def test_in_memory_engine_needs_span(spark, sf_dir):
+    from pisa_spark.index.build import build_index_dataframes
+
+    postings, _, _, stats = build_index_dataframes(
+        spark, sf_dir, n_buckets=8
+    )
+    eng = SearchEngine(spark, postings, stats)
+    with pytest.raises(ValueError, match="span"):
+        eng.delete_docs([1], persist=False)
+    with pytest.raises(ValueError, match="persist"):
+        eng.stats["span"] = 63
+        eng.delete_docs([1])  # persist without an index root
+
+
+def test_exclude_deleted_helper():
+    qs = exclude_deleted(
+        [{"terms": ["a"], "negated": ["b"]}, {"terms": ["c"]}]
+    )
+    assert qs[0]["negated"] == ["b", DELETED_TERM]
+    assert qs[1]["negated"] == [DELETED_TERM]
+    # idempotent
+    assert exclude_deleted(qs)[0]["negated"].count(DELETED_TERM) == 1
