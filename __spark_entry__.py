@@ -1148,6 +1148,59 @@ def _bm25_deleted(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+def _bm25_page(
+    spark: SparkSession, sf_dir: str, offset: int = 10, size: int = 10
+) -> DataFrame:
+    """Deep pagination (SearchEngine.search_page contract): ranks
+    [offset+1, offset+size] of the same global order, rank kept global
+    plus a 1-based page_rank — one top-(offset+size) WAND pass and a
+    rank-window filter."""
+    postings, stats = _built_index(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms, "conjunctive": False}
+        for qid, terms in _OR_QUERIES
+    ]
+    out = bm25_topk_wand(
+        postings, queries, stats["n_docs"], stats["avgdl"],
+        k=offset + size, two_phase=True,
+    )
+    return out.filter(F.col("rank") > offset).select(
+        "query_id",
+        "rank",
+        (F.col("rank") - F.lit(offset)).cast("int").alias("page_rank"),
+        "doc_id",
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _bm25_page_sql(qs, offset: int = 10, size: int = 10) -> str:
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, rank, CAST(rank - {offset} AS INTEGER) AS page_rank,
+       doc_id, score
+FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank > {offset} AND rank <= {offset + size}
+"""
+
+
 def _bm25_deleted_sql(qs, k: int = 10) -> str:
     """Twin: full-corpus stats (df/doclen/avgdl include deleted docs —
     the stale-stats contract), only the RESULT docs are filtered."""
@@ -2957,6 +3010,7 @@ _GATE_ORDER = [
     "bm25_reordered_topk",
     "search_mmr_topk",
     "bm25_deleted_topk",
+    "bm25_page2_topk",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -2980,8 +3034,8 @@ _GATE_ORDER = [
     "tpch_q5_regional",
     "tpch_q6_forecast",
     # -- round-3-green core gates kept inside the window for freshness --
-    "pages_extracted_stats",
     # ---- window boundary (~50): below here = green r3, pytest-covered ----
+    "pages_extracted_stats",
     "term_tf",
     "bm25_topk_or",
     "bm25_topk_and",
@@ -3084,6 +3138,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_reordered_topk": _bm25_reordered,
         "search_mmr_topk": _search_mmr,
         "bm25_deleted_topk": _bm25_deleted,
+        "bm25_page2_topk": _bm25_page,
         "dedup_substring_trim": _dedup_trim,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
@@ -3615,6 +3670,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_reordered_topk": _bm25_reordered_sql(_OR_QUERIES),
         "search_mmr_topk": _mmr_sql(_OR_QUERIES),
         "bm25_deleted_topk": _bm25_deleted_sql(_OR_QUERIES),
+        "bm25_page2_topk": _bm25_page_sql(_OR_QUERIES),
         "dedup_substring_trim": _dedup_trim_sql(),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),

@@ -426,6 +426,29 @@ class SearchEngine:
             pre_arranged=self._pre_arranged,
         )
 
+    def search_page(
+        self,
+        query,
+        page_size: int = 10,
+        offset: int = 0,
+        **search_kwargs,
+    ) -> DataFrame:
+        """Deep pagination: ranks [offset+1, offset+page_size] of the
+        same total order search() serves (score DESC, doc_id ASC), with
+        ``rank`` kept GLOBAL (page 2 starts at rank 11) and a
+        1-based ``page_rank`` for display. Served as one top-(offset+
+        page_size) WAND pass + a rank-window filter — the standard
+        from+size contract, with the standard cost: work grows with
+        the absolute depth, so deep crawls should batch pages (ask a
+        bigger page once, slice client-side) rather than loop offsets.
+        Composes with everything search() supports, deletes included."""
+        if offset < 0 or page_size <= 0:
+            raise ValueError("offset must be >= 0 and page_size >= 1")
+        deep = self.search(query, k=offset + page_size, **search_kwargs)
+        return deep.filter(F.col("rank") > offset).withColumn(
+            "page_rank", (F.col("rank") - F.lit(offset)).cast("int")
+        )
+
     def _term_dfs(self, terms) -> dict[str, int]:
         """Global df per query term, from the driver-side cache; only
         terms not seen before touch Spark (one term-pruned aggregate

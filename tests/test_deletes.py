@@ -128,3 +128,26 @@ def test_exclude_deleted_helper():
     assert qs[1]["negated"] == [DELETED_TERM]
     # idempotent
     assert exclude_deleted(qs)[0]["negated"].count(DELETED_TERM) == 1
+
+
+def test_search_page_windows_global_order(eng):
+    full = _rows(eng.search("the", k=25))
+    page2 = eng.search_page("the", page_size=10, offset=10).collect()
+    got = [
+        (r["rank"], r["page_rank"], r["doc_id"], round(r["score"], 9))
+        for r in sorted(page2, key=lambda r: r["rank"])
+    ]
+    expect = [
+        (rk, rk - 10, d, s) for rk, d, s in full if 10 < rk <= 20
+    ]
+    assert got == expect
+    with pytest.raises(ValueError, match="offset"):
+        eng.search_page("the", offset=-1)
+    # pagination composes with deletes: page 1 after deleting page-1
+    # docs equals the pre-delete ranks 4..13 window
+    victims = [d for rk, d, _ in full if rk <= 3]
+    eng.delete_docs(victims, persist=False)
+    paged = eng.search_page("the", page_size=3, offset=3).collect()
+    survivors = [d for rk, d, _ in full if d not in victims]
+    assert [r["doc_id"] for r in sorted(paged, key=lambda r: r["rank"])] \
+        == survivors[3:6]
