@@ -1201,6 +1201,78 @@ FROM (
 """
 
 
+_BOOL_QUERIES = [
+    (30, [["data", "join"], ["spark", "scan"]]),
+    (31, [["the"], ["data", "table"]]),
+    (32, [["window"], ["merge"], ["scan"]]),
+]
+
+
+def _bm25_boolean(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Extended boolean retrieval (CNF of term groups): docs matching
+    >=1 term of EVERY group, BM25 over all matched terms — the filter-
+    group machinery with REAL terms (query/bm25.py _bucket_inclusion:
+    per-group bucket-local posting union, groups intersect before the
+    top-k trim)."""
+    postings, stats = _built_index(spark, sf_dir)
+    queries = [
+        {
+            "query_id": qid,
+            "terms": sorted({t for g in groups for t in g}),
+            "conjunctive": False,
+            "filter": groups,
+        }
+        for qid, groups in _BOOL_QUERIES
+    ]
+    out = bm25_topk_wand(
+        postings, queries, stats["n_docs"], stats["avgdl"], k=k,
+        two_phase=True,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_boolean_sql(qs, k: int = 10) -> str:
+    """Twin: per-query scored subquery over the union terms, CNF
+    enforced as one IN-semijoin per group."""
+    parts = []
+    for qid, groups in qs:
+        terms = sorted({t for g in groups for t in g})
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        preds = " AND ".join(
+            "tf.doc_id IN (SELECT doc_id FROM tf WHERE term IN ("
+            + ", ".join(f"'{t}'" for t in g)
+            + "))"
+            for g in groups
+        )
+        parts.append(f"""
+  SELECT {qid} AS query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ({tlist}) AND {preds}
+  GROUP BY tf.doc_id""")
+    union = "\n  UNION ALL\n".join(parts)
+    return f"""
+{_SQL_BASE},
+scored AS (
+{union}
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _bm25_deleted_sql(qs, k: int = 10) -> str:
     """Twin: full-corpus stats (df/doclen/avgdl include deleted docs —
     the stale-stats contract), only the RESULT docs are filtered."""
@@ -2999,7 +3071,6 @@ _GATE_ORDER = [
     "search_snippets",
     "bm25_synonym_topk",
     "bm25_topk_or_quant",
-    "bm25_topk_and_quant",
     "bm25_wildcard_topk",
     "bm25_filtered_topk",
     "bm25_explain_contribs",
@@ -3011,6 +3082,7 @@ _GATE_ORDER = [
     "search_mmr_topk",
     "bm25_deleted_topk",
     "bm25_page2_topk",
+    "bm25_boolean_topk",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -3039,6 +3111,7 @@ _GATE_ORDER = [
     "term_tf",
     "bm25_topk_or",
     "bm25_topk_and",
+    "bm25_topk_and_quant",
     "bm25_topk_or_wand",
     "bm25_phrase_topk",
     "dedup_exact",
@@ -3139,6 +3212,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_mmr_topk": _search_mmr,
         "bm25_deleted_topk": _bm25_deleted,
         "bm25_page2_topk": _bm25_page,
+        "bm25_boolean_topk": _bm25_boolean,
         "dedup_substring_trim": _dedup_trim,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
@@ -3671,6 +3745,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "search_mmr_topk": _mmr_sql(_OR_QUERIES),
         "bm25_deleted_topk": _bm25_deleted_sql(_OR_QUERIES),
         "bm25_page2_topk": _bm25_page_sql(_OR_QUERIES),
+        "bm25_boolean_topk": _bm25_boolean_sql(_BOOL_QUERIES),
         "dedup_substring_trim": _dedup_trim_sql(),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),

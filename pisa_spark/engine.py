@@ -426,6 +426,54 @@ class SearchEngine:
             pre_arranged=self._pre_arranged,
         )
 
+    def search_boolean(self, query, k: int = 10, **search_kwargs) -> DataFrame:
+        """Extended boolean retrieval: a CNF of term groups —
+        '(data join) (spark scan)' or [['data','join'],['spark','scan']]
+        — returns docs matching AT LEAST ONE term of EVERY group,
+        ranked by BM25 over all the query's matched terms (classic
+        extended-boolean semantics: the constraint gates membership,
+        the score still rewards every hit).
+
+        Reuses the filter-group machinery with REAL terms: each group
+        is a bucket-local posting UNION, groups intersect before the
+        top-k trim (query/bm25.py _bucket_inclusion — same plan shape
+        as attribute filters, no documents-table join), and every group
+        member also scores because it is in the term set. A group whose
+        terms none exist in the index can never match (empty result) —
+        CNF semantics, not an error. '-term' negation composes
+        ('(a b) (c d) -e' string form); tombstone deletes compose."""
+        if isinstance(query, str):
+            import re as _re
+
+            groups = [
+                [t for t in g.split() if t]
+                for g in _re.findall(r"\(([^)]*)\)", query)
+            ]
+            rest = _re.sub(r"\([^)]*\)", " ", query)
+            negated = [
+                t[1:].lower() for t in rest.split() if t.startswith("-")
+            ]
+            loose = [
+                t for t in rest.split() if t and not t.startswith("-")
+            ]
+            if loose:
+                raise ValueError(
+                    "search_boolean string form takes only (...) groups"
+                    f" and -negations; loose terms {loose!r} are"
+                    " ambiguous — put them in a group"
+                )
+        else:
+            groups = [list(g) for g in query]
+            negated = list(search_kwargs.pop("negated", []))
+        groups = [[t.lower() for t in g] for g in groups if g]
+        if not groups:
+            raise ValueError("search_boolean needs at least one (…) group")
+        terms = sorted({t for g in groups for t in g})
+        q = {"query_id": 0, "terms": terms, "filter": groups}
+        if negated:
+            q["negated"] = negated
+        return self.search(q, k=k, **search_kwargs)
+
     def search_page(
         self,
         query,
