@@ -204,11 +204,54 @@ class SearchEngine:
         self._apply_tombstones(ids)
         return self
 
+    def compact(self, corpus_dir: str | None = None, **build_kwargs):
+        """Compact tombstone deletes away: rebuild the persistent index
+        from the corpus MINUS the deleted docs through the normal
+        resumable build — docs_per_bucket is pinned to the index's own
+        span, so content-fingerprint change detection rebuilds EXACTLY
+        the buckets that contained deleted docs — then clear the
+        deletes table and reload. Global stats refresh (n_docs / avgdl
+        / df now exclude the deleted docs): the stale-stats window
+        closes, and every facade serves again. Crash-safe ordering:
+        the rebuild commits before the deletes table clears, and a
+        tombstone for a doc no longer in the index excludes nothing.
+
+        corpus_dir defaults to the attached doc store (with_corpus).
+        Returns the freshly loaded engine (self is stale after this).
+        """
+        from pisa_spark.index.deletes import DELETES_TABLE
+        from pisa_spark.sources import catalog
+
+        if self._index_root is None:
+            raise ValueError("compact needs a load()ed persistent index")
+        if self._tombstone_ids is None:
+            raise ValueError("nothing to compact — no deletes are active")
+        corpus = corpus_dir or self._corpus()
+        docs = catalog.read_table(self.spark, corpus, "documents.parquet")
+        remaining = docs.join(self._tombstone_ids, "doc_id", "left_anti")
+        build_kwargs.setdefault("docs_per_bucket", self.stats["span"])
+        build_index_resumable(
+            self.spark, corpus, self._index_root, docs_df=remaining,
+            **build_kwargs,
+        )
+        catalog.write_table(
+            self.spark.createDataFrame([], "doc_id long"),
+            self._index_root,
+            DELETES_TABLE,
+        )
+        out = SearchEngine.load(self.spark, self._index_root)
+        if self._corpus_dir is not None:
+            out.with_corpus(self._corpus_dir)
+        return out
+
     def _apply_tombstones(self, ids: DataFrame) -> None:
         from pisa_spark.index.deletes import (
             tombstone_postings,
             with_tombstones,
         )
+
+        if not ids.limit(1).count():
+            return  # empty set (e.g. a cleared deletes table on load)
 
         span = self.stats.get("span")
         if not span:

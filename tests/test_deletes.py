@@ -151,3 +151,31 @@ def test_search_page_windows_global_order(eng):
     survivors = [d for rk, d, _ in full if d not in victims]
     assert [r["doc_id"] for r in sorted(paged, key=lambda r: r["rank"])] \
         == survivors[3:6]
+
+
+def test_compact_closes_stale_stats_window(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "idx")
+    eng = SearchEngine.build(
+        spark, sf_dir, root, n_buckets=8, wave_size=8
+    ).with_corpus(sf_dir)
+    victims = [r["doc_id"] for r in eng.search("the", k=4).collect()]
+    eng.delete_docs(victims)
+    fresh = eng.compact(wave_size=8)
+    # guards lifted, deletes table cleared, nothing tombstoned
+    assert fresh._tombstone_ids is None
+    got = _rows(fresh.search("the", k=10))
+    assert not set(victims) & {d for _, d, _ in got}
+    # stats refreshed: equals a CLEAN build over the surviving docs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    survivors = docs.filter(~F.col("doc_id").isin(victims))
+    clean = SearchEngine.build(
+        spark, sf_dir, str(tmp_path / "clean"), docs_df=survivors,
+        n_buckets=8, wave_size=8,
+    )
+    assert got == _rows(clean.search("the", k=10))
+    assert fresh.stats["n_docs"] == clean.stats["n_docs"]
+    # scored facade serves again post-compact
+    fresh.search_scored("data join", scorer="qld").collect()
+    # a reload sees no deletes either
+    again = SearchEngine.load(spark, root)
+    assert again._tombstone_ids is None
