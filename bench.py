@@ -340,6 +340,66 @@ def main() -> None:
         pos_stats["n_docs"], pos_stats["avgdl"], k=10, pre_arranged=True,
     ).collect()
     timings["q_mixed"] = round(time.perf_counter() - t0, 4)
+    # round-4 late families: boolean CNF, tombstone deletes, deep
+    # pagination, MMR diversification — all over the main exact index
+    t0 = time.perf_counter()
+    bm25_topk_wand(
+        postings,
+        [{"query_id": 95, "terms": ["data", "join", "scan", "spark"],
+          "conjunctive": False,
+          "filter": [["data", "join"], ["spark", "scan"]]}],
+        stats["n_docs"], stats["avgdl"], k=10,
+        term_dfs=term_dfs, pre_arranged=True,
+    ).collect()
+    timings["q_boolean"] = round(time.perf_counter() - t0, 4)
+
+    from pisa_spark.index.deletes import (
+        exclude_deleted,
+        tombstone_postings,
+        with_tombstones,
+    )
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mx = docs_tbl.agg(F.max("doc_id")).collect()[0][0]
+    span = max(1, -(-(int(mx) + 1) // 32))
+    t0 = time.perf_counter()
+    tomb = tombstone_postings(
+        docs_tbl.filter(F.col("doc_id") % 100 == 7).select("doc_id"),
+        stats["n_docs"], stats["avgdl"], span,
+    )
+    del_postings = (
+        with_tombstones(postings, tomb).repartition(n_part, "bucket").cache()
+    )
+    del_postings.count()
+    timings["tombstone_apply"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    bm25_topk_wand(
+        del_postings, exclude_deleted([BENCH_QUERIES[0]]),
+        stats["n_docs"], stats["avgdl"], k=10,
+        term_dfs=term_dfs, pre_arranged=True,
+    ).collect()
+    timings["q_deleted"] = round(time.perf_counter() - t0, 4)
+    del_postings.unpersist()
+
+    t0 = time.perf_counter()
+    bm25_topk_wand(
+        postings, [BENCH_QUERIES[0]], stats["n_docs"], stats["avgdl"],
+        k=20, term_dfs=term_dfs, pre_arranged=True,
+    ).filter(F.col("rank") > 10).collect()
+    timings["q_page2"] = round(time.perf_counter() - t0, 4)
+
+    from pisa_spark.query.diversify import candidate_tokens, mmr_rerank
+
+    cand = bm25_topk_wand(
+        postings, [BENCH_QUERIES[0]], stats["n_docs"], stats["avgdl"],
+        k=20, term_dfs=term_dfs, pre_arranged=True,
+    )
+    ctoks = candidate_tokens(docs_tbl)
+    mmr_rerank(cand, ctoks, k=10).collect()  # warm the kernel shape
+    t0 = time.perf_counter()
+    mmr_rerank(cand, ctoks, k=10).collect()
+    timings["q_mmr"] = round(time.perf_counter() - t0, 4)
+
     # p50/p95 over the headline single queries only (q0..q7), so the
     # percentiles stay comparable round over round as diagnostics grow
     lat = sorted(
