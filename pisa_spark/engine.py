@@ -53,6 +53,10 @@ class SearchEngine:
         # accumulated deleted-id set; None until delete_docs is called
         self._base_postings: DataFrame | None = None
         self._tombstone_ids: DataFrame | None = None
+        # reorder_by= build: ids in results/doc-store are the REORDERED
+        # dense ranks; the persisted mapping resolves both directions
+        self._reordered = False
+        self._reorder_map_df: DataFrame | None = None
         # term -> global df, filled lazily per query (0 = term absent).
         # Valid for the lifetime of this loaded snapshot: the engine
         # serves an immutable generation, so dfs cannot drift under it.
@@ -132,6 +136,16 @@ class SearchEngine:
                 stored_ok = False
             eng = cls(spark, postings, stats, pre_arranged=stored_ok)
         eng._index_root = index_root
+        # a reorder_by= build persists its (doc_id, new_id) mapping:
+        # the index lives in new-id space, so the doc store, deletes
+        # and restore() must resolve through it (index/reorder.py)
+        from pisa_spark.index.reorder import REORDER_TABLE
+
+        if catalog.table_exists(index_root, REORDER_TABLE):
+            eng._reordered = True
+            # a time-travel load must read the mapping AS OF the same
+            # instant (a later compact may have re-ranked it)
+            eng._reorder_as_of = as_of_ts
         # re-apply persisted tombstones (delete_docs(persist=True)).
         # Current-state loads only: a time-travel read serves the index
         # as it stood then, BEFORE later deletes existed.
@@ -226,6 +240,12 @@ class SearchEngine:
             raise ValueError("compact needs a load()ed persistent index")
         if self._tombstone_ids is None:
             raise ValueError("nothing to compact — no deletes are active")
+        if self._reordered and "reorder_by" not in build_kwargs:
+            raise ValueError(
+                "compact on a reorder_by= index must pass the same"
+                " reorder_by= (the surviving docs re-rank, refreshing"
+                " reorder_map together with the rebuild)"
+            )
         corpus = corpus_dir or self._corpus()
         docs = catalog.read_table(self.spark, corpus, "documents.parquet")
         remaining = docs.join(self._tombstone_ids, "doc_id", "left_anti")
@@ -252,7 +272,6 @@ class SearchEngine:
 
         if not ids.limit(1).count():
             return  # empty set (e.g. a cleared deletes table on load)
-
         span = self.stats.get("span")
         if not span:
             raise ValueError(
@@ -267,8 +286,16 @@ class SearchEngine:
             if self._tombstone_ids is None
             else self._tombstone_ids.unionByName(ids).distinct()
         )
+        # _tombstone_ids stays in ORIGINAL id space (stable across
+        # re-reorders; compact anti-joins the corpus with it); on a
+        # reorder_by= index the POSTING tombstones live in new-id space
+        tomb_ids = self._tombstone_ids
+        if self._reordered:
+            from pisa_spark.index.reorder import apply_reorder
+
+            tomb_ids = apply_reorder(tomb_ids, self._reorder_mapping())
         tomb = tombstone_postings(
-            self._tombstone_ids,
+            tomb_ids,
             self.stats["n_docs"],
             self.stats["avgdl"],
             span,
@@ -1193,16 +1220,56 @@ class SearchEngine:
             )
         return self._corpus_dir
 
+    def _reorder_mapping(self) -> DataFrame:
+        """(doc_id, new_id) of a reorder_by= build, lazily read+cached
+        from the index root's reorder_map catalog table."""
+        if self._reorder_map_df is None:
+            from pisa_spark.index.reorder import REORDER_TABLE
+            from pisa_spark.sources import catalog
+
+            seq = None
+            ts = getattr(self, "_reorder_as_of", None)
+            if ts is not None:
+                seq = catalog.snapshot_as_of_ts(
+                    self._index_root, REORDER_TABLE, ts
+                )
+            self._reorder_map_df = catalog.read_table(
+                self.spark, self._index_root, REORDER_TABLE, as_of=seq
+            ).cache()
+        return self._reorder_map_df
+
+    def restore(self, results: DataFrame, id_col: str = "doc_id") -> DataFrame:
+        """Map a result relation's (reordered) doc ids back to ORIGINAL
+        corpus ids — the boundary call for a reorder_by= index; a
+        no-op passthrough otherwise, so callers can apply it
+        unconditionally. Broadcasts the (small) result side; the
+        corpus-sized mapping streams (index/reorder.py restore_ids)."""
+        if not self._reordered:
+            return results
+        from pisa_spark.index.reorder import restore_ids
+
+        return restore_ids(results, self._reorder_mapping(), id_col=id_col)
+
     def _docs_df(self) -> DataFrame:
         """The forward index, resolved through the manifest catalog so
         a manifest-committed corpus (e.g. the streaming staging table)
         gets atomic-visibility reads; a plain parquet dir (driver
-        testdata) falls through to the catalog's legacy direct read."""
+        testdata) falls through to the catalog's legacy direct read.
+
+        On a reorder_by= index the corpus remaps into new-id space
+        first, so EVERY doc-store join (facets, snippets, RM3 feedback,
+        MMR token sets, fetch_docs) stays id-consistent with search
+        results; restore() converts back at the boundary."""
         from pisa_spark.sources import catalog
 
-        return catalog.read_table(
+        docs = catalog.read_table(
             self.spark, self._corpus(), "documents.parquet"
         )
+        if self._reordered:
+            from pisa_spark.index.reorder import apply_reorder
+
+            docs = apply_reorder(docs, self._reorder_mapping())
+        return docs
 
     def fetch_docs(self, doc_ids: list[int]) -> DataFrame:
         """(doc_id, text) for the given ids — an IN filter that reaches

@@ -141,8 +141,22 @@ def build_index_resumable(
     driver_page_rows: int = DRIVER_PAGE_ROWS,
     attribute_cols: list[str] | None = None,
     numeric_cols: list[str] | None = None,
+    reorder_by: list[str] | str | None = None,
 ) -> dict:
     """Build (or resume, or incrementally extend) the persistent index.
+
+    reorder_by: doc-id reordering for compression (index/reorder.py,
+    PISA reorder-docids) — a list of locality columns (URL-ordering
+    analogue) or the string 'dominant_terms' (content clustering, no
+    metadata needed). The (doc_id, new_id) mapping persists to the
+    'reorder_map' catalog table under the index root in the SAME call
+    (deterministic, so a crash/rerun recomputes the identical map);
+    the index then lives in new-id space and SearchEngine maps the doc
+    store / deletes / results through it. Trade-off to know: corpus
+    GROWTH shifts the dense ranks, so a grown reordered corpus re-ids
+    and fully rebuilds — reordering buys compression at the cost of
+    incremental-growth locality (same trade real engines make; rebuild
+    cadence should match crawl cadence).
 
     Input is either ``sf_dir`` (documents.parquet inside it) or an
     explicit ``docs_df`` with columns (doc_id, text) — e.g. the
@@ -186,6 +200,25 @@ def build_index_resumable(
         # plain parquet dir (driver testdata) falls through to a direct
         # read via the catalog's legacy path
         docs_df = catalog.read_table(spark, sf_dir, "documents.parquet")
+    if reorder_by is not None:
+        from pisa_spark.index.reorder import (
+            REORDER_TABLE,
+            apply_reorder,
+            reorder_by_dominant_terms,
+            reorder_by_key,
+        )
+
+        if reorder_by == "dominant_terms":
+            mapping = reorder_by_dominant_terms(docs_df)
+        else:
+            mapping = reorder_by_key(docs_df, list(reorder_by))
+        # mapping commits BEFORE the postings build: a reader of a
+        # mid-build index already resolves ids through the map the
+        # build is using; crash/rerun recomputes the identical map
+        # (dense rank of a deterministic key), so the overwrite is
+        # idempotent
+        catalog.write_table(mapping, index_root, REORDER_TABLE)
+        docs_df = apply_reorder(docs_df, mapping)
     toks = docs_df.select(
         "doc_id",
         *(attribute_cols or []),

@@ -40,6 +40,11 @@ from pyspark.sql import functions as F
 
 from pisa_spark.operators.ids import global_positions
 
+# catalog table (under the index root) holding the persisted
+# (doc_id, new_id) mapping of a reorder_by= build — see
+# lineage.build_index_resumable and SearchEngine.restore
+REORDER_TABLE = "reorder_map"
+
 
 def reorder_map(
     docs: DataFrame,

@@ -146,3 +146,49 @@ def test_restore_ids_roundtrip(spark):
     orig = {(r["doc_id"], r["n_chars"])
             for r in docs.select("doc_id", "n_chars").collect()}
     assert {(r["doc_id"], r["n_chars"]) for r in back.collect()} == orig
+
+
+def test_persistent_reordered_build_end_to_end(spark, tmp_path):
+    """reorder_by= build: persisted mapping, id-coherent doc store,
+    restore() at the boundary, deletes in original ids."""
+    from pisa_spark.engine import SearchEngine
+
+    root = str(tmp_path / "ridx")
+    eng = SearchEngine.build(
+        spark, SF, root, n_buckets=8, wave_size=8,
+        reorder_by=["lang", "source"],
+    ).with_corpus(SF)
+    plain = SearchEngine.build(
+        spark, SF, str(tmp_path / "pidx"), n_buckets=8, wave_size=8
+    )
+    got = eng.search("data join", k=10)
+    back = eng.restore(got).toPandas()
+    base = plain.search("data join", k=10).toPandas()
+    # same scores; same original docs wherever scores are unique
+    bs = sorted(base.score.round(6)); rs = sorted(back.score.round(6))
+    assert bs == rs
+    uniq = {s for s in bs if bs.count(s) == 1}
+    assert {d for d, s in zip(base.doc_id, base.score.round(6)) if s in uniq} \
+        == {d for d, s in zip(back.doc_id, back.score.round(6)) if s in uniq}
+    # restore() on a plain engine is a passthrough
+    assert plain.restore(plain.search("the", k=3)).count() == 3
+    # doc-store joins are id-coherent: the text returned for a hit is
+    # the text of the ORIGINAL doc the hit maps back to
+    hit = eng.search_with_docs("data join", k=1).collect()[0]
+    orig_id = eng.restore(got).toPandas().sort_values("rank").doc_id.iloc[0]
+    orig_text = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("doc_id") == int(orig_id)).collect()[0]["text"]
+    )
+    assert hit["text"] == orig_text
+    # deletes take ORIGINAL ids and exclude the right docs
+    eng.delete_docs([int(orig_id)], persist=False)
+    back2 = eng.restore(eng.search("data join", k=10)).toPandas()
+    assert int(orig_id) not in set(back2.doc_id)
+    # a fresh load keeps the reordered wiring
+    fresh = SearchEngine.load(spark, root).with_corpus(SF)
+    assert fresh._reordered
+    assert sorted(
+        fresh.restore(fresh.search("data join", k=10)).toPandas()
+        .score.round(6)
+    ) == bs
