@@ -1273,6 +1273,86 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+def _bm25_pruned(
+    spark: SparkSession, sf_dir: str, k: int = 10, keep: int = 50
+) -> DataFrame:
+    """BM25 over the statically PRUNED index (index/pruning.py): each
+    term keeps only its top-``keep`` postings by 8-bit impact
+    (histogram threshold + bounded tie window — never a full per-term
+    sort); serving passes the ORIGINAL dfs so survivors score exactly
+    their unpruned values."""
+    from pisa_spark.index.pruning import prune_postings
+
+    key = ("prunedidx", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        postings, stats = _built_index(spark, sf_dir)
+        terms = sorted({t for _, ts in _OR_QUERIES for t in ts})
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in postings.filter(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+            .collect()
+        }
+        pruned = prune_postings(postings, keep, stats["avgdl"]).cache()
+        _MEMO[key] = (pruned, stats, dfs)
+    pruned, stats, dfs = _MEMO[key]
+    queries = [
+        {"query_id": qid, "terms": terms, "conjunctive": False}
+        for qid, terms in _OR_QUERIES
+    ]
+    out = bm25_topk_wand(
+        pruned, queries, stats["n_docs"], stats["avgdl"], k=k,
+        term_dfs=dfs,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_pruned_sql(qs, k: int = 10, keep: int = 50) -> str:
+    """Twin: the keep-set replayed as row_number over (imp DESC,
+    doc_id ASC) per term with the exact 8-bit quantizer; scoring uses
+    the ORIGINAL dfs (dfreq over the unpruned tf relation)."""
+    return f"""
+{_SQL_BASE},
+imp AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         CAST(floor(255.0 * tf.tf
+              / (tf.tf + (0.54 + 0.36 * doclen.doc_len / stats.avgdl)))
+           AS BIGINT) AS imp
+  FROM tf JOIN doclen USING (doc_id) CROSS JOIN stats
+),
+kept AS (
+  SELECT doc_id, term, tf FROM (
+    SELECT doc_id, term, tf,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY imp DESC, doc_id ASC) AS r
+    FROM imp) WHERE r <= {keep}
+),
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+scored AS (
+  SELECT q.query_id, kept.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (kept.tf * 1.9)
+              / (kept.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM kept
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, kept.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _bm25_deleted_sql(qs, k: int = 10) -> str:
     """Twin: full-corpus stats (df/doclen/avgdl include deleted docs —
     the stale-stats contract), only the RESULT docs are filtered."""
@@ -3071,7 +3151,6 @@ _GATE_ORDER = [
     "search_snippets",
     "bm25_synonym_topk",
     "bm25_topk_or_quant",
-    "bm25_wildcard_topk",
     "bm25_filtered_topk",
     "bm25_explain_contribs",
     "dedup_substring_spans",
@@ -3083,6 +3162,7 @@ _GATE_ORDER = [
     "bm25_deleted_topk",
     "bm25_page2_topk",
     "bm25_boolean_topk",
+    "bm25_pruned_topk",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -3112,6 +3192,7 @@ _GATE_ORDER = [
     "bm25_topk_or",
     "bm25_topk_and",
     "bm25_topk_and_quant",
+    "bm25_wildcard_topk",
     "bm25_topk_or_wand",
     "bm25_phrase_topk",
     "dedup_exact",
@@ -3213,6 +3294,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_deleted_topk": _bm25_deleted,
         "bm25_page2_topk": _bm25_page,
         "bm25_boolean_topk": _bm25_boolean,
+        "bm25_pruned_topk": _bm25_pruned,
         "dedup_substring_trim": _dedup_trim,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
@@ -3746,6 +3828,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_deleted_topk": _bm25_deleted_sql(_OR_QUERIES),
         "bm25_page2_topk": _bm25_page_sql(_OR_QUERIES),
         "bm25_boolean_topk": _bm25_boolean_sql(_BOOL_QUERIES),
+        "bm25_pruned_topk": _bm25_pruned_sql(_OR_QUERIES),
         "dedup_substring_trim": _dedup_trim_sql(),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),
