@@ -1129,6 +1129,49 @@ class SearchEngine:
             pre_arranged=self._pre_arranged,
         )
 
+    def search_pruned(
+        self, query, k: int = 10, keep_per_term: int = 1000,
+        **search_kwargs,
+    ) -> DataFrame:
+        """Serve from the statically PRUNED tier (index/pruning.py):
+        each term's top-``keep_per_term`` postings by impact, built
+        lazily once per keep level and cached. Original dfs are passed,
+        so any doc the tier still holds scores exactly its full-index
+        value — the classic first-tier/fallback architecture: answers
+        that need more than the kept candidates belong on search().
+        Composes with '+', '-term', filters; refuses while tombstone
+        deletes are active (the pruned tier has no tombstone union)."""
+        self._guard_no_deletes("search_pruned")
+        from pisa_spark.index.pruning import prune_postings
+
+        tiers = getattr(self, "_pruned_tiers", None)
+        if tiers is None:
+            tiers = self._pruned_tiers = {}
+        if keep_per_term not in tiers:
+            n_part = max(self.spark.sparkContext.defaultParallelism, 8)
+            tiers[keep_per_term] = (
+                prune_postings(
+                    self.postings, keep_per_term,
+                    float(self.stats["avgdl"]),
+                )
+                .repartition(n_part, "bucket")
+                .cache()
+            )
+        q = self._normalize([query])
+        return bm25_topk_wand(
+            tiers[keep_per_term],
+            q,
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            k=k,
+            term_dfs=self._term_dfs(
+                {t for qq in q for t in qq["terms"]}
+                | {t for qq in q for t in qq.get("negated", [])}
+            ),
+            pre_arranged=True,
+            **search_kwargs,
+        )
+
     def _quantized_postings(self) -> DataFrame:
         """The cached quantized twin (requantize_postings preserves
         partitioning, so the exact index's bucket co-location carries

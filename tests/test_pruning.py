@@ -113,3 +113,27 @@ def test_validation(built):
     postings, n, avgdl = built
     with pytest.raises(ValueError, match="keep_per_term"):
         prune_postings(postings, 0, avgdl)
+
+
+def test_facade_search_pruned(spark, sf_dir, tmp_path):
+    from pisa_spark.engine import SearchEngine
+
+    eng = SearchEngine.build(
+        spark, sf_dir, str(tmp_path / "idx"), n_buckets=8, wave_size=8
+    )
+    full = eng.search("the", k=10).toPandas()
+    # a generous tier reproduces the full answer exactly
+    pr = eng.search_pruned("the", k=10, keep_per_term=10**6).toPandas()
+    assert pr.sort_values("rank").values.tolist() == (
+        full.sort_values("rank").values.tolist()
+    )
+    # a tight tier returns survivors scored exactly as the full index
+    tight = eng.search_pruned("the", k=5, keep_per_term=25).toPandas()
+    full_by_doc = dict(zip(full.doc_id, full.score.round(9)))
+    for r in tight.itertuples():
+        if r.doc_id in full_by_doc:
+            assert round(r.score, 9) == full_by_doc[r.doc_id]
+    # guarded under deletes
+    eng.delete_docs([1], persist=False)
+    with pytest.raises(ValueError, match="tombstone"):
+        eng.search_pruned("the")
