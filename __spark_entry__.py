@@ -2070,6 +2070,84 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+# ordered-slop gate queries: (query_id, [terms in required order], window)
+_ONEAR_QUERIES = [
+    (45, ["data", "join"], 6),
+    (46, ["the", "data"], 3),
+    (47, ["spark", "query", "scan"], 10),
+    (48, ["data", "zzz_absent"], 8),
+]
+
+
+def _bm25_ordered_near(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """ORDERED slop over the positional index: terms in query order,
+    total span <= window (query/bm25._ordered_near_match_docs)."""
+    from pisa_spark.query.bm25 import bm25_near_topk
+
+    postings, n_docs, avgdl = _built_pos_index(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms, "window": w, "ordered": True}
+        for qid, terms, w in _ONEAR_QUERIES
+    ]
+    out = bm25_near_topk(postings, queries, n_docs, avgdl, k=k)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_ordered_near_sql(k: int = 10) -> str:
+    """Twin: per-query position chain-join — EXISTS p1 < ... < pm in
+    query order with pm - p1 <= w (any witness chain; the engine's
+    greedy chain succeeds iff one exists)."""
+    parts = []
+    for qid, terms, w in _ONEAR_QUERIES:
+        joins = []
+        for j in range(2, len(terms) + 1):
+            joins.append(
+                f"JOIN posn p{j} ON p{j}.doc_id = p1.doc_id"
+                f" AND p{j}.term = '{terms[j-1]}'"
+                f" AND p{j}.pos > p{j-1}.pos"
+            )
+        m = len(terms)
+        parts.append(f"""
+  SELECT DISTINCT {qid} AS query_id, p1.doc_id
+  FROM posn p1
+  {' '.join(joins)}
+  WHERE p1.term = '{terms[0]}' AND p{m}.pos - p1.pos <= {w}""")
+    union = "\n  UNION ALL\n".join(parts)
+    qv = ", ".join(
+        f"({qid}, {terms!r}::VARCHAR[])" for qid, terms, _ in _ONEAR_QUERIES
+    )
+    return f"""
+{_SQL_BASE},
+posn AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos, tokens[i] AS term
+  FROM toks, LATERAL unnest(generate_series(1, len(tokens))) AS g(i)
+),
+matched AS (
+{union}
+),
+q(query_id, terms) AS (VALUES {qv}),
+qterms AS (SELECT query_id, unnest(list_distinct(terms)) AS term FROM q),
+scored AS (
+  SELECT m.query_id, m.doc_id, sum({_BM25_TERM_EXPR}) AS raw_score
+  FROM matched m
+  JOIN qterms qt ON qt.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dfreq ON dfreq.term = qt.term
+  JOIN doclen ON doclen.doc_id = m.doc_id
+  CROSS JOIN stats
+  GROUP BY m.query_id, m.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _search_eval_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IR evaluation of the engine's own run: BM25 top-20 for the
     fixed queries, judged against deterministic pseudo-qrels (a doc is
@@ -3148,7 +3226,6 @@ _GATE_ORDER = [
     "media_decode_stats",
     "ref_mf_topk",
     "ref_lightgcn_topk",
-    "search_snippets",
     "bm25_synonym_topk",
     "bm25_topk_or_quant",
     "bm25_filtered_topk",
@@ -3163,6 +3240,7 @@ _GATE_ORDER = [
     "bm25_page2_topk",
     "bm25_boolean_topk",
     "bm25_pruned_topk",
+    "bm25_ordered_near_topk",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -3193,6 +3271,7 @@ _GATE_ORDER = [
     "bm25_topk_and",
     "bm25_topk_and_quant",
     "bm25_wildcard_topk",
+    "search_snippets",
     "bm25_topk_or_wand",
     "bm25_phrase_topk",
     "dedup_exact",
@@ -3295,6 +3374,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_page2_topk": _bm25_page,
         "bm25_boolean_topk": _bm25_boolean,
         "bm25_pruned_topk": _bm25_pruned,
+        "bm25_ordered_near_topk": _bm25_ordered_near,
         "dedup_substring_trim": _dedup_trim,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
@@ -3829,6 +3909,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_page2_topk": _bm25_page_sql(_OR_QUERIES),
         "bm25_boolean_topk": _bm25_boolean_sql(_BOOL_QUERIES),
         "bm25_pruned_topk": _bm25_pruned_sql(_OR_QUERIES),
+        "bm25_ordered_near_topk": _bm25_ordered_near_sql(),
         "dedup_substring_trim": _dedup_trim_sql(),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),

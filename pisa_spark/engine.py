@@ -668,11 +668,13 @@ class SearchEngine:
         )
 
     def search_near(
-        self, query, window: int = 8, k: int = 10
+        self, query, window: int = 8, k: int = 10, ordered: bool = False
     ) -> DataFrame:
         """Proximity search: docs where every query term occurs within
         ``window`` positions of one occurrence of the first term
-        (anchor semantics, any order). Requires a positional index.
+        (anchor semantics, any order). ordered=True switches to
+        Lucene-style ORDERED slop: terms must appear in query order
+        with total span <= window. Requires a positional index.
         '-term' and quoted phrases don't compose with proximity and
         are rejected explicitly (never silently ignored)."""
         self._guard_no_deletes("search_near")
@@ -697,6 +699,7 @@ class SearchEngine:
             self.stats["avgdl"],
             k=k,
             window=window,
+            ordered=ordered,
             term_dfs=self._term_dfs(set(terms)),
             pre_arranged=self._pre_arranged,
         )

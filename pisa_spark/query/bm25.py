@@ -1041,6 +1041,53 @@ def _near_match_docs(
     return cand[np.unique(good // shift)]
 
 
+def _ordered_near_match_docs(
+    per_term: dict, tokens: list[str], cand: np.ndarray, window: int
+) -> np.ndarray:
+    """Docs in ``cand`` containing the query terms IN ORDER within a
+    total span of ``window``: positions p1 < p2 < ... < pm with
+    tokens[j] at p_j and pm - p1 <= window — Lucene-style ORDERED slop
+    (the unordered anchor variant is _near_match_docs; exact phrase is
+    the consecutive special case, see test: window = m-1 forces
+    adjacency).
+
+    Exactness of the greedy chain: from each t1 occurrence,
+    searchsorted picks every next term's SMALLEST strictly-later
+    occurrence, which minimizes the chain's end position — so a chain
+    within the window exists iff the greedy one lands within it.
+    Occurrence keys local_doc·2^32 + pos keep the probes vectorized
+    and doc-confined (a chain can never leak into the next doc: the
+    start's doc is re-checked at every hop)."""
+    shift = 1 << 32
+    keys: dict[str, np.ndarray] = {}
+    for t in dict.fromkeys(tokens):
+        docs, tfs, poss = per_term[t]
+        occ = np.repeat(docs, tfs)
+        keep = np.isin(occ, cand)
+        local = np.searchsorted(cand, occ[keep])
+        keys[t] = np.sort(local * shift + poss[keep])
+    start = keys[tokens[0]]
+    if start.size == 0:
+        return np.empty(0, np.int64)
+    start_doc = start // shift
+    cur = start.copy()
+    alive = np.ones(start.size, bool)
+    for t in tokens[1:]:
+        o = keys[t]
+        idx = np.searchsorted(o, cur, "right")
+        has = idx < o.size
+        nxt = o[np.minimum(idx, max(o.size - 1, 0))] if o.size else cur
+        alive &= has & (nxt // shift == start_doc)
+        cur = np.where(alive, nxt, cur)
+        if not alive.any():
+            return np.empty(0, np.int64)
+    alive &= (cur - start) <= window
+    good = start[alive]
+    if good.size == 0:
+        return np.empty(0, np.int64)
+    return cand[np.unique(good // shift)]
+
+
 def phrase_kernel(
     phrases: list[dict],
     n_docs: float,
@@ -1113,11 +1160,15 @@ def phrase_kernel(
                     for t in distinct
                 }
                 w = int(q.get("window", 0))
-                matched = (
-                    _near_match_docs(occs, tokens, cand, w)
-                    if w > 0
-                    else _phrase_match_docs(occs, tokens, cand)
-                )
+                if w > 0:
+                    near = (
+                        _ordered_near_match_docs
+                        if q.get("ordered")
+                        else _near_match_docs
+                    )
+                    matched = near(occs, tokens, cand, w)
+                else:
+                    matched = _phrase_match_docs(occs, tokens, cand)
                 if matched.size == 0:
                     continue
                 # score survivors: BM25 sum over the phrase's distinct
@@ -1243,6 +1294,7 @@ def bm25_near_topk(
     window: int = 8,
     term_dfs: dict[str, int] | None = None,
     pre_arranged: bool = False,
+    ordered: bool = False,
 ) -> DataFrame:
     """Proximity top-k over the positional index: docs where every
     query term occurs within ``window`` positions of one occurrence of
@@ -1251,8 +1303,19 @@ def bm25_near_topk(
     order-pinned special case). Ranked by the BM25 score of the
     distinct terms, like phrase queries. Shares the phrase kernel's
     rarest-first candidate intersection with block-range skipping, so
-    a rare anchor bounds how much of a stop-word neighbor decodes."""
-    qs = [dict(q, window=int(q.get("window", window))) for q in queries]
+    a rare anchor bounds how much of a stop-word neighbor decodes.
+
+    ordered=True (per query dict or here): ORDERED slop instead —
+    terms must appear in query order with total span <= window
+    (_ordered_near_match_docs)."""
+    qs = [
+        dict(
+            q,
+            window=int(q.get("window", window)),
+            ordered=bool(q.get("ordered", ordered)),
+        )
+        for q in queries
+    ]
     all_terms = sorted({t for q in qs for t in q["terms"]})
     arranged, term_dfs = _arrange_pruned(
         postings, all_terms, term_dfs, pre_arranged

@@ -474,3 +474,51 @@ def test_near_kernel_fuzz(seed):
         )
         for (_, sg), (_, se) in zip(cand, expect):
             assert abs(sg - se) < 1e-9
+
+
+def test_ordered_near_semantics(spark):
+    """ORDERED slop: in-order chain within the span; the unordered
+    variant accepts the reversed doc, ordered must not; window=m-1
+    degenerates to the exact consecutive phrase."""
+    from pisa_spark.index.build import build_postings
+    from pisa_spark.corpus import tokens_col
+    from pisa_spark.query.bm25 import bm25_near_topk, bm25_phrase_topk
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma pad pad"),        # in order, adjacent
+            (1, "beta alpha pad pad gamma"),        # out of order
+            (2, "alpha pad pad beta pad gamma"),    # in order, span 5
+            (3, "gamma beta alpha pad pad pad"),    # reversed
+            (4, "alpha beta pad gamma alpha beta"), # in order, span 3
+        ],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    p = build_postings(
+        toks, 5, 5.6, n_buckets=2, max_doc_id=4, with_positions=True
+    )
+    q = [{"query_id": 0, "terms": ["alpha", "beta", "gamma"]}]
+
+    def got(window, ordered):
+        out = bm25_near_topk(
+            p, q, 5, 5.6, k=10, window=window, ordered=ordered
+        ).collect()
+        return sorted(r["doc_id"] for r in out)
+
+    assert got(5, ordered=True) == [0, 2, 4]
+    assert got(3, ordered=True) == [0, 4]
+    # unordered anchor-window accepts the scrambled docs too
+    assert got(5, ordered=False) == [0, 1, 2, 3, 4]
+    # window = m-1 == exact consecutive phrase
+    ph = bm25_phrase_topk(p, q, 5, 5.6, k=10).collect()
+    assert got(2, ordered=True) == sorted(r["doc_id"] for r in ph)
+    # facade forwards the flag
+    from pisa_spark.engine import SearchEngine
+
+    eng = SearchEngine(spark, p, {"n_docs": 5, "avgdl": 5.6})
+    rows = eng.search_near("alpha beta gamma", window=3, ordered=True)
+    assert sorted(r["doc_id"] for r in rows.collect()) == [0, 4]
