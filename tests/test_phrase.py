@@ -522,3 +522,62 @@ def test_ordered_near_semantics(spark):
     eng = SearchEngine(spark, p, {"n_docs": 5, "avgdl": 5.6})
     rows = eng.search_near("alpha beta gamma", window=3, ordered=True)
     assert sorted(r["doc_id"] for r in rows.collect()) == [0, 4]
+
+
+def test_ordered_near_matcher_fuzz():
+    """Spark-free fuzz: the greedy-chain matcher vs a brute-force
+    any-witness-chain check over random small token streams."""
+    import itertools
+    import random
+
+    import numpy as np
+
+    from pisa_spark.query.bm25 import _ordered_near_match_docs
+
+    rng = random.Random(1234)
+    vocab = ["a", "b", "c", "d"]
+    for trial in range(60):
+        n_docs = rng.randint(1, 6)
+        docs_tokens = {
+            d: [vocab[rng.randrange(len(vocab))]
+                for _ in range(rng.randint(1, 12))]
+            for d in range(n_docs)
+        }
+        m = rng.randint(2, 3)
+        terms = [vocab[rng.randrange(len(vocab))] for _ in range(m)]
+        window = rng.randint(m - 1, 8)
+        # build the per_term occurrence structures the kernel sees
+        per_term = {}
+        ok = True
+        for t in dict.fromkeys(terms):
+            rows = []
+            for d, toks in docs_tokens.items():
+                poss = [i for i, x in enumerate(toks) if x == t]
+                if poss:
+                    rows.append((d, len(poss), poss))
+            if not rows:
+                ok = False
+                break
+            per_term[t] = (
+                np.array([r[0] for r in rows], np.int64),
+                np.array([r[1] for r in rows], np.int64),
+                np.array(
+                    [p for r in rows for p in r[2]], np.int64
+                ),
+            )
+        if not ok:
+            continue
+        cand = np.array(sorted(docs_tokens), np.int64)
+        got = set(
+            _ordered_near_match_docs(per_term, terms, cand, window).tolist()
+        )
+        expect = set()
+        for d, toks in docs_tokens.items():
+            occ = {t: [i for i, x in enumerate(toks) if x == t]
+                   for t in dict.fromkeys(terms)}
+            for chain in itertools.product(*[occ[t] for t in terms]):
+                if all(chain[j] > chain[j - 1] for j in range(1, m)) \
+                        and chain[-1] - chain[0] <= window:
+                    expect.add(d)
+                    break
+        assert got == expect, (trial, terms, window, docs_tokens)
