@@ -1294,7 +1294,9 @@ def _bm25_pruned(
             .agg(F.sum("n").alias("df"))
             .collect()
         }
-        pruned = prune_postings(postings, keep, stats["avgdl"]).cache()
+        pruned = prune_postings(
+            postings, keep, stats["avgdl"], n_docs=stats["n_docs"]
+        ).cache()
         _MEMO[key] = (pruned, stats, dfs)
     pruned, stats, dfs = _MEMO[key]
     queries = [
@@ -1311,17 +1313,21 @@ def _bm25_pruned(
 
 
 def _bm25_pruned_sql(qs, k: int = 10, keep: int = 50) -> str:
-    """Twin: the keep-set replayed as row_number over (imp DESC,
-    doc_id ASC) per term with the exact 8-bit quantizer; scoring uses
-    the ORIGINAL dfs (dfreq over the unpruned tf relation)."""
+    """Twin: the keep-set replayed as row_number over (imp·sign DESC,
+    doc_id ASC) per term — sign = idf sign (+1 iff df < n_docs/2), the
+    contribution-aligned order; scoring uses the ORIGINAL dfs (dfreq
+    over the unpruned tf relation)."""
     return f"""
 {_SQL_BASE},
 imp AS (
   SELECT tf.doc_id, tf.term, tf.tf,
          CAST(floor(255.0 * tf.tf
               / (tf.tf + (0.54 + 0.36 * doclen.doc_len / stats.avgdl)))
-           AS BIGINT) AS imp
-  FROM tf JOIN doclen USING (doc_id) CROSS JOIN stats
+           AS BIGINT)
+         * (CASE WHEN dfreq.df < stats.n_docs / 2.0 THEN 1 ELSE -1 END)
+           AS imp
+  FROM tf JOIN doclen USING (doc_id) JOIN dfreq USING (term)
+  CROSS JOIN stats
 ),
 kept AS (
   SELECT doc_id, term, tf FROM (

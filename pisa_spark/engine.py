@@ -1156,6 +1156,7 @@ class SearchEngine:
                 prune_postings(
                     self.postings, keep_per_term,
                     float(self.stats["avgdl"]),
+                    n_docs=int(self.stats["n_docs"]),
                 )
                 .repartition(n_part, "bucket")
                 .cache()

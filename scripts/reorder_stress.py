@@ -48,11 +48,16 @@ def synth_docs(spark, n_docs: int):
     function of doc_id (no RNG, partition-count invariant)."""
     base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
     host = (F.xxhash64("doc_id") % N_HOSTS + N_HOSTS) % N_HOSTS
+    # NB the numeric host column is named __h, NOT host: Spark's
+    # lateral-column-alias resolution would otherwise bind the words
+    # lambda to the STRING "hostN" alias in the same select, silently
+    # producing "hhostNwJ" tokens (found when stress queries matched
+    # nothing)
     words = F.transform(
         F.sequence(F.lit(0), F.lit(TERMS_PER_DOC - 1)),
         lambda i: F.concat(
             F.lit("h"),
-            F.col("host").cast("string"),
+            F.col("__h").cast("string"),
             F.lit("w"),
             (
                 (F.xxhash64(F.col("doc_id"), i) % VOCAB_PER_HOST
@@ -60,9 +65,9 @@ def synth_docs(spark, n_docs: int):
             ).cast("string"),
         ),
     )
-    return base.withColumn("host", host).select(
+    return base.withColumn("__h", host).select(
         "doc_id",
-        F.concat(F.lit("host"), F.col("host").cast("string")).alias("host"),
+        F.concat(F.lit("host"), F.col("__h").cast("string")).alias("host"),
         F.array_join(words, " ").alias("text"),
     )
 

@@ -51,7 +51,9 @@ def test_selection_is_exactly_rownumber_rule(spark, built):
         255.0 * full.tf
         / (full.tf + (0.54 + 0.36 * full.doc_len / avgdl))
     ).astype(np.int64)
-    full = full.assign(imp=imp)
+    dfs = full.groupby("term")["doc_id"].transform("size")
+    sign = np.where(dfs < n / 2.0, 1, -1)
+    full = full.assign(imp=imp * sign)
     keep = (
         full.sort_values(["term", "imp", "doc_id"],
                          ascending=[True, False, True])
