@@ -381,6 +381,54 @@ _BM25_TERM_EXPR = (
     " / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl))"
 )
 
+# More-Like-This source docs (exist at every sf; tests use the same set)
+_MLT_SOURCES = [3, 17, 41]
+
+
+def _mlt_sql(sources, k: int = 10, max_terms: int = 10, min_df: int = 2) -> str:
+    """More-Like-This twin: per-source top-max_terms terms by Lucene
+    interestingness tf*(ln((N+1)/(df+1))+1) with df>=min_df, then plain
+    disjunctive BM25 over those terms with the source doc masked —
+    mirrors query/mlt.py stage for stage."""
+    src_values = ", ".join(f"({int(s)})" for s in sources)
+    return f"""
+{_SQL_BASE},
+src(query_id) AS (VALUES {src_values}),
+cand AS (
+  SELECT s.query_id, tf.term,
+         tf.tf * (ln((stats.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS interest
+  FROM tf
+  JOIN src s ON tf.doc_id = s.query_id
+  JOIN dfreq USING (term)
+  CROSS JOIN stats
+  WHERE dfreq.df >= {int(min_df)}
+),
+q AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY interest DESC, term ASC) AS r
+    FROM cand
+  ) WHERE r <= {int(max_terms)}
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id, sum({_BM25_TERM_EXPR}) AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.doc_id <> q.query_id
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
 
 def _bm25_rm3_sql(
     qs,
@@ -573,6 +621,21 @@ def _bm25_df(
     )
     out = bm25_topk_dataframe(
         _tf_full(spark, sf_dir), qdf, n_docs, avgdl, k=k, conjunctive=conjunctive
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _mlt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-Like-This via the exhaustive relational path
+    (query/mlt.py:mlt_topk_dataframe); the facade/index path is proven
+    rank-identical to this one in tests/test_mlt.py."""
+    from pisa_spark.query.mlt import mlt_topk_dataframe
+
+    n_docs, avgdl = _stats(spark, sf_dir)
+    out = mlt_topk_dataframe(
+        _tf_full(spark, sf_dir), _MLT_SOURCES, n_docs, avgdl, k=10
     )
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
@@ -3247,6 +3310,7 @@ _GATE_ORDER = [
     "bm25_boolean_topk",
     "bm25_pruned_topk",
     "bm25_ordered_near_topk",
+    "mlt_topk",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -3381,6 +3445,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boolean_topk": _bm25_boolean,
         "bm25_pruned_topk": _bm25_pruned,
         "bm25_ordered_near_topk": _bm25_ordered_near,
+        # More-Like-This: similar docs from a source doc's own terms
+        "mlt_topk": _mlt_gate,
         "dedup_substring_trim": _dedup_trim,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
@@ -3916,6 +3982,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_boolean_topk": _bm25_boolean_sql(_BOOL_QUERIES),
         "bm25_pruned_topk": _bm25_pruned_sql(_OR_QUERIES),
         "bm25_ordered_near_topk": _bm25_ordered_near_sql(),
+        "mlt_topk": _mlt_sql(_MLT_SOURCES),
         "dedup_substring_trim": _dedup_trim_sql(),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),

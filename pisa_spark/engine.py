@@ -1132,6 +1132,71 @@ class SearchEngine:
             pre_arranged=self._pre_arranged,
         )
 
+    def search_similar(
+        self, doc_id: int, k: int = 10,
+        max_terms: int = 10, min_df: int = 2,
+    ) -> DataFrame:
+        """More-Like-This: docs most similar to ``doc_id``, served off
+        the index. The source doc's term vector is decoded from ONLY
+        its bucket's blocks (first_doc/max_doc metadata prunes the
+        scan before any decode), its top-``max_terms`` terms by
+        Lucene-style tf·idf interestingness (query/mlt.py) become a
+        disjunctive query through the WAND kernel, and the source doc
+        itself is masked from its own results — the reference's
+        seen-masking (/root/reference/src/Inference.py:233-238),
+        rendered as an over-fetch-by-one + filter + re-rank.
+
+        Scale: the vector collect is bounded by ONE doc's length; the
+        query is an ordinary |max_terms|-term WAND pass. Rank-identical
+        to mlt_topk_dataframe (tests/test_mlt.py asserts it)."""
+        import math
+
+        self._guard_no_deletes("search_similar")
+        from pisa_spark.query.scorers import postings_to_tf
+        from pyspark.sql import Window
+
+        doc_id = int(doc_id)
+        src_blocks = self.postings.filter(
+            (F.col("first_doc") <= doc_id) & (F.col("max_doc") >= doc_id)
+        )
+        vec = (
+            postings_to_tf(src_blocks)
+            .filter(F.col("doc_id") == doc_id)
+            .select("term", "tf")
+            .collect()
+        )
+        if not vec:
+            raise ValueError(f"doc_id {doc_id} has no indexed terms")
+        dfs = self._term_dfs({r["term"] for r in vec})
+        n = float(self.stats["n_docs"])
+        cand = [
+            (
+                -(r["tf"] * (math.log((n + 1.0) / (dfs[r["term"]] + 1.0)) + 1.0)),
+                r["term"],
+            )
+            for r in vec
+            if dfs[r["term"]] >= int(min_df)
+        ]
+        cand.sort()
+        terms = [t for _, t in cand[: int(max_terms)]]
+        if not terms:
+            raise ValueError(
+                f"doc_id {doc_id}: no terms survive min_df={min_df}"
+            )
+        out = self.search_batch(
+            [{"query_id": doc_id, "terms": terms}], k=k + 1
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        return (
+            out.filter(F.col("doc_id") != doc_id)
+            .select("query_id", "doc_id", "score")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
     def search_pruned(
         self, query, k: int = 10, keep_per_term: int = 1000,
         **search_kwargs,
