@@ -779,6 +779,50 @@ def _warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_warc(spark, _MEMO[key])
 
 
+def _ciff_export_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Sharded CIFF export of the sf corpus (sources/ciff.py), written
+    once per session under a tmp dir: tokenize -> tf relation ->
+    4 postings shards + docs shard. The gates re-import it, so
+    rows+schema+hash equality against the straight-from-text oracle
+    proves the full protobuf wire round trip is byte-faithful."""
+    key = ("ciff", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        import tempfile
+
+        from pisa_spark.index.build import term_frequencies
+        from pisa_spark.sources.ciff import export_ciff
+
+        out = tempfile.mkdtemp(prefix="pisa_ciff_")
+        toks = _tokens(spark, sf_dir)
+        tf = term_frequencies(toks).select(
+            "doc_id", "term", F.col("tf").cast("long").alias("tf")
+        )
+        docs_meta = toks.select(
+            "doc_id",
+            F.col("doc_id").cast("string").alias("collection_docid"),
+            F.col("doc_len").cast("long").alias("doc_len"),
+        )
+        export_ciff(tf, docs_meta, out, n_files=4)
+        _MEMO[key] = out
+    return _MEMO[key]
+
+
+def _ciff_tf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pisa_spark.sources.ciff import read_ciff_postings
+
+    return read_ciff_postings(spark, _ciff_export_dir(spark, sf_dir)).select(
+        "doc_id", "term", "tf"
+    )
+
+
+def _ciff_docs_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pisa_spark.sources.ciff import read_ciff_docs
+
+    return read_ciff_docs(spark, _ciff_export_dir(spark, sf_dir)).select(
+        "doc_id", "collection_docid", "doc_len"
+    )
+
+
 def _built_index(spark: SparkSession, sf_dir: str):
     # keyed by application id: a recreated session must not serve plans
     # cached against a stopped SparkContext
@@ -3311,6 +3355,8 @@ _GATE_ORDER = [
     "bm25_pruned_topk",
     "bm25_ordered_near_topk",
     "mlt_topk",
+    "ciff_roundtrip_tf",
+    "ciff_doc_records",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -3447,6 +3493,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_ordered_near_topk": _bm25_ordered_near,
         # More-Like-This: similar docs from a source doc's own terms
         "mlt_topk": _mlt_gate,
+        # CIFF interchange: export -> re-import must equal the
+        # straight-from-text relations (full wire round trip)
+        "ciff_roundtrip_tf": _ciff_tf_gate,
+        "ciff_doc_records": _ciff_docs_gate,
         "dedup_substring_trim": _dedup_trim,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
@@ -3983,6 +4033,16 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_pruned_topk": _bm25_pruned_sql(_OR_QUERIES),
         "bm25_ordered_near_topk": _bm25_ordered_near_sql(),
         "mlt_topk": _mlt_sql(_MLT_SOURCES),
+        # CIFF round trips: the oracle never touches the .ciff bytes —
+        # it recomputes the relations from documents.text, so equality
+        # proves export+import is an identity
+        "ciff_roundtrip_tf": _SQL_BASE
+        + "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf FROM tf",
+        "ciff_doc_records": _SQL_BASE
+        + """
+SELECT doc_id, CAST(doc_id AS VARCHAR) AS collection_docid,
+       CAST(doc_len AS BIGINT) AS doc_len
+FROM doclen""",
         "dedup_substring_trim": _dedup_trim_sql(),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),

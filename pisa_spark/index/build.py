@@ -287,15 +287,45 @@ def build_postings(
         span = max(1, math.ceil((max_doc_id + 1) / n_buckets))
     if with_positions:
         tf = term_frequencies_with_positions(tokens_df)
-        schema = POSTINGS_POS_SCHEMA
     else:
         tf = term_frequencies(tokens_df)
-        schema = POSTINGS_SCHEMA
+    return _postings_from_tf(tf, span, block_size, with_positions)
+
+
+def build_postings_from_tf(
+    tf_df: DataFrame,
+    n_docs: int,
+    n_buckets: int = 32,
+    max_doc_id: int | None = None,
+    block_size: int = BLOCK_SIZE,
+    span: int | None = None,
+) -> DataFrame:
+    """Compressed posting blocks straight from an already-materialized
+    tf relation (doc_id, term, tf, doc_len) — the bridge a CIFF import
+    (sources/ciff.py) or any external term-frequency table uses to
+    become a serving index without re-tokenizing. Identical bucket
+    assignment, shuffle shape, and encode kernel as build_postings."""
+    if max_doc_id is None:
+        max_doc_id = n_docs
+    if span is None:
+        span = max(1, math.ceil((max_doc_id + 1) / n_buckets))
+    return _postings_from_tf(
+        tf_df.select("doc_id", "term", "tf", "doc_len"),
+        span,
+        block_size,
+        with_positions=False,
+    )
+
+
+def _postings_from_tf(
+    tf: DataFrame, span: int, block_size: int, with_positions: bool
+) -> DataFrame:
+    schema = POSTINGS_POS_SCHEMA if with_positions else POSTINGS_SCHEMA
     tf_b = tf.withColumn("bucket", (F.col("doc_id") / F.lit(span)).cast("int"))
     # explicit partition count: the encode stage is the Python-side hot
     # path — AQE must not coalesce it below the core count (it would,
     # for small shuffle volumes, and serialize the Arrow kernels)
-    spark = tokens_df.sparkSession
+    spark = tf.sparkSession
     n_part = max(2 * spark.sparkContext.defaultParallelism, 8)
     arranged = tf_b.repartition(n_part, "bucket", "term").sortWithinPartitions(
         "bucket", "term", "doc_id"
