@@ -627,6 +627,79 @@ def _bm25_df(
     )
 
 
+def _ltr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTR feature extraction (query/ltr.py): per-(query, doc) feature
+    vectors for the BM25 top-k candidates — one aggregate pass produces
+    the ranker score and every feature together."""
+    from pisa_spark.query.ltr import ltr_features
+
+    n_docs, avgdl = _stats(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in _OR_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    out = ltr_features(_tf_full(spark, sf_dir), qdf, n_docs, avgdl, k=10)
+    return out.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        F.round("score", 4).alias("bm25"),
+        "matched",
+        "n_terms",
+        "doc_len",
+        "sum_tf",
+        "max_tf",
+        "min_df",
+        "max_df",
+        F.round("idf_sum", 4).alias("idf_sum"),
+    )
+
+
+def _ltr_sql(qs: list[tuple[int, list[str]]], k: int = 10) -> str:
+    """DuckDB twin of _ltr_gate: the same single GROUP BY carries the
+    BM25 raw score and all feature aggregates, then the identical
+    (score DESC, doc_id ASC) window picks the candidates."""
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+qn AS (SELECT query_id, CAST(count(*) AS INTEGER) AS n_terms
+       FROM q GROUP BY query_id),
+feat AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score,
+         CAST(count(*) AS INTEGER) AS matched,
+         CAST(max(doclen.doc_len) AS INTEGER) AS doc_len,
+         CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
+         CAST(max(tf.tf) AS INTEGER) AS max_tf,
+         CAST(min(dfreq.df) AS BIGINT) AS min_df,
+         CAST(max(dfreq.df) AS BIGINT) AS max_df,
+         sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)))
+           AS raw_idf_sum
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, bm25, matched, n_terms, doc_len,
+       sum_tf, max_tf, min_df, max_df, idf_sum
+FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS bm25, matched,
+         doc_len, sum_tf, max_tf, min_df, max_df,
+         round(raw_idf_sum, 4) AS idf_sum,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER)
+           AS rank
+  FROM feat
+) JOIN qn USING (query_id)
+WHERE rank <= {k}
+"""
+
+
 def _mlt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """More-Like-This via the exhaustive relational path
     (query/mlt.py:mlt_topk_dataframe); the facade/index path is proven
@@ -3357,6 +3430,7 @@ _GATE_ORDER = [
     "mlt_topk",
     "ciff_roundtrip_tf",
     "ciff_doc_records",
+    "ltr_features",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -3497,6 +3571,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # straight-from-text relations (full wire round trip)
         "ciff_roundtrip_tf": _ciff_tf_gate,
         "ciff_doc_records": _ciff_docs_gate,
+        "ltr_features": _ltr_gate,
         "dedup_substring_trim": _dedup_trim,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
@@ -4043,6 +4118,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
 SELECT doc_id, CAST(doc_id AS VARCHAR) AS collection_docid,
        CAST(doc_len AS BIGINT) AS doc_len
 FROM doclen""",
+        "ltr_features": _ltr_sql(_OR_QUERIES, k=10),
         "dedup_substring_trim": _dedup_trim_sql(),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),
