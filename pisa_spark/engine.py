@@ -645,6 +645,39 @@ class SearchEngine:
             conjunctive=conj.pop(),
         )
 
+    def extract_features(self, queries, k: int = 10) -> DataFrame:
+        """LTR feature vectors for the BM25 top-k candidates, served
+        off the loaded compressed index (query/ltr.py): per-(query,
+        doc) rows with the ranker score and matched / n_terms /
+        doc_len / sum_tf / max_tf / min_df / max_df / idf_sum, all
+        from the same term-pruned decode one BM25 query costs. The
+        training set this emits is serving-consistent by construction:
+        identical candidates, identical tie-break, identical stats."""
+        self._guard_no_deletes("extract_features")
+        from pisa_spark.query.ltr import ltr_features_from_index
+
+        normalized = self._normalize(queries)
+        if any(
+            q.get("negated") or q.get("filter") or q.get("conjunctive")
+            for q in normalized
+        ):
+            raise ValueError(
+                "extract_features annotates the disjunctive BM25"
+                " candidate policy; '-term', attribute filters and AND"
+                " queries have no feature-extraction path"
+            )
+        qdf = self.spark.createDataFrame(
+            [(q["query_id"], t) for q in normalized for t in q["terms"]],
+            "query_id int, term string",
+        )
+        return ltr_features_from_index(
+            self.postings,
+            qdf,
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            k=k,
+        )
+
     def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
         """Exact consecutive-token phrase top-k. Requires a positional
         index (build with with_positions=True)."""

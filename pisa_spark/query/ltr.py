@@ -27,6 +27,34 @@ from pyspark.sql import functions as F
 
 from pisa_spark.query.bm25 import score_expr
 
+
+def ltr_features_from_index(
+    postings: DataFrame,
+    queries_df: DataFrame,
+    n_docs: float,
+    avgdl: float,
+    k: int = 10,
+) -> DataFrame:
+    """The same feature vectors served off the compressed index.
+
+    The posting blocks are pruned to the queries' terms BEFORE the
+    decode (the filter sits below the mapInPandas kernel, so
+    PushedFilters carries it into the scan — only queried terms'
+    blocks are read), decoded back to (term, doc_id, tf, doc_len) with
+    one vectorized varint pass, and df comes from block METADATA
+    (sum of per-block posting counts — no second corpus pass). From
+    there it is the identical one-aggregate plan as ``ltr_features``.
+    """
+    from pisa_spark.query.scorers import postings_to_tf
+
+    terms = [
+        r["term"] for r in queries_df.select("term").distinct().collect()
+    ]
+    pruned = postings.filter(F.col("term").isin(terms))
+    df_df = pruned.groupBy("term").agg(F.sum("n").cast("bigint").alias("df"))
+    tf_full = postings_to_tf(pruned).join(F.broadcast(df_df), "term")
+    return ltr_features(tf_full, queries_df, n_docs, avgdl, k=k)
+
 FEATURE_COLUMNS = [
     "query_id",
     "rank",

@@ -117,6 +117,66 @@ def test_candidates_are_the_bm25_topk(corpus):
     assert a == b
 
 
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    from pisa_spark.engine import SearchEngine
+
+    root = str(tmp_path_factory.mktemp("ltr_engine") / "idx")
+    return SearchEngine.build(
+        spark, "/root/testdata/sf0.001", root, n_buckets=8, wave_size=8
+    )
+
+
+def test_index_served_matches_relational(spark, eng):
+    """extract_features (compressed-index decode, metadata df) must be
+    row-identical to ltr_features over the corpus tf relation."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from pisa_spark.corpus import tokens_col
+    from pisa_spark.index.build import term_document_frequency
+
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    tf = term_frequencies(toks)
+    tf_full = tf.join(term_document_frequency(tf), "term")
+    qdf = spark.createDataFrame(
+        [(0, "data"), (0, "join"), (1, "the"), (2, "spark"), (2, "query")],
+        "query_id int, term string",
+    )
+    rel = ltr_features(
+        tf_full, qdf, eng.stats["n_docs"], eng.stats["avgdl"], k=10
+    )
+    idx = eng.extract_features(
+        [
+            {"query_id": 0, "terms": ["data", "join"]},
+            {"query_id": 1, "terms": ["the"]},
+            {"query_id": 2, "terms": ["spark", "query"]},
+        ],
+        k=10,
+    )
+
+    def norm(df):
+        return sorted(
+            (
+                r["query_id"], r["rank"], r["doc_id"],
+                round(r["score"], 9), r["matched"], r["n_terms"],
+                r["doc_len"], r["sum_tf"], r["max_tf"], r["min_df"],
+                r["max_df"], round(r["idf_sum"], 9),
+            )
+            for r in df.collect()
+        )
+
+    assert norm(idx) == norm(rel)
+
+
+def test_facade_refuses_unsupported(eng):
+    with pytest.raises(ValueError):
+        eng.extract_features(["data -spam"])
+    with pytest.raises(ValueError):
+        eng.extract_features(["+data join"])
+
+
 def test_schema_and_k(corpus):
     tf_full, qdf, n_docs, avgdl = corpus
     out = ltr_features(tf_full, qdf, n_docs, avgdl, k=2)
