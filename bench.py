@@ -280,6 +280,16 @@ def main() -> None:
     ).collect()
     timings["q_rm3_relation"] = round(time.perf_counter() - t0, 4)
 
+    # LTR feature extraction off the index: must price like one BM25
+    # query (features ride the scoring aggregate — PLANS.md §21)
+    t0 = time.perf_counter()
+    eng.extract_features(
+        [{"query_id": 93, "terms": ["data", "join"]},
+         {"query_id": 94, "terms": ["spark", "query", "scan"]}],
+        k=10,
+    ).collect()
+    timings["q_ltr_extract"] = round(time.perf_counter() - t0, 4)
+
     # faceted search: top-50 + lang/source facet counts
     from pisa_spark.query.facets import facet_counts
 
