@@ -676,6 +676,7 @@ class SearchEngine:
             self.stats["n_docs"],
             self.stats["avgdl"],
             k=k,
+            terms=sorted({t for q in normalized for t in q["terms"]}),
         )
 
     def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:

@@ -34,6 +34,7 @@ def ltr_features_from_index(
     n_docs: float,
     avgdl: float,
     k: int = 10,
+    terms: list[str] | None = None,
 ) -> DataFrame:
     """The same feature vectors served off the compressed index.
 
@@ -47,10 +48,13 @@ def ltr_features_from_index(
     """
     from pisa_spark.query.scorers import postings_to_tf
 
-    terms = [
-        r["term"] for r in queries_df.select("term").distinct().collect()
-    ]
-    pruned = postings.filter(F.col("term").isin(terms))
+    if terms is None:
+        # callers that already hold the term set (the facade does)
+        # should pass it — this collect is one extra driver round-trip
+        terms = [
+            r["term"] for r in queries_df.select("term").distinct().collect()
+        ]
+    pruned = postings.filter(F.col("term").isin(list(terms)))
     df_df = pruned.groupBy("term").agg(F.sum("n").cast("bigint").alias("df"))
     tf_full = postings_to_tf(pruned).join(F.broadcast(df_df), "term")
     return ltr_features(tf_full, queries_df, n_docs, avgdl, k=k)
