@@ -949,6 +949,35 @@ def _bm25_wand(
     )
 
 
+_TV_DOC_IDS = [3, 42, 123, 250, 499]
+
+
+def _term_vectors_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term vectors served off the compressed index
+    (SearchEngine.term_vectors): block-range pruned decode + metadata
+    df. The oracle recomputes the same relation from documents.text,
+    so equality proves the index round-trips every doc's vector."""
+    from pisa_spark.engine import SearchEngine
+
+    postings, stats = _built_index(spark, sf_dir)
+    eng = SearchEngine(spark, postings, stats, pre_arranged=True)
+    return eng.term_vectors(_TV_DOC_IDS)
+
+
+def _term_vectors_sql(doc_ids: list[int]) -> str:
+    ids = ", ".join(str(int(d)) for d in doc_ids)
+    return f"""
+{_SQL_BASE}
+SELECT tf.doc_id, tf.term, tf.tf,
+       doclen.doc_len,
+       CAST(dfreq.df AS BIGINT) AS df
+FROM tf
+JOIN doclen USING (doc_id)
+JOIN dfreq USING (term)
+WHERE tf.doc_id IN ({ids})
+"""
+
+
 def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-duplication spans (Lee-et-al-style trimming
     dedup): maximal token spans covered by 6-grams occurring in >= 2
@@ -3431,6 +3460,7 @@ _GATE_ORDER = [
     "ciff_roundtrip_tf",
     "ciff_doc_records",
     "ltr_features",
+    "doc_term_vectors",
     # -- last green in round 2; pushed past the window by the r3 reorder --
     "ref_jsd_weights",
     "nan_guard_report",
@@ -3572,6 +3602,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ciff_roundtrip_tf": _ciff_tf_gate,
         "ciff_doc_records": _ciff_docs_gate,
         "ltr_features": _ltr_gate,
+        "doc_term_vectors": _term_vectors_gate,
         "dedup_substring_trim": _dedup_trim,
         "bm25_topk_or_quant": lambda spark, sf: _bm25_quant(
             spark, sf, _OR_QUERIES, False
@@ -4119,6 +4150,7 @@ SELECT doc_id, CAST(doc_id AS VARCHAR) AS collection_docid,
        CAST(doc_len AS BIGINT) AS doc_len
 FROM doclen""",
         "ltr_features": _ltr_sql(_OR_QUERIES, k=10),
+        "doc_term_vectors": _term_vectors_sql(_TV_DOC_IDS),
         "dedup_substring_trim": _dedup_trim_sql(),
         "bm25_topk_or_quant": _bm25_quant_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_quant": _bm25_quant_sql(_AND_QUERIES, conjunctive=True),

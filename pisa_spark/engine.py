@@ -679,6 +679,46 @@ class SearchEngine:
             terms=sorted({t for q in normalized for t in q["terms"]}),
         )
 
+    def term_vectors(self, doc_ids, with_df: bool = True) -> DataFrame:
+        """Per-document term vectors off the index (Lucene's
+        term-vectors API): (doc_id, term, tf, doc_len[, df]) for the
+        requested docs — the export surface for per-doc term stats
+        (MLT offline, feature dumps, corpus forensics) without
+        re-tokenizing text.
+
+        Scale shape: the index is doc-range bucketed, so the
+        (first_doc, max_doc) block metadata prunes the scan to the
+        requested docs' buckets BEFORE any decode; df (when asked for)
+        is metadata-only — a left-semi join on the vectors' terms then
+        sum of per-block posting counts, never a payload read and
+        never a second corpus pass."""
+        self._guard_no_deletes("term_vectors")
+        from pisa_spark.query.scorers import postings_to_tf
+
+        ids = sorted({int(d) for d in doc_ids})
+        if not ids:
+            raise ValueError("term_vectors needs at least one doc id")
+        keep = F.lit(False)
+        for d in ids:
+            keep = keep | (
+                (F.col("first_doc") <= d) & (F.col("max_doc") >= d)
+            )
+        tf_rel = postings_to_tf(self.postings.filter(keep)).filter(
+            F.col("doc_id").isin(ids)
+        )
+        if not with_df:
+            return tf_rel.select("doc_id", "term", "tf", "doc_len")
+        df_df = (
+            self.postings.join(
+                tf_rel.select("term").distinct(), "term", "left_semi"
+            )
+            .groupBy("term")
+            .agg(F.sum("n").cast("bigint").alias("df"))
+        )
+        return tf_rel.join(df_df, "term").select(
+            "doc_id", "term", "tf", "doc_len", "df"
+        )
+
     def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
         """Exact consecutive-token phrase top-k. Requires a positional
         index (build with with_positions=True)."""

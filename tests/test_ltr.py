@@ -170,6 +170,39 @@ def test_index_served_matches_relational(spark, eng):
     assert norm(idx) == norm(rel)
 
 
+def test_term_vectors_round_trip(spark, eng):
+    """term_vectors (block-range pruned decode + metadata df) must
+    equal the tokenizer-derived relation for the requested docs."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from pisa_spark.corpus import tokens_col
+    from pisa_spark.index.build import term_document_frequency
+
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    tf = term_frequencies(toks)
+    want = {
+        (r["doc_id"], r["term"]): (r["tf"], r["doc_len"], r["df"])
+        for r in tf.join(term_document_frequency(tf), "term")
+        .filter(F.col("doc_id").isin([7, 99]))
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["doc_len"], r["df"])
+        for r in eng.term_vectors([7, 99]).collect()
+    }
+    assert got == want
+    # with_df=False drops the metadata join but keeps the vector
+    slim = eng.term_vectors([7], with_df=False)
+    assert slim.columns == ["doc_id", "term", "tf", "doc_len"]
+    assert {r["term"] for r in slim.collect()} == {
+        t for d, t in want if d == 7
+    }
+    with pytest.raises(ValueError):
+        eng.term_vectors([])
+
+
 def test_facade_refuses_unsupported(eng):
     with pytest.raises(ValueError):
         eng.extract_features(["data -spam"])
