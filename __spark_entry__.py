@@ -3419,79 +3419,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies only the first ~50 `queries()` entries per round.
-# _GATE_ORDER is the rotation schedule: gates that have never earned a
-# driver-green CORRECTNESS row (or whose last green row is oldest) sit
-# first; long-green gates rotate to the tail, where the 400+-test pytest
-# suite still covers them every run. Every gate must appear here exactly
-# once — queries() asserts the set matches.
+# _GATE_ORDER is the rotation schedule. INVARIANT (r4 verdict item #1):
+# *new gates always enter at the HEAD* — a gate that has never earned a
+# driver-green CORRECTNESS row must sit inside the verified window the
+# round it lands, never past it. After never-verified gates come the
+# gates whose last green row is oldest; long-green gates rotate to the
+# tail, where the 550+-test pytest suite still covers them every run.
+# Every gate must appear here exactly once — queries() asserts the set
+# matches.
 _GATE_ORDER = [
-    # -- never driver-verified before round 4 (r3 verdict item #1) --
-    "quality_gopher",
-    "quality_repetition",
-    "c4_line_stats",
-    "url_host_stats",
-    "url_dedup",
-    "warc_extract_stats",
-    "fuzzy_term_lookup",
-    "fuzzy_corrections",
-    "ann_ivf_topk",
-    "ann_ivf_recall",
-    # -- new in round 4 (r3 verdict items #2, #7 and missing #3) --
-    "ref_group_metrics",
-    "media_decode_stats",
-    "ref_mf_topk",
-    "ref_lightgcn_topk",
-    "bm25_synonym_topk",
-    "bm25_topk_or_quant",
-    "bm25_filtered_topk",
-    "bm25_explain_contribs",
-    "dedup_substring_spans",
-    "dedup_substring_trim",
-    "bm25_range_filtered_topk",
-    "bm25_federated_topk",
-    "bm25_reordered_topk",
-    "search_mmr_topk",
-    "bm25_deleted_topk",
-    "bm25_page2_topk",
-    "bm25_boolean_topk",
-    "bm25_pruned_topk",
-    "bm25_ordered_near_topk",
-    "mlt_topk",
-    "ciff_roundtrip_tf",
-    "ciff_doc_records",
-    "ltr_features",
-    "doc_term_vectors",
-    # -- last green in round 2; pushed past the window by the r3 reorder --
-    "ref_jsd_weights",
-    "nan_guard_report",
-    "text_profiles",
-    "text_winnowing",
-    "ref_split_counts",
-    "ref_seen_sets",
-    "ref_popularity_topk",
-    "ref_topn_metrics",
-    "media_features",
-    "curation_pipeline",
-    "sessions_stats",
-    "ref_metric_mean",
-    "ref_metric_trend",
-    "ref_normalized_edges",
-    "ref_negative_samples",
-    "events_daily_windows",
+    # -- NEW in round 5: never driver-verified, enter at the head --
+    # (uncommented one-by-one as each lands with its oracle)
+    # -- landed r4 past the window; never driver-verified (r4 verdict #1) --
+    "bm25_topk_and_quant",
+    "bm25_wildcard_topk",
+    "search_snippets",
+    # -- last green in round 2; aged out twice, re-confirm now --
     "events_quantile_gate",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_regional",
     "tpch_q6_forecast",
-    # -- round-3-green core gates kept inside the window for freshness --
-    # ---- window boundary (~50): below here = green r3, pytest-covered ----
+    # -- last green round 3: oldest-green block, refreshed this round --
     "pages_extracted_stats",
     "term_tf",
     "bm25_topk_or",
     "bm25_topk_and",
-    "bm25_topk_and_quant",
-    "bm25_wildcard_topk",
-    "search_snippets",
     "bm25_topk_or_wand",
     "bm25_phrase_topk",
     "dedup_exact",
@@ -3525,6 +3478,7 @@ _GATE_ORDER = [
     "qld_topk_and",
     "pl2_topk",
     "dph_topk",
+    # ---- window boundary (~50): below here = green r3/r4, pytest-covered ----
     "dph_topk_indexed",
     "bm25_topk_or_maxscore",
     "bm25_mixed_idf_maxscore",
@@ -3538,6 +3492,57 @@ _GATE_ORDER = [
     "dedup_embedding_lsh",
     "ann_cosine_topk",
     "ann_lsh_recall",
+    # -- green round 4 --
+    "quality_gopher",
+    "quality_repetition",
+    "c4_line_stats",
+    "url_host_stats",
+    "url_dedup",
+    "warc_extract_stats",
+    "fuzzy_term_lookup",
+    "fuzzy_corrections",
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "ref_group_metrics",
+    "media_decode_stats",
+    "ref_mf_topk",
+    "ref_lightgcn_topk",
+    "bm25_synonym_topk",
+    "bm25_topk_or_quant",
+    "bm25_filtered_topk",
+    "bm25_explain_contribs",
+    "dedup_substring_spans",
+    "dedup_substring_trim",
+    "bm25_range_filtered_topk",
+    "bm25_federated_topk",
+    "bm25_reordered_topk",
+    "search_mmr_topk",
+    "bm25_deleted_topk",
+    "bm25_page2_topk",
+    "bm25_boolean_topk",
+    "bm25_pruned_topk",
+    "bm25_ordered_near_topk",
+    "mlt_topk",
+    "ciff_roundtrip_tf",
+    "ciff_doc_records",
+    "ltr_features",
+    "doc_term_vectors",
+    "ref_jsd_weights",
+    "nan_guard_report",
+    "text_profiles",
+    "text_winnowing",
+    "ref_split_counts",
+    "ref_seen_sets",
+    "ref_popularity_topk",
+    "ref_topn_metrics",
+    "media_features",
+    "curation_pipeline",
+    "sessions_stats",
+    "ref_metric_mean",
+    "ref_metric_trend",
+    "ref_normalized_edges",
+    "ref_negative_samples",
+    "events_daily_windows",
 ]
 
 

@@ -688,10 +688,16 @@ class SearchEngine:
 
         Scale shape: the index is doc-range bucketed, so the
         (first_doc, max_doc) block metadata prunes the scan to the
-        requested docs' buckets BEFORE any decode; df (when asked for)
-        is metadata-only — a left-semi join on the vectors' terms then
-        sum of per-block posting counts, never a payload read and
-        never a second corpus pass."""
+        requested docs' buckets BEFORE any decode. Attribute / numeric
+        filter pseudo-terms ('lang:en', 'n!3:…') share the postings
+        relation by design (build.attribute_tokens_col /
+        numeric.numeric_tokens_col) and are excluded here — the ':'
+        separator can't collide with tokenizer output, so the
+        exclusion is an exact codegen predicate. With
+        with_df=True the requested docs' vocabulary (bounded by the
+        ids' summed doc_len) is collected once from the pruned decode,
+        then df comes from a metadata-only pass — a pushed In(term,…)
+        filter over per-block posting counts, never a second decode."""
         self._guard_no_deletes("term_vectors")
         from pisa_spark.query.scorers import postings_to_tf
 
@@ -703,19 +709,19 @@ class SearchEngine:
             keep = keep | (
                 (F.col("first_doc") <= d) & (F.col("max_doc") >= d)
             )
-        tf_rel = postings_to_tf(self.postings.filter(keep)).filter(
-            F.col("doc_id").isin(ids)
-        )
+        real_term = ~F.col("term").contains(":")
+        tf_rel = postings_to_tf(
+            self.postings.filter(keep & real_term)
+        ).filter(F.col("doc_id").isin(ids))
         if not with_df:
             return tf_rel.select("doc_id", "term", "tf", "doc_len")
+        terms = [r["term"] for r in tf_rel.select("term").distinct().collect()]
         df_df = (
-            self.postings.join(
-                tf_rel.select("term").distinct(), "term", "left_semi"
-            )
+            self.postings.filter(F.col("term").isin(terms))
             .groupBy("term")
             .agg(F.sum("n").cast("bigint").alias("df"))
         )
-        return tf_rel.join(df_df, "term").select(
+        return tf_rel.join(F.broadcast(df_df), "term").select(
             "doc_id", "term", "tf", "doc_len", "df"
         )
 

@@ -278,3 +278,40 @@ def test_explain_empty_doc_ids(spark, sf_dir, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("xempty"))
     eng = SearchEngine.build(spark, sf_dir, root)
     assert eng.explain("data join", doc_ids=[]).count() == 0
+
+
+def test_term_vectors_exclude_pseudo_terms(spark, sf_dir, tmp_path_factory):
+    """On an attribute+numeric-indexed engine, term_vectors must return
+    ONLY real tokenizer terms — filter pseudo-terms ('lang:en',
+    'views#4:…') share the postings relation but are excluded by the
+    ':' predicate — and df must count text postings only."""
+    from pisa_spark.corpus import tokens_col
+    from pisa_spark.engine import SearchEngine
+    from pisa_spark.index.build import (
+        term_document_frequency,
+        term_frequencies,
+    )
+
+    root = str(tmp_path_factory.mktemp("tvattr"))
+    eng = SearchEngine.build(
+        spark, sf_dir, root, attribute_cols=["lang"]
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    tf = term_frequencies(toks)
+    want = {
+        (r["doc_id"], r["term"]): (r["tf"], r["doc_len"], r["df"])
+        for r in tf.join(term_document_frequency(tf), "term")
+        .filter(F.col("doc_id").isin([3, 11]))
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["doc_len"], r["df"])
+        for r in eng.term_vectors([3, 11]).collect()
+    }
+    assert got == want  # no 'lang:…' rows, dfs from text postings only
+    assert all(":" not in t for _, t in got)
+    slim = eng.term_vectors([3], with_df=False).collect()
+    assert all(":" not in r["term"] for r in slim)
