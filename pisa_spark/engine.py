@@ -924,20 +924,28 @@ class SearchEngine:
         self, query, k: int = 10, weight: float = 0.4
     ) -> DataFrame:
         """Synonym-expanded search served off the loaded index: query
-        terms are joined with their vocabulary stem-mates
-        (query/synonyms.py — S-stem equality over the term dictionary),
-        originals weight 1.0 / stem-mates ``weight``, then ONE weighted
-        scoring pass over posting blocks pruned to the expanded term
-        set (term-literal filter below the decode, PushedFilters
-        reaches the scan — the search_rm3 pass-2 shape).
+        terms are expanded with their vocabulary stem-mates (S-stem
+        equality), originals weight 1.0 / stem-mates ``weight``, then
+        ONE weighted scoring pass over posting blocks pruned to the
+        expanded term set (term-literal filter below the decode,
+        PushedFilters reaches the scan — the search_rm3 pass-2 shape).
 
-        The stem-mate lookup scans the term DICTIONARY (block metadata,
-        vocabulary-sized — not the postings payload); the expanded term
-        set is bounded by the query's stem classes, so the collect that
-        turns it into scan literals is a few rows."""
+        The stem-mate lookup reads the ``stem_mates`` catalog table the
+        BUILD committed (index/lineage.py — the dictionary is corpus-
+        derived and static per generation, so it is built once at index
+        time, never per query): a pushed In(stem,…) scan bounded by the
+        query's stem classes, no join, no job over the postings
+        relation. Engines constructed directly from a relation (no
+        index root / pre-table index) fall back to deriving mates from
+        the postings term dictionary. The dictionary is read at the
+        CURRENT generation even on a time-travel load: an expansion
+        term absent from the served snapshot simply prunes away (its
+        df and postings come from the snapshot itself)."""
         from pisa_spark.corpus import stem_s
+        from pisa_spark.index.lineage import SYNONYMS_TABLE
         from pisa_spark.query.feedback import weighted_bm25_topk
         from pisa_spark.query.scorers import postings_to_tf
+        from pisa_spark.sources import catalog
 
         raw = parse_query(query) if isinstance(query, str) else dict(query)
         if raw.get("phrases"):
@@ -956,20 +964,39 @@ class SearchEngine:
                 " search_filtered for attribute filters"
             )
         terms = sorted(set(q["terms"]))
-        qstem = self.spark.createDataFrame(
-            [(t,) for t in terms], "term string"
-        ).select("term", stem_s(F.col("term")).alias("stem"))
-        vocab = self.postings.select("term").distinct().select(
-            F.col("term").alias("synonym")
-        ).withColumn("vstem", stem_s(F.col("synonym")))
-        mates = {
-            r["synonym"]
-            for r in F.broadcast(qstem)
-            .join(vocab, F.col("stem") == F.col("vstem"))
-            .filter(F.col("term") != F.col("synonym"))
-            .select("synonym")
+        qstems = {
+            r["stem"]: r["term"]
+            for r in self.spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select("term", stem_s(F.col("term")).alias("stem"))
             .collect()
         }
+        if self._index_root is not None and catalog.table_exists(
+            self._index_root, SYNONYMS_TABLE
+        ):
+            mate_rows = (
+                catalog.read_table(
+                    self.spark, self._index_root, SYNONYMS_TABLE
+                )
+                .filter(F.col("stem").isin(sorted(qstems)))
+                .select("term")
+                .collect()
+            )
+            mates = {r["term"] for r in mate_rows} - set(terms)
+        else:
+            vocab = self.postings.select("term").distinct().select(
+                F.col("term").alias("synonym")
+            ).withColumn("vstem", stem_s(F.col("synonym")))
+            mates = {
+                r["synonym"]
+                for r in vocab.filter(
+                    F.col("vstem").isin(sorted(qstems))
+                    & ~F.col("synonym").isin(terms)
+                )
+                .select("synonym")
+                .collect()
+            }
         v_rows = [(q["query_id"], t, 1.0) for t in terms] + [
             (q["query_id"], s, float(weight))
             for s in sorted(mates - set(terms))

@@ -32,7 +32,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pisa_spark.corpus import tokens_col
+from pisa_spark.corpus import stem_s, tokens_col
 from pisa_spark.index.build import BLOCK_SIZE, build_postings, corpus_stats
 from pisa_spark.sources import catalog
 
@@ -44,6 +44,7 @@ LINEAGE_SCHEMA = (
 POSTINGS_TABLE = "postings"
 LINEAGE_TABLE = "lineage"
 STATS_TABLE = "corpus_stats"
+SYNONYMS_TABLE = "stem_mates"
 
 
 def latest_lineage_df(spark: SparkSession, index_root: str) -> DataFrame | None:
@@ -417,6 +418,32 @@ def build_index_resumable(
             waves_run += 1
             if fail_after_waves is not None and waves_run >= fail_after_waves:
                 raise RuntimeError(f"simulated crash after wave {waves_run}")
+        # stem-mate dictionary for synonym expansion
+        # (engine.search_synonyms): corpus-derived and static per
+        # generation, so it commits at BUILD time — query time then does
+        # a pushed In(stem,…) lookup against it instead of a
+        # vocabulary-wide postings distinct per query (r4 verdict #4).
+        # Only stem classes with >=2 members are kept (the only rows
+        # expansion can use). Sized by the distinct VOCABULARY, not the
+        # postings — head-term skew is irrelevant here — and filter
+        # pseudo-terms (':' separator) never enter the dictionary.
+        vocab = (
+            toks.select(F.explode("tokens").alias("term"))
+            .filter(~F.col("term").contains(":"))
+            .distinct()
+            .withColumn("stem", stem_s(F.col("term")))
+        )
+        classes = (
+            vocab.groupBy("stem")
+            .agg(F.count(F.lit(1)).alias("n_mates"))
+            .filter(F.col("n_mates") >= 2)
+            .drop("n_mates")
+        )
+        catalog.write_table(
+            vocab.join(classes, "stem").select("stem", "term"),
+            index_root,
+            SYNONYMS_TABLE,
+        )
         # stats commit LAST: readers never see new global stats paired
         # with buckets an interrupted run did not finish
         catalog.write_table(

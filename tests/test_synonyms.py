@@ -94,3 +94,34 @@ def test_facade_matches_relation_path(spark, sf_dir, tmp_path_factory):
     # synonym-expanded terms (same guard discipline as search_fuzzy)
     with pytest.raises(ValueError, match="phrase"):
         eng.search_synonyms('"data table" fast')
+
+def test_stem_mates_table_committed_and_fallback_parity(
+    spark, sf_dir, tmp_path_factory
+):
+    """The build commits the stem_mates dictionary (classes >= 2, no
+    pseudo-terms) and the engine serves synonym expansion from it;
+    an engine without an index root falls back to the postings-derived
+    vocabulary with identical results."""
+    from pisa_spark.engine import SearchEngine
+    from pisa_spark.index.lineage import SYNONYMS_TABLE
+    from pisa_spark.sources import catalog
+
+    root = str(tmp_path_factory.mktemp("synidx") / "idx")
+    eng = SearchEngine.build(spark, sf_dir, root, n_buckets=8, wave_size=8)
+    assert catalog.table_exists(root, SYNONYMS_TABLE)
+    dict_df = catalog.read_table(spark, root, SYNONYMS_TABLE)
+    assert sorted(dict_df.columns) == ["stem", "term"]
+    assert dict_df.filter(F.col("term").contains(":")).count() == 0
+    assert (
+        dict_df.groupBy("stem").count().filter("count < 2").count() == 0
+    )
+
+    def norm(rows):
+        return sorted(
+            (r["rank"], r["doc_id"], round(r["score"], 9)) for r in rows
+        )
+
+    via_table = norm(eng.search_synonyms("data table", k=10).collect())
+    eng._index_root = None  # force the relation-vocabulary fallback
+    via_fallback = norm(eng.search_synonyms("data table", k=10).collect())
+    assert via_table == via_fallback
