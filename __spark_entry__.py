@@ -98,6 +98,7 @@ from pisa_spark.query.fuzzy import (  # noqa: E402
     best_corrections,
     fuzzy_term_matches,
 )
+from pisa_spark.query.scored_kernel import scored_topk_pruned  # noqa: E402
 from pisa_spark.query.scorers import (  # noqa: E402
     postings_to_tf,
     scored_topk_dataframe,
@@ -744,6 +745,39 @@ def _scored_df(
     out = scored_topk_dataframe(
         tf_df, qdf, n_docs, avgdl, total_cf,
         scorer=scorer, k=k, conjunctive=conjunctive,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _scored_pruned_df(
+    spark: SparkSession,
+    sf_dir: str,
+    qs,
+    scorer: str,
+    conjunctive: bool = False,
+    k: int = 10,
+) -> DataFrame:
+    """Same result contract as _scored_df but served through the
+    bucket-local pruned kernel (query/scored_kernel.scored_topk_pruned)
+    off the compressed index with two-phase thresholds ACTIVE — the
+    gate replays the exhaustive relational oracle SQL against the
+    pruned path, proving block-bound soundness (qld: corner bounds;
+    pl2/dph: bound pass-through) end to end."""
+    toks = _tokens(spark, sf_dir)
+    row = toks.agg(
+        F.count(F.lit(1)), F.avg("doc_len"), F.sum("doc_len")
+    ).collect()[0]
+    n_docs, avgdl, total_cf = int(row[0]), float(row[1]), int(row[2])
+    postings, _ = _built_index(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": list(terms), "conjunctive": conjunctive}
+        for qid, terms in qs
+    ]
+    out = scored_topk_pruned(
+        postings, queries, n_docs, avgdl, float(total_cf),
+        scorer=scorer, k=k, two_phase=True,
     )
     return out.select(
         "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
@@ -3429,7 +3463,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
-    # (uncommented one-by-one as each lands with its oracle)
+    "qld_topk_pruned",
+    "pl2_topk_pruned",
+    "dph_topk_pruned",
     # -- landed r4 past the window; never driver-verified (r4 verdict #1) --
     "bm25_topk_and_quant",
     "bm25_wildcard_topk",
@@ -3659,6 +3695,15 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_or_wand": lambda spark, sf: _bm25_wand(spark, sf, _OR_QUERIES, False),
         "bm25_topk_and_wand": lambda spark, sf: _bm25_wand(spark, sf, _AND_QUERIES, True),
         # --- alternative scorers (QLD / PL2 / DPH) off the same relation ---
+        "qld_topk_pruned": lambda spark, sf: _scored_pruned_df(
+            spark, sf, _OR_QUERIES, "qld"
+        ),
+        "pl2_topk_pruned": lambda spark, sf: _scored_pruned_df(
+            spark, sf, _OR_QUERIES, "pl2"
+        ),
+        "dph_topk_pruned": lambda spark, sf: _scored_pruned_df(
+            spark, sf, _OR_QUERIES, "dph"
+        ),
         "qld_topk": lambda spark, sf: _scored_df(spark, sf, _OR_QUERIES, "qld"),
         "qld_topk_and": lambda spark, sf: _scored_df(
             spark, sf, _AND_QUERIES, "qld", conjunctive=True
@@ -4211,6 +4256,9 @@ SELECT query_id, facet, value, n FROM (
         "bm25_top100_or": _bm25_sql(_OR_QUERIES, conjunctive=False, k=100),
         "bm25_topk_or_wand": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_wand": _bm25_sql(_AND_QUERIES, conjunctive=True),
+        "qld_topk_pruned": _scored_sql(_OR_QUERIES, "qld", conjunctive=False),
+        "pl2_topk_pruned": _scored_sql(_OR_QUERIES, "pl2", conjunctive=False),
+        "dph_topk_pruned": _scored_sql(_OR_QUERIES, "dph", conjunctive=False),
         "qld_topk": _scored_sql(_OR_QUERIES, "qld", conjunctive=False),
         "qld_topk_and": _scored_sql(_AND_QUERIES, "qld", conjunctive=True),
         "pl2_topk": _scored_sql(_OR_QUERIES, "pl2", conjunctive=False),

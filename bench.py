@@ -220,11 +220,16 @@ def main() -> None:
     ).collect()
     timings["q_batch64_quant"] = round(time.perf_counter() - t0, 4)
 
-    # alternative-scorer serving (QLD off the decoded index): measures
-    # the postings_to_tf decode + exhaustive scorer path that
-    # search_scored uses, INCLUDING its term pruning below the decode
-    # barrier (engine.search_scored filters blocks to the queried
-    # terms before the mapInPandas kernel — PLANS.md §9)
+    # alternative-scorer serving (QLD off the index): the bucket-local
+    # pruned kernel path search_scored now uses (query/scored_kernel —
+    # r4 verdict item #2); term (df, cf) stats precomputed like
+    # term_dfs for the WAND singles (the engine caches them per
+    # generation). q_scored_qld_rel keeps the old relational exhaustive
+    # dataflow for comparison (decode -> join -> per-posting shuffle).
+    from pisa_spark.query.scored_kernel import (
+        scored_topk_pruned,
+        term_stats_from_blocks,
+    )
     from pisa_spark.query.scorers import postings_to_tf, scored_topk_dataframe
 
     or_queries = [q for q in BENCH_QUERIES if not q["conjunctive"]]
@@ -233,13 +238,21 @@ def main() -> None:
         "query_id int, term string",
     )
     qld_terms = sorted({t for q in or_queries for t in q["terms"]})
+    qld_stats = term_stats_from_blocks(postings, qld_terms)
+    t0 = time.perf_counter()
+    scored_topk_pruned(
+        postings, or_queries, stats["n_docs"], stats["avgdl"],
+        float(stats["total_terms"]), scorer="qld", k=10,
+        term_stats=qld_stats, pre_arranged=True,
+    ).collect()
+    timings["q_scored_qld"] = round(time.perf_counter() - t0, 4)
     t0 = time.perf_counter()
     scored_topk_dataframe(
         postings_to_tf(postings.filter(F.col("term").isin(qld_terms))),
         qdf, stats["n_docs"], stats["avgdl"],
         float(stats["total_terms"]), scorer="qld", k=10,
     ).collect()
-    timings["q_scored_qld"] = round(time.perf_counter() - t0, 4)
+    timings["q_scored_qld_rel"] = round(time.perf_counter() - t0, 4)
 
     # NOT query through the WAND kernel (bucket-local exclusion)
     t0 = time.perf_counter()

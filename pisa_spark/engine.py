@@ -61,6 +61,9 @@ class SearchEngine:
         # Valid for the lifetime of this loaded snapshot: the engine
         # serves an immutable generation, so dfs cannot drift under it.
         self._df_cache: dict[str, int] = {}
+        # term -> (df, cf) for the alternative-scorer kernel (QLD/PL2/
+        # DPH need collection frequency); same snapshot-lifetime rule
+        self._term_stats_cache: dict[str, tuple[int, int]] = {}
 
     # -- construction ------------------------------------------------------
 
@@ -588,32 +591,43 @@ class SearchEngine:
                 self._df_cache.setdefault(t, 0)
         return {t: self._df_cache[t] for t in terms}
 
+    def _term_stats_full(self, terms) -> dict[str, tuple[int, int]]:
+        """(df, cf) per query term from the driver-side cache; only
+        unseen terms touch Spark (query/scored_kernel.
+        term_stats_from_blocks — one term-pruned decode pass,
+        partial-aggregated to |terms| rows). Snapshot-immutable like
+        _term_dfs."""
+        from pisa_spark.query.scored_kernel import term_stats_from_blocks
+
+        missing = [t for t in terms if t not in self._term_stats_cache]
+        if missing:
+            self._term_stats_cache.update(
+                term_stats_from_blocks(self.postings, missing)
+            )
+        return {t: self._term_stats_cache[t] for t in terms}
+
     def search_scored(
         self, queries, scorer: str = "bm25", k: int = 10
     ) -> DataFrame:
         """Top-k under any registered scorer (bm25 / qld / pl2 / dph)
-        served off the loaded compressed index: the posting blocks are
-        pruned to the queries' terms BEFORE the decode (the filter sits
-        below the mapInPandas kernel, so PushedFilters carries it into
-        the parquet scan — only the queried terms' blocks are ever
-        read or decoded; per-term df/cf are unchanged by pruning other
-        terms, and total_cf comes from the stored corpus stats), then
-        decoded back to the (term, doc_id, tf, doc_len) relation with
-        one vectorized varint pass per Arrow batch (query/scorers.
-        postings_to_tf — shuffle-free), and the scorer-generic
-        exhaustive path scores and window-top-ks.
+        served off the loaded compressed index through the bucket-local
+        kernel dataflow (query/scored_kernel.scored_topk_pruned): the
+        posting blocks are pruned to the queries' terms BEFORE the
+        decode (PushedFilters carries the term filter into the scan),
+        each bucket decodes and bincount-sums its own postings, and
+        only <= n_buckets*|queries|*k candidate rows reach the global
+        top-k window — no per-posting shuffle, unlike the relational
+        scored_topk_dataframe path (which remains the oracle twin).
 
-        BM25 wanting dynamic pruning should use search()/search_batch;
-        alternative scorers run exhaustively — their per-term
-        contributions don't carry the (tf, dl) corner-monotonicity
-        contract the stored block-max metadata encodes for BM25, and
-        exactness comes first (the same scorer/pruning split real
-        engines make: pruning structures are scorer-specific)."""
+        Pruning is scorer-aware with exactness first: QLD (and BM25)
+        are corner-monotone, so the stored (tf, dl) corner stats give
+        exact block bounds when two-phase thresholds are active; PL2 /
+        DPH are not corner-monotone and always decode their kept
+        terms fully — same dataflow, no block skipping. per-term df/cf
+        are cached per engine generation; total_cf comes from the
+        stored corpus stats."""
         self._guard_no_deletes("search_scored")
-        from pisa_spark.query.scorers import (
-            postings_to_tf,
-            scored_topk_dataframe,
-        )
+        from pisa_spark.query.scored_kernel import scored_topk_pruned
 
         normalized = self._normalize(queries)
         if any(q.get("negated") or q.get("filter") for q in normalized):
@@ -622,27 +636,17 @@ class SearchEngine:
                 " search()/search_filtered for '-term' or attribute"
                 " filters"
             )
-        qdf = self.spark.createDataFrame(
-            [(q["query_id"], t) for q in normalized for t in q["terms"]],
-            "query_id int, term string",
-        )
-        conj = {q["conjunctive"] for q in normalized}
-        if len(conj) > 1:
-            raise ValueError(
-                "search_scored batches must share conjunctive-ness; "
-                "split the batch"
-            )
         all_terms = sorted({t for q in normalized for t in q["terms"]})
-        pruned = self.postings.filter(F.col("term").isin(all_terms))
-        return scored_topk_dataframe(
-            postings_to_tf(pruned),
-            qdf,
+        return scored_topk_pruned(
+            self.postings,
+            normalized,
             self.stats["n_docs"],
             self.stats["avgdl"],
             float(self.stats["total_terms"]),
             scorer=scorer,
             k=k,
-            conjunctive=conj.pop(),
+            term_stats=self._term_stats_full(all_terms),
+            pre_arranged=self._pre_arranged,
         )
 
     def extract_features(self, queries, k: int = 10) -> DataFrame:

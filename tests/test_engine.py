@@ -190,11 +190,14 @@ def test_search_scored_off_loaded_index(eng, oracle, spark, sf_dir):
         assert sorted(map(key, a)) == sorted(map(key, b)), scorer
 
 
-def test_search_scored_mixed_conjunctive_rejected(eng):
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError):
-        eng.search_scored(["data join", "+data join"], scorer="qld")
+def test_search_scored_mixed_conjunctive_served(eng):
+    """The kernel path carries conjunctive-ness per query, so mixed
+    OR/AND batches serve in one pass (the relational path's shared-flag
+    restriction is gone — full parity in test_scored_kernel.py)."""
+    rows = eng.search_scored(
+        ["data join", "+data join"], scorer="qld"
+    ).collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
 
 
 def test_search_negation_string_syntax(eng, spark, sf_dir):
