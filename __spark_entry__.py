@@ -176,13 +176,21 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
-def _bm25_quant_sql(qs: list[tuple[int, list[str]]], conjunctive: bool, k: int = 10) -> str:
+def _bm25_quant_sql(
+    qs: list[tuple[int, list[str]]],
+    conjunctive: bool,
+    k: int = 10,
+    deleted: bool = False,
+) -> str:
     """Bit-exact twin of the quantized impact index (index/quantized.py):
     impact = floor(255.0*tf/(tf+(0.54+0.36*dl/avgdl))), idf_q =
     floor(ln(idf_arg)*65536.0), score_q = sum(impact*idf_q) — every op
     mirrors the engine token-for-token, and the integer sum is
-    order-free, so NO rounding is needed on the compared score."""
+    order-free, so NO rounding is needed on the compared score.
+    deleted=True excludes doc_id % 7 == 3 from the RESULT docs only
+    (stale-stats contract: impacts and idf_q over the full corpus)."""
     conj_filter = "HAVING count(*) = max(qn.n_terms)" if conjunctive else ""
+    del_filter = "WHERE imp.doc_id % 7 <> 3" if deleted else ""
     return f"""
 {_SQL_BASE},
 imp AS (
@@ -204,6 +212,7 @@ scored AS (
   JOIN q USING (term)
   JOIN idfq USING (term)
   JOIN qn USING (query_id)
+  {del_filter}
   GROUP BY q.query_id, imp.doc_id
   {conj_filter}
 )
@@ -826,6 +835,140 @@ def _bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _built_pos_attr_index(spark: SparkSession, sf_dir: str):
+    """Memoized positional index with lang filter pseudo-terms in the
+    same blocks — the phrase x attribute-filter serving layout (r4
+    verdict item #5)."""
+    key = ("posattr", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        from pisa_spark.corpus import tokens_col
+        from pisa_spark.index.build import (
+            attribute_tokens_col,
+            build_postings,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = docs.select(
+            "doc_id", "lang", tokens_col(F.col("text")).alias("tokens")
+        ).withColumn("doc_len", F.size("tokens"))
+        toks = toks.withColumn(
+            "tokens", F.concat("tokens", attribute_tokens_col(["lang"]))
+        ).select("doc_id", "tokens", "doc_len")
+        row = toks.agg(
+            F.count(F.lit(1)), F.avg("doc_len"), F.max("doc_id")
+        ).collect()[0]
+        postings = build_postings(
+            toks, int(row[0]), float(row[1]), n_buckets=16,
+            max_doc_id=int(row[2]), with_positions=True,
+        ).cache()
+        _MEMO[key] = (postings, int(row[0]), float(row[1]))
+    return _MEMO[key]
+
+
+# phrase/near x filter gate queries: (query_id, tokens, {attr: val})
+_PHRASE_FILTER_QUERIES = [
+    (70, ["order", "fast"], {"lang": "en"}),
+    (71, ["order", "fast"], {"lang": "de"}),
+]
+_NEAR_FILTER_QUERIES = [
+    (72, ["order", "data"], 6, {"lang": "en"}),
+    (73, ["data", "join"], 8, {"lang": "de"}),
+]
+
+
+def _bm25_phrase_filtered(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Exact phrase x attribute filter: the include set gates the
+    candidate docs BEFORE position verification, bucket-locally
+    (query/bm25.py phrase_kernel) — scores identical to the unfiltered
+    phrase on surviving docs."""
+    from pisa_spark.query.bm25 import bm25_phrase_topk
+
+    postings, n_docs, avgdl = _built_pos_attr_index(spark, sf_dir)
+    queries = [
+        {
+            "query_id": qid,
+            "terms": p,
+            "filter": [f"{c}:{v}" for c, v in sorted(fs.items())],
+        }
+        for qid, p, fs in _PHRASE_FILTER_QUERIES
+    ]
+    out = bm25_phrase_topk(postings, queries, n_docs, avgdl, k=k)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_near_filtered(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Proximity (anchor window) x attribute filter, same candidate
+    gating as the phrase variant."""
+    from pisa_spark.query.bm25 import bm25_near_topk
+
+    postings, n_docs, avgdl = _built_pos_attr_index(spark, sf_dir)
+    queries = [
+        {
+            "query_id": qid,
+            "terms": terms,
+            "window": w,
+            "filter": [f"{c}:{v}" for c, v in sorted(fs.items())],
+        }
+        for qid, terms, w, fs in _NEAR_FILTER_QUERIES
+    ]
+    out = bm25_near_topk(postings, queries, n_docs, avgdl, k=k)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _built_pos_deleted_index(spark: SparkSession, sf_dir: str):
+    """Memoized positional index with tombstones (doc_id % 7 == 3
+    deleted) — the phrase/near x deletes serving state."""
+    key = ("posdelidx", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        from pisa_spark.index.deletes import (
+            tombstone_postings,
+            with_tombstones,
+        )
+
+        postings, n_docs, avgdl = _built_pos_index(spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+        span = max(1, -(-(int(mx) + 1) // 16))  # n_buckets=16 above
+        tomb = tombstone_postings(
+            docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+            n_docs,
+            avgdl,
+            span,
+            with_positions=True,
+        )
+        _MEMO[key] = (
+            with_tombstones(postings, tomb).cache(), n_docs, avgdl,
+        )
+    return _MEMO[key]
+
+
+def _bm25_phrase_deleted(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Exact phrase with tombstone deletes active: the __deleted__
+    pseudo-term gates the candidate set in the positional kernel;
+    survivors keep their exact scores (stale-stats contract)."""
+    from pisa_spark.index.deletes import exclude_deleted
+    from pisa_spark.query.bm25 import bm25_phrase_topk
+
+    postings, n_docs, avgdl = _built_pos_deleted_index(spark, sf_dir)
+    queries = exclude_deleted(
+        [{"query_id": qid, "terms": p} for qid, p in _PHRASES]
+    )
+    out = bm25_phrase_topk(postings, queries, n_docs, avgdl, k=k)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 # fuzzy-lookup probes: near-misses of synthetic-vocabulary terms
 # (deletion, transposition, doubled letters) plus a no-match control
 _FUZZY_PROBES = ["dat", "spakr", "querry", "windoow", "zzzzzz"]
@@ -1349,15 +1492,10 @@ SELECT query_id, rank, doc_id, o AS objective FROM all{k}
 """
 
 
-def _bm25_deleted(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
-    """BM25 with tombstone deletes (index/deletes.py): docs with
-    doc_id % 7 == 3 are deleted; serving excludes them bucket-locally
-    through the NOT machinery while survivors keep their EXACT scores
-    (Lucene stale-stats semantics — df/avgdl/n_docs unchanged until
-    compaction). The twin scores the FULL corpus and only filters the
-    result docs — exactly that contract."""
+def _built_deleted_index(spark: SparkSession, sf_dir: str):
+    """Memoized exact index with tombstones (doc_id % 7 == 3 deleted) —
+    shared by the WAND-deleted and quantized-deleted gates."""
     from pisa_spark.index.deletes import (
-        exclude_deleted,
         tombstone_postings,
         with_tombstones,
     )
@@ -1375,7 +1513,46 @@ def _bm25_deleted(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
             span,
         )
         _MEMO[key] = (with_tombstones(postings, tomb).cache(), stats)
-    postings, stats = _MEMO[key]
+    return _MEMO[key]
+
+
+def _bm25_quant_deleted(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Quantized serving with tombstone deletes active: the tombstoned
+    exact index requantizes 1:1 (the __deleted__ blocks' impacts are
+    garbage but unreachable — the kernel's exclusion decoder reads
+    docs only), and the integer kernel excludes the deleted ids
+    bucket-locally. Survivors keep their exact integer scores — the
+    twin computes impacts/idf_q over the FULL corpus and filters only
+    the result docs."""
+    from pisa_spark.index.deletes import exclude_deleted
+    from pisa_spark.index.quantized import (
+        quantized_topk,
+        requantize_postings,
+    )
+
+    postings, stats = _built_deleted_index(spark, sf_dir)
+    quant = requantize_postings(postings, stats["avgdl"])
+    queries = exclude_deleted(
+        [
+            {"query_id": qid, "terms": terms, "conjunctive": False}
+            for qid, terms in _OR_QUERIES
+        ]
+    )
+    return quantized_topk(quant, queries, stats["n_docs"], k=k)
+
+
+def _bm25_deleted(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """BM25 with tombstone deletes (index/deletes.py): docs with
+    doc_id % 7 == 3 are deleted; serving excludes them bucket-locally
+    through the NOT machinery while survivors keep their EXACT scores
+    (Lucene stale-stats semantics — df/avgdl/n_docs unchanged until
+    compaction). The twin scores the FULL corpus and only filters the
+    result docs — exactly that contract."""
+    from pisa_spark.index.deletes import exclude_deleted
+
+    postings, stats = _built_deleted_index(spark, sf_dir)
     queries = exclude_deleted(
         [
             {"query_id": qid, "terms": terms, "conjunctive": False}
@@ -2289,6 +2466,138 @@ matched AS (
   -- other term within +-w (mirrors query/bm25._near_match_docs)
   SELECT q.query_id, t.doc_id
   FROM toks t CROSS JOIN q
+  WHERE len(list_filter(range(1, len(t.tokens) + 1),
+        i -> t.tokens[i] = q.terms[1]
+             AND len(list_filter(range(2, len(q.terms) + 1), kk ->
+                   q.terms[kk] = q.terms[1]
+                   OR len(list_filter(
+                        range(greatest(i - q.w, 1),
+                              least(i + q.w, len(t.tokens)) + 1),
+                        p -> t.tokens[p] = q.terms[kk])) > 0))
+                 = len(q.terms) - 1)) > 0
+),
+qterms AS (SELECT query_id, unnest(list_distinct(terms)) AS term FROM q),
+scored AS (
+  SELECT m.query_id, m.doc_id, sum({_BM25_TERM_EXPR}) AS raw_score
+  FROM matched m
+  JOIN qterms qt ON qt.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dfreq ON dfreq.term = qt.term
+  JOIN doclen ON doclen.doc_id = m.doc_id
+  CROSS JOIN stats
+  GROUP BY m.query_id, m.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _allow_clause(entries) -> str:
+    """UNION ALL of per-query allowed-doc selects off the documents
+    table — the relational rendering of attribute filters (restrict
+    AFTER scoring: scores equal the unfiltered run on survivors)."""
+    return "\n  UNION ALL\n".join(
+        f"  SELECT {qid} AS query_id, doc_id FROM documents WHERE "
+        + " AND ".join(f"lower({c}) = '{v}'" for c, v in sorted(fs.items()))
+        for qid, fs in entries
+    )
+
+
+def _phrase_filtered_sql(qs, k: int = 10) -> str:
+    """Twin for phrase x attribute filter: the bm25_phrase_topk match
+    predicate with a per-query allowed-doc semi-join."""
+    qv = ", ".join(f"({qid}, {p!r}::VARCHAR[])" for qid, p, _ in qs)
+    allow = _allow_clause([(qid, fs) for qid, _, fs in qs])
+    return f"""
+{_SQL_BASE},
+q(query_id, p) AS (VALUES {qv}),
+allow AS (
+{allow}
+),
+matched AS (
+  SELECT q.query_id, t.doc_id
+  FROM toks t CROSS JOIN q
+  JOIN allow a ON a.query_id = q.query_id AND a.doc_id = t.doc_id
+  WHERE len(t.tokens) >= len(q.p)
+    AND len(list_filter(range(1, len(t.tokens) - len(q.p) + 2),
+            i -> t.tokens[i:i+len(q.p)-1] = q.p)) > 0
+),
+qterms AS (SELECT query_id, unnest(list_distinct(p)) AS term FROM q),
+scored AS (
+  SELECT m.query_id, m.doc_id, sum({_BM25_TERM_EXPR}) AS raw_score
+  FROM matched m
+  JOIN qterms qt ON qt.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dfreq ON dfreq.term = qt.term
+  JOIN doclen ON doclen.doc_id = m.doc_id
+  CROSS JOIN stats
+  GROUP BY m.query_id, m.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _phrase_deleted_sql(qs, k: int = 10) -> str:
+    """Twin for phrase x tombstone deletes: full-corpus stats, only the
+    matched docs are filtered (stale-stats contract)."""
+    qv = ", ".join(f"({qid}, {p!r}::VARCHAR[])" for qid, p in qs)
+    return f"""
+{_SQL_BASE},
+q(query_id, p) AS (VALUES {qv}),
+matched AS (
+  SELECT q.query_id, t.doc_id
+  FROM toks t CROSS JOIN q
+  WHERE t.doc_id % 7 <> 3
+    AND len(t.tokens) >= len(q.p)
+    AND len(list_filter(range(1, len(t.tokens) - len(q.p) + 2),
+            i -> t.tokens[i:i+len(q.p)-1] = q.p)) > 0
+),
+qterms AS (SELECT query_id, unnest(list_distinct(p)) AS term FROM q),
+scored AS (
+  SELECT m.query_id, m.doc_id, sum({_BM25_TERM_EXPR}) AS raw_score
+  FROM matched m
+  JOIN qterms qt ON qt.query_id = m.query_id
+  JOIN tf ON tf.doc_id = m.doc_id AND tf.term = qt.term
+  JOIN dfreq ON dfreq.term = qt.term
+  JOIN doclen ON doclen.doc_id = m.doc_id
+  CROSS JOIN stats
+  GROUP BY m.query_id, m.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
+def _near_filtered_sql(qs, k: int = 10) -> str:
+    """Twin for proximity x attribute filter: the bm25_near_topk
+    anchor-window predicate with a per-query allowed-doc semi-join."""
+    qv = ", ".join(
+        f"({qid}, {terms!r}::VARCHAR[], {w})" for qid, terms, w, _ in qs
+    )
+    allow = _allow_clause([(qid, fs) for qid, _, _, fs in qs])
+    return f"""
+{_SQL_BASE},
+q(query_id, terms, w) AS (VALUES {qv}),
+allow AS (
+{allow}
+),
+matched AS (
+  SELECT q.query_id, t.doc_id
+  FROM toks t CROSS JOIN q
+  JOIN allow a ON a.query_id = q.query_id AND a.doc_id = t.doc_id
   WHERE len(list_filter(range(1, len(t.tokens) + 1),
         i -> t.tokens[i] = q.terms[1]
              AND len(list_filter(range(2, len(q.terms) + 1), kk ->
@@ -3463,6 +3772,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "bm25_phrase_filtered_topk",
+    "bm25_near_filtered_topk",
+    "bm25_phrase_deleted_topk",
+    "bm25_quant_deleted_topk",
     "qld_topk_pruned",
     "pl2_topk_pruned",
     "dph_topk_pruned",
@@ -3695,6 +4008,10 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_or_wand": lambda spark, sf: _bm25_wand(spark, sf, _OR_QUERIES, False),
         "bm25_topk_and_wand": lambda spark, sf: _bm25_wand(spark, sf, _AND_QUERIES, True),
         # --- alternative scorers (QLD / PL2 / DPH) off the same relation ---
+        "bm25_phrase_filtered_topk": _bm25_phrase_filtered,
+        "bm25_near_filtered_topk": _bm25_near_filtered,
+        "bm25_phrase_deleted_topk": _bm25_phrase_deleted,
+        "bm25_quant_deleted_topk": _bm25_quant_deleted,
         "qld_topk_pruned": lambda spark, sf: _scored_pruned_df(
             spark, sf, _OR_QUERIES, "qld"
         ),
@@ -4256,6 +4573,14 @@ SELECT query_id, facet, value, n FROM (
         "bm25_top100_or": _bm25_sql(_OR_QUERIES, conjunctive=False, k=100),
         "bm25_topk_or_wand": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_wand": _bm25_sql(_AND_QUERIES, conjunctive=True),
+        "bm25_phrase_filtered_topk": _phrase_filtered_sql(
+            _PHRASE_FILTER_QUERIES
+        ),
+        "bm25_near_filtered_topk": _near_filtered_sql(_NEAR_FILTER_QUERIES),
+        "bm25_phrase_deleted_topk": _phrase_deleted_sql(_PHRASES),
+        "bm25_quant_deleted_topk": _bm25_quant_sql(
+            _OR_QUERIES, conjunctive=False, deleted=True
+        ),
         "qld_topk_pruned": _scored_sql(_OR_QUERIES, "qld", conjunctive=False),
         "pl2_topk_pruned": _scored_sql(_OR_QUERIES, "pl2", conjunctive=False),
         "dph_topk_pruned": _scored_sql(_OR_QUERIES, "dph", conjunctive=False),

@@ -311,9 +311,10 @@ class SearchEngine:
             .cache()
         )
         self._pre_arranged = True
-        # the quantized twin was derived from the base relation;
-        # rebuilding it would bake garbage impacts for the pseudo-term
-        # (search_quantized raises while deletes are active anyway)
+        # the quantized twin was derived from the base relation; drop
+        # it so the next search_quantized re-derives WITH the
+        # __deleted__ blocks (their impacts are garbage but unreachable
+        # — the kernel's exclusion decoder reads docs only)
         self._quant = None
 
     def _guard_no_deletes(self, what: str) -> None:
@@ -324,6 +325,17 @@ class SearchEngine:
                 " deleted docs (compaction) or use search()/"
                 "search_batch()/search_filtered()."
             )
+
+    def _exclude_deleted(self, queries: list[dict]) -> list[dict]:
+        """Tombstone exclusion for paths that bypass _normalize (the
+        positional/mixed routes build their own query dicts): adds the
+        __deleted__ pseudo-term to each query's negated list when
+        deletes are active — the kernels exclude it bucket-locally."""
+        if self._tombstone_ids is None:
+            return queries
+        from pisa_spark.index.deletes import exclude_deleted
+
+        return exclude_deleted(queries)
 
     def _normalize(self, queries) -> list[dict]:
         """Parse/shape queries for the term-kernel paths. Quoted
@@ -383,43 +395,46 @@ class SearchEngine:
                 raise ValueError(
                     "one quoted phrase per query is supported"
                 )
-            if q.get("filter"):
-                raise ValueError(
-                    "quoted phrases do not combine with attribute"
-                    " filters (the positional kernels carry no include"
-                    " intersection)"
-                )
-            if q.get("negated"):
-                raise ValueError(
-                    "negation does not combine with a quoted phrase"
-                )
             if q.get("conjunctive"):
                 raise ValueError(
                     "'+' does not combine with a quoted phrase — loose"
                     " terms beside a phrase boost, they never filter"
                 )
             # two_phase/algorithm are pruning hints for the term
-            # kernels; the mixed kernel has its own candidate gating
+            # kernels; the mixed kernel has its own candidate gating.
+            # Attribute filters, '-term' negation and tombstone deletes
+            # all COMPOSE: the positional kernels gate the candidate
+            # set bucket-locally (query/bm25.py phrase_kernel) exactly
+            # like the term kernels.
             if "poss" not in self.postings.columns:
                 raise ValueError(
                     "phrase syntax needs a positional index — build"
                     " with with_positions=True"
                 )
-            self._guard_no_deletes("phrase search")
             from pisa_spark.query.bm25 import bm25_mixed_topk
 
             phrase = q["phrases"][0]
+            mq = {
+                "query_id": q.get("query_id", 0),
+                "terms": phrase,
+                "extra_terms": q["terms"],
+            }
+            if q.get("negated"):
+                mq["negated"] = list(q["negated"])
+            if q.get("filter"):
+                mq["filter"] = list(q["filter"])
+            mqs = self._exclude_deleted([mq])
             return bm25_mixed_topk(
                 self.postings,
-                [{
-                    "query_id": q.get("query_id", 0),
-                    "terms": phrase,
-                    "extra_terms": q["terms"],
-                }],
+                mqs,
                 self.stats["n_docs"],
                 self.stats["avgdl"],
                 k=k,
-                term_dfs=self._term_dfs(set(phrase) | set(q["terms"])),
+                term_dfs=self._term_dfs(
+                    set(phrase)
+                    | set(q["terms"])
+                    | set(mqs[0].get("negated", []))
+                ),
                 pre_arranged=self._pre_arranged,
             )
         return self.search_batch(
@@ -625,17 +640,12 @@ class SearchEngine:
         DPH are not corner-monotone and always decode their kept
         terms fully — same dataflow, no block skipping. per-term df/cf
         are cached per engine generation; total_cf comes from the
-        stored corpus stats."""
-        self._guard_no_deletes("search_scored")
+        stored corpus stats. '-term' negation, attribute filters and
+        tombstone deletes compose (bucket-local exclusion/inclusion,
+        the WAND kernel's machinery)."""
         from pisa_spark.query.scored_kernel import scored_topk_pruned
 
         normalized = self._normalize(queries)
-        if any(q.get("negated") or q.get("filter") for q in normalized):
-            raise ValueError(
-                "search_scored has no exclusion/filter path; use"
-                " search()/search_filtered for '-term' or attribute"
-                " filters"
-            )
         all_terms = sorted({t for q in normalized for t in q["terms"]})
         return scored_topk_pruned(
             self.postings,
@@ -731,8 +741,10 @@ class SearchEngine:
 
     def search_phrase(self, phrase: str, k: int = 10) -> DataFrame:
         """Exact consecutive-token phrase top-k. Requires a positional
-        index (build with with_positions=True)."""
-        self._guard_no_deletes("search_phrase")
+        index (build with with_positions=True). Tombstone deletes
+        compose (the __deleted__ exclusion is candidate-gated in the
+        phrase kernel); for attribute filters or negation beside a
+        phrase use search('\"…\" …') / search_filtered."""
         if "poss" not in self.postings.columns:
             raise ValueError(
                 "phrase search needs a positional index — build with"
@@ -741,9 +753,10 @@ class SearchEngine:
         from pisa_spark.query.bm25 import bm25_phrase_topk
 
         terms = parse_query(phrase)["terms"]
+        qs = self._exclude_deleted([{"query_id": 0, "terms": terms}])
         return bm25_phrase_topk(
             self.postings,
-            [{"query_id": 0, "terms": terms}],
+            qs,
             self.stats["n_docs"],
             self.stats["avgdl"],
             k=k,
@@ -759,9 +772,11 @@ class SearchEngine:
         (anchor semantics, any order). ordered=True switches to
         Lucene-style ORDERED slop: terms must appear in query order
         with total span <= window. Requires a positional index.
-        '-term' and quoted phrases don't compose with proximity and
-        are rejected explicitly (never silently ignored)."""
-        self._guard_no_deletes("search_near")
+        '-term' negation, attribute filters (a dict query's 'filter'
+        groups) and tombstone deletes all compose — candidate-gated in
+        the positional kernel, bucket-local. Quoted phrases inside a
+        proximity query stay rejected (two positional constraints in
+        one query are ambiguous)."""
         if "poss" not in self.postings.columns:
             raise ValueError(
                 "proximity search needs a positional index — build with"
@@ -770,15 +785,20 @@ class SearchEngine:
         from pisa_spark.query.bm25 import bm25_near_topk
 
         q = parse_query(query) if isinstance(query, str) else dict(query)
-        if q.get("negated") or q.get("phrases"):
+        if q.get("phrases"):
             raise ValueError(
-                "negation / quoted phrases do not combine with"
-                " proximity search"
+                "quoted phrases do not combine with proximity search"
             )
         terms = list(q["terms"])
+        nq = {"query_id": 0, "terms": terms}
+        if q.get("negated"):
+            nq["negated"] = list(q["negated"])
+        if q.get("filter"):
+            nq["filter"] = list(q["filter"])
+        nqs = self._exclude_deleted([nq])
         return bm25_near_topk(
             self.postings,
-            [{"query_id": 0, "terms": terms}],
+            nqs,
             self.stats["n_docs"],
             self.stats["avgdl"],
             k=k,
@@ -1028,12 +1048,15 @@ class SearchEngine:
         structure preserved) — then cached for the engine's lifetime.
 
         Accepts one query or a list (strings or dicts); OR and '+'
-        conjunctive syntax. Quoted phrases and '-term' negation raise:
-        the quantized kernel carries no positions and no exclusion
-        path — route those to search()/search_batch(). Scores are
-        score_q = sum(impact * idf_q) (LongType), monotone in BM25 up
-        to the documented quantization error."""
-        self._guard_no_deletes("search_quantized")
+        conjunctive syntax; '-term' negation, attribute filters and
+        tombstone deletes compose (docs-only bucket-local exclusion/
+        inclusion in the integer kernel — pseudo-term impacts are never
+        read, so the garbage impacts a requantized tombstone block
+        carries are unreachable). Quoted phrases raise: the quantized
+        kernel carries no positions — route those to search()/
+        search_phrase. Scores are score_q = sum(impact * idf_q)
+        (LongType), monotone in BM25 up to the documented quantization
+        error."""
         from pisa_spark.index.quantized import quantized_topk
 
         if not isinstance(queries, list):
@@ -1047,11 +1070,6 @@ class SearchEngine:
                 raise ValueError(
                     "search_quantized carries no positions; use"
                     " search()/search_phrase for quoted phrases"
-                )
-            if q.get("negated"):
-                raise ValueError(
-                    "search_quantized has no exclusion path; use"
-                    " search()/search_batch for '-term' negation"
                 )
         parsed = self._normalize(raw)
         terms = {t for q in parsed for t in q["terms"]}
@@ -1108,9 +1126,10 @@ class SearchEngine:
         filters: {"col": value} for equality, {"col": (lo, hi)} for an
         inclusive numeric range (precision-step decomposition — O(log
         range) dictionary terms, exact bounds), or a ready pseudo-term
-        list. Composes with '+' (conjunctive) and '-term' (negation);
-        quoted phrases route through the positional kernels, which
-        don't carry the include intersection, and raise."""
+        list. Composes with '+' (conjunctive), '-term' (negation) AND
+        quoted phrases — '"data join" lang:en' routes through the
+        positional kernel with the include intersection candidate-gated
+        (query/bm25.py phrase_kernel)."""
         from pisa_spark.index.numeric import range_terms
 
         fterms: list = []
@@ -1137,10 +1156,6 @@ class SearchEngine:
         if not fterms:
             raise ValueError("no filters given — use search() instead")
         q = parse_query(query) if isinstance(query, str) else dict(query)
-        if q.get("phrases"):
-            raise ValueError(
-                "quoted phrases do not combine with attribute filters"
-            )
         # indexed-column probes: equality attrs by '<col>:' prefix,
         # range cols by the '<col>#0:' precision-0 prefix
         probes = {
@@ -1165,6 +1180,12 @@ class SearchEngine:
                     f" {probes[prefix]}=[..., {col!r}, ...]"
                 )
             cache.add(prefix)
+        if q.get("phrases"):
+            # phrase + filter: the positional kernels carry the include
+            # intersection — route through search()'s mixed path (the
+            # deletes exclusion and one-phrase rule live there)
+            q["filter"] = list(q.get("filter", [])) + fterms
+            return self.search(q, k=k, two_phase=two_phase)
         norm = self._normalize([q])[0]
         # a dict query may carry its own filter spec too — concatenate
         # groups (AND semantics make duplicates harmless)
@@ -1199,22 +1220,16 @@ class SearchEngine:
         semantics) and raise."""
         import re
 
-        self._guard_no_deletes("search_wildcard")
         from pisa_spark.query.fuzzy import wildcard_topk
 
         toks = query.split()
         wild_raw = [t for t in toks if t.endswith("*")]
         rest = " ".join(t for t in toks if not t.endswith("*"))
         parsed = parse_query(rest) if rest.strip() else {"terms": []}
-        if (
-            parsed.get("conjunctive")
-            or parsed.get("negated")
-            or parsed.get("phrases")
-            or '"' in query
-        ):
+        if parsed.get("conjunctive") or parsed.get("phrases") or '"' in query:
             raise ValueError(
                 "wildcard queries are disjunctive expansion only —"
-                " '+', '-' and quoted phrases do not combine with '*'"
+                " '+' and quoted phrases do not combine with '*'"
             )
         wilds = []
         for w in wild_raw:
@@ -1229,13 +1244,14 @@ class SearchEngine:
             raise ValueError(
                 "no '*' pattern in query — use search() for plain terms"
             )
+        wq = {"query_id": 0, "terms": parsed["terms"], "wildcards": wilds}
+        if parsed.get("negated"):
+            # '-term' composes: doc-level exclusion is independent of
+            # the prefix expansion (tombstone deletes ride it too)
+            wq["negated"] = list(parsed["negated"])
         return wildcard_topk(
             self.postings,
-            [{
-                "query_id": 0,
-                "terms": parsed["terms"],
-                "wildcards": wilds,
-            }],
+            self._exclude_deleted([wq]),
             self.stats["n_docs"],
             self.stats["avgdl"],
             k=k,

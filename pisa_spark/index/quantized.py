@@ -289,6 +289,13 @@ def _decode_quant_blocks(g: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return docs, imps
 
 
+def _quant_block_docs(g: pd.DataFrame) -> np.ndarray:
+    """Sorted unique doc ids of a term's quantized blocks — the
+    docs-only decoder the exclusion/inclusion sets use (impacts never
+    touched: negated/filter pseudo-terms are never scored)."""
+    return np.unique(_decode_quant_blocks(g)[0])
+
+
 def _quant_keep_masks(
     present: list[str],
     conjunctive: bool,
@@ -361,6 +368,12 @@ def quantized_kernel(
     thresholds = thresholds or {}
 
     def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pisa_spark.query.bm25 import (
+            _bucket_exclusion,
+            _bucket_inclusion,
+            _in_sorted,
+        )
+
         chunks = [pdf for pdf in pdf_iter if not pdf.empty]
         if not chunks:
             return
@@ -368,6 +381,7 @@ def quantized_kernel(
         out = {"query_id": [], "doc_id": [], "score_q": []}
         for _, bucket_blocks in all_blocks.groupby("bucket", sort=False):
             by_term = dict(tuple(bucket_blocks.groupby("term", sort=False)))
+            fx_cache: dict[str, np.ndarray] = {}
             plans = []
             for q in queries:
                 terms = list(dict.fromkeys(q["terms"]))
@@ -426,6 +440,31 @@ def quantized_kernel(
                     uniq, scores = uniq[keep], scores[keep]
                     if uniq.size == 0:
                         continue
+                # '-term' exclusion (incl. the deletes layer's
+                # __deleted__ pseudo-term) and attribute-filter
+                # inclusion, bucket-local and BEFORE the trim — the
+                # WAND kernel's machinery with the quantized docs-only
+                # decoder (impacts never read for pseudo-terms)
+                include = _bucket_inclusion(
+                    by_term, q.get("filter", []), fx_cache,
+                    decode_docs=_quant_block_docs,
+                )
+                if include is not None:
+                    alive = (
+                        _in_sorted(include, uniq)
+                        if include.size
+                        else np.zeros(uniq.size, bool)
+                    )
+                    uniq, scores = uniq[alive], scores[alive]
+                exclude = _bucket_exclusion(
+                    by_term, q.get("negated", []), fx_cache,
+                    decode_docs=_quant_block_docs,
+                )
+                if exclude is not None and exclude.size and uniq.size:
+                    alive = ~_in_sorted(exclude, uniq)
+                    uniq, scores = uniq[alive], scores[alive]
+                if uniq.size == 0:
+                    continue
                 # tie-safe bucket-local trim (keep every doc scoring
                 # >= the k-th largest); the global window applies the
                 # (score_q DESC, doc_id ASC) order — same contract as
@@ -484,19 +523,18 @@ def quantized_topk(
     twice); phase 2 prunes blocks with the EXACT integer block-max
     bounds (_quant_keep_masks — no epsilon slack). A threshold is only
     applied once a query has a full k phase-1 rows."""
-    from pisa_spark.query.bm25 import _arrange_pruned
+    from pisa_spark.query.bm25 import _arrange_pruned, _flat_filters
 
-    for q in queries:
-        if q.get("negated") or q.get("filter"):
-            # the integer kernel carries no exclusion/inclusion sets —
-            # refusing beats silently returning unfiltered results
-            raise ValueError(
-                "quantized_topk does not support negation or attribute"
-                " filters; route those queries to bm25_topk_wand"
-            )
     all_terms = sorted({t for q in queries for t in q["terms"]})
+    # negated / filter pseudo-terms ride the same pruned scan (their
+    # quantized impacts are never read — docs-only exclusion/inclusion)
+    aux_terms = sorted(
+        {t for q in queries for t in q.get("negated", [])}
+        | {t for q in queries for t in _flat_filters(q)}
+    )
     arranged, term_dfs = _arrange_pruned(
-        postings, all_terms, term_dfs, pre_arranged
+        postings, sorted(set(all_terms) | set(aux_terms)), term_dfs,
+        pre_arranged,
     )
     # only the query's terms — a caller may hand the full-vocabulary df
     # dict (e.g. the bench shares one with the exact index)

@@ -326,24 +326,34 @@ _EMPTY_TOPK_FRAME = {
 }
 
 
+def _exact_block_docs(g: pd.DataFrame) -> np.ndarray:
+    """Sorted unique doc ids of a term's exact-index blocks — the
+    default docs-only decoder for exclusion/inclusion sets."""
+    docs, _, _ = _decode_blocks_vectorized(g)
+    return np.unique(docs)
+
+
 def _bucket_exclusion(
     by_term: dict,
     negated: list[str],
     cache: dict,
+    decode_docs=_exact_block_docs,
 ) -> np.ndarray | None:
     """Sorted doc ids of this bucket matching any negated term.
 
     The doc-range layout makes NOT local: a negated term's postings for
     this bucket's doc range live in this bucket, so exclusion needs no
     cross-bucket state. Per-term decodes are cached across the batch's
-    queries (docs only — negated terms are never scored)."""
+    queries (docs only — negated terms are never scored).
+    decode_docs: layout-specific docs-only decoder (the quantized
+    kernel passes its own — payload columns differ, the docs column
+    does not)."""
     parts = []
     for t in negated:
         if t not in by_term:
             continue
         if t not in cache:
-            docs, _, _ = _decode_blocks_vectorized(by_term[t])
-            cache[t] = np.unique(docs)
+            cache[t] = decode_docs(by_term[t])
         parts.append(cache[t])
     if not parts:
         return None
@@ -363,6 +373,7 @@ def _bucket_inclusion(
     by_term: dict,
     filters: list,
     cache: dict,
+    decode_docs=_exact_block_docs,
 ) -> np.ndarray | None:
     """Sorted doc ids of this bucket satisfying the filter spec, or
     None when the query carries no filters.
@@ -383,8 +394,7 @@ def _bucket_inclusion(
 
     def term_docs(t: str) -> np.ndarray:
         if t not in cache:
-            docs, _, _ = _decode_blocks_vectorized(by_term[t])
-            cache[t] = np.unique(docs)
+            cache[t] = decode_docs(by_term[t])
         return cache[t]
 
     inter: np.ndarray | None = None
@@ -1109,6 +1119,15 @@ def phrase_kernel(
     verified via the slot-shifted occurrence-key intersection and are
     scored with the standard BM25 sum over the phrase's DISTINCT
     terms; bucket-local top-k out.
+
+    Attribute filters / negation / tombstone deletes compose: each
+    query's include set (_bucket_inclusion — filter pseudo-term
+    postings, OR within a group, AND across) and exclude set
+    (_bucket_exclusion — negated terms, incl. the __deleted__
+    pseudo-term the deletes layer injects) intersect the CANDIDATE set
+    BEFORE position verification, so filtered-out docs never pay the
+    occurrence-key work; both are bucket-local by the doc-range layout,
+    exactly as in the term kernels.
     """
 
     def kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1119,11 +1138,20 @@ def phrase_kernel(
         out_frames = []
         for _, bucket_blocks in all_blocks.groupby("bucket", sort=False):
             by_term = dict(tuple(bucket_blocks.groupby("term", sort=False)))
+            fx_cache: dict[str, np.ndarray] = {}
             for q in phrases:
                 tokens = list(q["terms"])
                 distinct = list(dict.fromkeys(tokens))
                 if not tokens or any(t not in by_term for t in distinct):
                     continue
+                include = _bucket_inclusion(
+                    by_term, q.get("filter", []), fx_cache
+                )
+                if include is not None and include.size == 0:
+                    continue
+                exclude = _bucket_exclusion(
+                    by_term, q.get("negated", []), fx_cache
+                )
                 decoded: dict[str, tuple] = {}
                 cand: np.ndarray | None = None
                 for t in sorted(distinct, key=lambda u: term_dfs[u]):
@@ -1154,6 +1182,15 @@ def phrase_kernel(
                     if cand.size == 0:
                         break
                 if cand is None or cand.size == 0:
+                    continue
+                # filters/negation gate candidates BEFORE the position
+                # verify — sorted-set ops keep cand sorted for the
+                # verifiers' searchsorted indexing
+                if include is not None:
+                    cand = cand[_in_sorted(include, cand)]
+                if exclude is not None and exclude.size:
+                    cand = cand[~_in_sorted(exclude, cand)]
+                if cand.size == 0:
                     continue
                 occs = {
                     t: (decoded[t][0], decoded[t][1], decoded[t][3])
@@ -1244,8 +1281,14 @@ def bm25_phrase_topk(
     build): docs containing the consecutive token sequence, ranked by
     the BM25 score of the phrase's distinct terms, ties
     (score DESC, doc_id ASC). Same plan shape as bm25_topk_wand:
-    term-pruned scan -> per-bucket kernel -> k-row top-k merge."""
-    all_terms = sorted({t for q in phrases for t in q["terms"]})
+    term-pruned scan -> per-bucket kernel -> k-row top-k merge.
+    Attribute filters / '-term' negation / tombstone deletes compose
+    (candidate-gated in the kernel, bucket-local)."""
+    all_terms = sorted(
+        {t for q in phrases for t in q["terms"]}
+        | {t for q in phrases for t in q.get("negated", [])}
+        | {t for q in phrases for t in _flat_filters(q)}
+    )
     arranged, term_dfs = _arrange_pruned(
         postings, all_terms, term_dfs, pre_arranged
     )
@@ -1270,10 +1313,13 @@ def bm25_mixed_topk(
     phrase's distinct terms PLUS the loose ``extra_terms`` (optional —
     they boost but never filter, decoding candidate-gated via block
     ranges). queries: [{query_id, terms: [phrase tokens],
-    extra_terms: [...]}]."""
+    extra_terms: [...]}]. Filters / negation / deletes compose like
+    bm25_phrase_topk."""
     all_terms = sorted(
         {t for q in queries for t in q["terms"]}
         | {t for q in queries for t in q.get("extra_terms", [])}
+        | {t for q in queries for t in q.get("negated", [])}
+        | {t for q in queries for t in _flat_filters(q)}
     )
     arranged, term_dfs = _arrange_pruned(
         postings, all_terms, term_dfs, pre_arranged
@@ -1316,7 +1362,11 @@ def bm25_near_topk(
         )
         for q in queries
     ]
-    all_terms = sorted({t for q in qs for t in q["terms"]})
+    all_terms = sorted(
+        {t for q in qs for t in q["terms"]}
+        | {t for q in qs for t in q.get("negated", [])}
+        | {t for q in qs for t in _flat_filters(q)}
+    )
     arranged, term_dfs = _arrange_pruned(
         postings, all_terms, term_dfs, pre_arranged
     )

@@ -166,8 +166,14 @@ def expand_wildcards(
     for p in prefixes:
         c = F.col("term").startswith(p)
         cond = c if cond is None else cond | c
-    vocab = postings.filter(cond).groupBy("term").agg(
-        F.sum("n").alias("df")
+    # attribute/numeric filter pseudo-terms share the postings relation
+    # ('lang:en' — build.attribute_tokens_col); a pattern like 'lang*'
+    # must never expand into them, so the collision-free ':' separator
+    # is excluded right in the pushed scan filter
+    vocab = (
+        postings.filter(cond & ~F.col("term").contains(":"))
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"))
     )
     prefixes_df = postings.sparkSession.createDataFrame(
         [(p,) for p in prefixes], "prefix string"
@@ -197,14 +203,17 @@ def wildcard_topk(
     DISJUNCTION over literals + expansions through the block-max WAND
     path — every matched term scores with its OWN df (no df pooling
     across the expansion), each term scores once even when a literal
-    also matches a pattern. Conjunctive/negated syntax does not
-    combine with wildcards here (ambiguous: must EVERY expansion
-    match?) and raises."""
+    also matches a pattern. Conjunctive syntax does not combine with
+    wildcards here (ambiguous: must EVERY expansion match?) and
+    raises; '-term' negation and attribute filters compose (doc-level
+    exclusion/inclusion is expansion-independent — the WAND kernel
+    applies both bucket-locally, and the deletes layer's __deleted__
+    pseudo-term rides the same path)."""
     from pisa_spark.query.bm25 import bm25_topk_wand
 
     pats: list[str] = []
     for q in queries:
-        if q.get("conjunctive") or q.get("negated"):
+        if q.get("conjunctive"):
             raise ValueError(
                 "wildcard queries are disjunctive expansion only"
             )
@@ -232,6 +241,8 @@ def wildcard_topk(
             # attribute filters compose: the WAND kernel intersects
             # them bucket-locally after the expansion disjunction
             exp["filter"] = list(q["filter"])
+        if q.get("negated"):
+            exp["negated"] = list(q["negated"])
         expanded.append(exp)
     live = [q for q in expanded if q["terms"]]
     if not live:

@@ -50,8 +50,11 @@ from pyspark.sql import functions as F
 from pisa_spark.query.bm25 import (
     _accumulate_topk,
     _bm25_np,
+    _bucket_exclusion,
+    _bucket_inclusion,
     _decode_blocks_vectorized,
     _EMPTY_TOPK_FRAME,
+    _flat_filters,
     _two_phase_topk,
 )
 from pisa_spark.query.scorers import dph_np, pl2_np, qld_np
@@ -197,6 +200,7 @@ def scored_kernel(
         out_frames = []
         for _, bucket_blocks in all_blocks.groupby("bucket", sort=False):
             by_term = dict(tuple(bucket_blocks.groupby("term", sort=False)))
+            fx_cache: dict[str, np.ndarray] = {}
             needed = [
                 t
                 for t in dict.fromkeys(t for q in queries for t in q["terms"])
@@ -243,7 +247,13 @@ def scored_kernel(
                     doc_parts.append(docs)
                     score_parts.append(scores)
                 docs, scores = _accumulate_topk(
-                    doc_parts, score_parts, len(terms), q["conjunctive"], k
+                    doc_parts, score_parts, len(terms), q["conjunctive"], k,
+                    exclude=_bucket_exclusion(
+                        by_term, q.get("negated", []), fx_cache
+                    ),
+                    include=_bucket_inclusion(
+                        by_term, q.get("filter", []), fx_cache
+                    ),
                 )
                 if docs.size:
                     out_frames.append(
@@ -307,8 +317,11 @@ def scored_topk_pruned(
 ) -> DataFrame:
     """Top-k under any registered scorer served off the compressed
     index through the bucket-local kernel: (query_id, rank, doc_id,
-    score). queries: [{query_id, terms, conjunctive}] (negation /
-    attribute filters are the WAND kernel's job — refused here).
+    score). queries: [{query_id, terms, conjunctive, negated?,
+    filter?}] — '-term' exclusion (incl. the deletes layer's
+    __deleted__ pseudo-term) and attribute-filter inclusion compose,
+    applied bucket-locally before the top-k trim exactly as in the
+    WAND kernel.
 
     Plan shape == bm25_topk_wand: term-pruned scan (PushedFilters) ->
     one bucket repartition (elided when pre_arranged) -> per-bucket
@@ -316,16 +329,17 @@ def scored_topk_pruned(
     n_buckets*|queries|*k rows. two_phase bootstraps per-query
     thresholds from ``sample_buckets`` exactly like the BM25 driver —
     thresholds only prune where the scorer has sound block bounds
-    (bm25/qld); pl2/dph run exhaustively with the same dataflow."""
+    (bm25/qld); pl2/dph run exhaustively with the same dataflow.
+    Exclusion keeps pruning sound: dropping docs only lowers scores,
+    and a skipped block's docs provably sat below the threshold
+    already."""
     from pisa_spark.query.bm25 import _arrange_pruned
 
-    for q in queries:
-        if q.get("negated") or q.get("filter"):
-            raise ValueError(
-                "scored_topk_pruned carries no exclusion/inclusion sets;"
-                " route '-term'/filtered queries to bm25_topk_wand"
-            )
-    all_terms = sorted({t for q in queries for t in q["terms"]})
+    all_terms = sorted(
+        {t for q in queries for t in q["terms"]}
+        | {t for q in queries for t in q.get("negated", [])}
+        | {t for q in queries for t in _flat_filters(q)}
+    )
     arranged, _ = _arrange_pruned(postings, all_terms, {}, pre_arranged)
     if term_stats is None:
         term_stats = term_stats_from_blocks(postings, all_terms)

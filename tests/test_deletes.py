@@ -81,16 +81,48 @@ def test_persisted_deletes_survive_reload(spark, sf_dir, tmp_path):
     assert not set(victims) & got2
 
 
-def test_guarded_facades_refuse(eng):
-    eng.delete_docs([1, 2], persist=False)
-    for call in (
-        lambda: eng.search_scored("data join", scorer="qld"),
-        lambda: eng.explain("data join"),
-        lambda: eng.search_quantized(["data join"]),
-        lambda: eng.search_wildcard("dat*"),
-    ):
-        with pytest.raises(ValueError, match="tombstone"):
-            call()
+def test_deletes_compose_with_lifted_facades(eng):
+    """search_scored / search_quantized / search_wildcard now exclude
+    tombstoned docs (the __deleted__ pseudo-term rides their kernels'
+    exclusion sets); surviving docs keep their exact scores. explain
+    stays guarded (audit tool — no exclusion path by design)."""
+    before_s = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in eng.search_scored("data join", scorer="qld", k=50).collect()
+    }
+    before_q = {
+        r["doc_id"]: r["score_q"]
+        for r in eng.search_quantized(["data join"], k=50).collect()
+    }
+    before_w = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in eng.search_wildcard("dat*", k=50).collect()
+    }
+    victims = sorted(before_s)[:2]
+    eng.delete_docs(victims, persist=False)
+
+    def check(before, after):
+        # victims gone; every surviving pre-delete doc still present
+        # (freed slots admit NEW docs at the tail — that's correct);
+        # docs in both keep their exact scores (stale-stats contract)
+        assert not set(victims) & set(after)
+        assert set(before) - set(victims) <= set(after)
+        assert all(after[d] == before[d] for d in after if d in before)
+
+    check(before_s, {
+        r["doc_id"]: round(r["score"], 9)
+        for r in eng.search_scored("data join", scorer="qld", k=50).collect()
+    })
+    check(before_q, {
+        r["doc_id"]: r["score_q"]
+        for r in eng.search_quantized(["data join"], k=50).collect()
+    })
+    check(before_w, {
+        r["doc_id"]: round(r["score"], 9)
+        for r in eng.search_wildcard("dat*", k=50).collect()
+    })
+    with pytest.raises(ValueError, match="tombstone"):
+        eng.explain("data join")
 
 
 def test_positional_index_deletes(spark, sf_dir, tmp_path):
@@ -102,8 +134,28 @@ def test_positional_index_deletes(spark, sf_dir, tmp_path):
     eng.delete_docs(victims, persist=False)
     got = {r["doc_id"] for r in eng.search("data", k=10).collect()}
     assert not set(victims) & got
-    with pytest.raises(ValueError, match="tombstone"):
-        eng.search_phrase("order fast")
+    # phrase / proximity / mixed compose with deletes: the __deleted__
+    # pseudo-term gates the candidate set in the positional kernel
+    ph_before = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in eng.search_phrase("order fast", k=50).collect()
+    }
+    ph_victims = sorted(ph_before)[:1]
+    eng.delete_docs(ph_victims, persist=False)
+    ph_after = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in eng.search_phrase("order fast", k=50).collect()
+    }
+    assert set(ph_after) == set(ph_before) - set(ph_victims)
+    assert all(ph_after[d] == ph_before[d] for d in ph_after)
+    nr = eng.search_near("order data", window=8, k=50).collect()
+    assert not (set(victims) | set(ph_victims)) & {
+        r["doc_id"] for r in nr
+    }
+    mx = eng.search('"order fast" data', k=50).collect()
+    assert not (set(victims) | set(ph_victims)) & {
+        r["doc_id"] for r in mx
+    }
 
 
 def test_in_memory_engine_needs_span(spark, sf_dir):

@@ -161,10 +161,12 @@ def test_facade_filtered_and_resumable_attrs(spark, sf_dir, tmp_path_factory):
     base = eng.search("data join", k=500).toPandas().set_index("doc_id")
     for r in got.itertuples():
         assert r.score == base.loc[r.doc_id, "score"]
-    # unindexed attribute raises, phrase raises, empty filters raise
+    # unindexed attribute raises; a phrase on a non-positional index
+    # raises the positional requirement (phrase x filter itself now
+    # composes — tests/test_phrase_filtered.py); empty filters raise
     with pytest.raises(ValueError, match="not indexed"):
         eng.search_filtered("data", {"source": "web"})
-    with pytest.raises(ValueError, match="phrase"):
+    with pytest.raises(ValueError, match="positional"):
         eng.search_filtered('"data join"', {"lang": "en"})
     with pytest.raises(ValueError, match="no filters"):
         eng.search_filtered("data", {})
@@ -187,27 +189,52 @@ def test_wildcard_composes_with_filter(built, spark):
     # 'dat*' matches 'data'; every doc has it, so the filter decides
 
 
-def test_quantized_rejects_filters_and_negation(built, spark):
+def test_quantized_composes_filters_and_negation(built, spark):
+    """Filters and '-term' negation now compose with the integer
+    kernel: filtered/negated quantized top-k == unfiltered quantized
+    top-k restricted to the allowed docs, scores identical (the
+    inclusion/exclusion is doc-level and never touches impacts)."""
     from pisa_spark.index.quantized import (
         quantized_topk, requantize_postings,
     )
 
     postings, n_docs, avgdl = built
-    quant = requantize_postings(postings, avgdl)
-    for bad in ({"negated": ["x"]}, {"filter": ["lang:en"]}):
-        with pytest.raises(ValueError, match="quantized_topk"):
-            quantized_topk(
-                quant,
-                [dict({"query_id": 0, "terms": ["data"],
-                       "conjunctive": False}, **bad)],
-                n_docs,
-            )
+    quant = requantize_postings(postings, avgdl).cache()
+    base = {
+        r["doc_id"]: r["score_q"]
+        for r in quantized_topk(
+            quant,
+            [{"query_id": 0, "terms": ["data", "join"],
+              "conjunctive": False}],
+            n_docs, k=10,
+        ).collect()
+    }
+    filt = quantized_topk(
+        quant,
+        [{"query_id": 0, "terms": ["data", "join"],
+          "conjunctive": False, "filter": ["lang:en"]}],
+        n_docs, k=10,
+    ).collect()
+    en = _filtered_ids(lambda l, s: l == "en")
+    assert {r["doc_id"] for r in filt} == set(base) & en
+    assert all(r["score_q"] == base[r["doc_id"]] for r in filt)
+    negq = quantized_topk(
+        quant,
+        [{"query_id": 0, "terms": ["data", "join"],
+          "conjunctive": False, "negated": ["the"]}],
+        n_docs, k=10,
+    ).collect()
+    has_the = {d for d, txt, _, _ in DOCS if "the" in txt.split()}
+    assert {r["doc_id"] for r in negq} == set(base) - has_the
+    assert all(r["score_q"] == base[r["doc_id"]] for r in negq)
 
 
 def test_facade_filter_forwarding_and_guards(spark, sf_dir, tmp_path_factory):
     """Dict queries with 'filter' are forwarded by search()/search_batch
     and refused (never silently dropped) by paths without an include
-    intersection."""
+    intersection; paths that gained the intersection (search_scored,
+    search_quantized) restrict to the filtered docs with unchanged
+    scores."""
     from pisa_spark.engine import SearchEngine
 
     root = str(tmp_path_factory.mktemp("fwd"))
@@ -220,13 +247,31 @@ def test_facade_filter_forwarding_and_guards(spark, sf_dir, tmp_path_factory):
     assert via_search[["doc_id", "score"]].round(9).values.tolist() == \
         via_filtered[["doc_id", "score"]].round(9).values.tolist()
     for call in (
-        lambda: eng.search_scored([dict(q)]),
         lambda: eng.search_rm3(dict(q)),
         lambda: eng.search_synonyms(dict(q)),
-        lambda: eng.search_quantized(dict(q)),
     ):
         with pytest.raises(ValueError):
             call()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    en_ids = set(docs[docs.lang == "en"].doc_id)
+    base_s = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in eng.search_scored(
+            [{"terms": ["data", "join"]}], scorer="qld", k=500
+        ).collect()
+    }
+    got_s = eng.search_scored([dict(q)], scorer="qld", k=500).collect()
+    assert got_s and {r["doc_id"] for r in got_s} == set(base_s) & en_ids
+    assert all(round(r["score"], 9) == base_s[r["doc_id"]] for r in got_s)
+    base_q = {
+        r["doc_id"]: r["score_q"]
+        for r in eng.search_quantized(
+            {"terms": ["data", "join"]}, k=500
+        ).collect()
+    }
+    got_q = eng.search_quantized(dict(q), k=500).collect()
+    assert got_q and {r["doc_id"] for r in got_q} == set(base_q) & en_ids
+    assert all(r["score_q"] == base_q[r["doc_id"]] for r in got_q)
 
 
 def test_explain_sums_to_search_score(spark, sf_dir, tmp_path_factory):

@@ -259,8 +259,18 @@ def test_facade_search_quantized(spark, sf_dir, tmp_path_factory):
     assert as_tuples(got) == as_tuples(want)
     with _pytest.raises(ValueError, match="phrase"):
         eng.search_quantized('"data join" fast')
-    with _pytest.raises(ValueError, match="negation|exclusion"):
-        eng.search_quantized("data -spam")
+    # '-term' now composes through the docs-only exclusion path
+    neg = eng.search_quantized("data -join", k=50).collect()
+    base = {
+        r["doc_id"]: r["score_q"]
+        for r in eng.search_quantized("data", k=500).collect()
+    }
+    joined = {
+        r["doc_id"]
+        for r in eng.search_quantized("join", k=500).collect()
+    }
+    assert neg and {r["doc_id"] for r in neg} <= set(base) - joined
+    assert all(r["score_q"] == base[r["doc_id"]] for r in neg)
 
 
 def test_two_phase_pruning_is_exact(spark):

@@ -100,16 +100,31 @@ def test_term_stats_from_blocks_matches_relation(built):
     assert got["zz"] == (0, 0)
 
 
-def test_refuses_negation_and_filters(built):
-    postings, _, n_docs, avgdl, total_cf = built
-    for bad in ({"negated": ["x"]}, {"filter": ["lang:en"]}):
-        with pytest.raises(ValueError, match="scored_topk_pruned"):
-            scored_topk_pruned(
-                postings,
-                [dict({"query_id": 0, "terms": ["data"],
-                       "conjunctive": False}, **bad)],
-                n_docs, avgdl, total_cf, scorer="qld",
-            )
+def test_negation_composes(built):
+    """'-term' exclusion: negated scored top-k == unfiltered top-k
+    minus the docs containing the negated term, scores unchanged."""
+    postings, tf, n_docs, avgdl, total_cf = built
+    base = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in scored_topk_pruned(
+            postings,
+            [{"query_id": 0, "terms": ["data", "join"],
+              "conjunctive": False}],
+            n_docs, avgdl, total_cf, scorer="qld", k=1000,
+        ).collect()
+    }
+    negq = scored_topk_pruned(
+        postings,
+        [{"query_id": 0, "terms": ["data", "join"],
+          "conjunctive": False, "negated": ["the"]}],
+        n_docs, avgdl, total_cf, scorer="qld", k=1000,
+    ).collect()
+    has_the = {
+        r["doc_id"]
+        for r in tf.filter(F.col("term") == "the").select("doc_id").collect()
+    }
+    assert negq and {r["doc_id"] for r in negq} == set(base) - has_the
+    assert all(round(r["score"], 9) == base[r["doc_id"]] for r in negq)
 
 
 def test_facade_mixed_conjunctive_batch(spark, sf_dir, tmp_path_factory):

@@ -136,3 +136,36 @@ def test_facade_search_wildcard(spark, sf_dir, tmp_path_factory):
         eng.search_wildcard("da* +join")
     with pytest.raises(ValueError, match="no '\\*' pattern"):
         eng.search_wildcard("plain terms")
+
+
+def test_wildcard_negation_composes(built, spark):
+    """'-term' negation rides the WAND exclusion under the expansion
+    disjunction: same docs minus the negated term's docs, scores
+    unchanged."""
+    postings, n_docs, avgdl = built
+    base = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in wildcard_topk(
+            postings,
+            [{"query_id": 0, "terms": [], "wildcards": ["da*"]}],
+            n_docs, avgdl, k=100,
+        ).collect()
+    }
+    neg = wildcard_topk(
+        postings,
+        [{"query_id": 0, "terms": [], "wildcards": ["da*"],
+          "negated": ["join"]}],
+        n_docs, avgdl, k=100,
+    ).collect()
+    from pisa_spark.query.bm25 import bm25_topk_wand
+
+    joined = {
+        r["doc_id"]
+        for r in bm25_topk_wand(
+            postings,
+            [{"query_id": 0, "terms": ["join"], "conjunctive": False}],
+            n_docs, avgdl, k=1000,
+        ).collect()
+    }
+    assert {r["doc_id"] for r in neg} == set(base) - joined
+    assert all(round(r["score"], 9) == base[r["doc_id"]] for r in neg)
