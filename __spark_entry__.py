@@ -3049,6 +3049,111 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+def _bm25f_quant_df(
+    spark: SparkSession, sf_dir: str, qs, k: int = 10
+) -> DataFrame:
+    """Quantized BM25F off the combined-units table
+    (query/bm25f_quant.py): per-field weights/normalization baked into
+    uint32 pseudo-tf units at build, integer saturation + idf at serve
+    — exactly deterministic fielded ranking, two-phase thresholds
+    active so the gate also proves the saturated corner bounds."""
+    from pisa_spark.query.bm25f_quant import (
+        bm25f_quantized_topk,
+        build_bm25f_quantized,
+    )
+
+    key = ("bm25fq", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        toks = _tokens(spark, sf_dir)
+        row = toks.agg(F.count(F.lit(1)), F.max("doc_id")).collect()[0]
+        postings = build_bm25f_quantized(
+            toks.select("doc_id", "tokens"), n_buckets=16,
+            max_doc_id=int(row[1]),
+        ).cache()
+        _MEMO[key] = (postings, int(row[0]))
+    postings, n_docs = _MEMO[key]
+    queries = [
+        {"query_id": qid, "terms": terms, "conjunctive": False}
+        for qid, terms in qs
+    ]
+    return bm25f_quantized_topk(
+        postings, queries, n_docs, k=k, two_phase=True
+    )
+
+
+def _bm25f_quant_sql(qs, k: int = 10) -> str:
+    """Bit-exact integer twin of query/bm25f_quant.py: u_f =
+    floor(64.0*w*tf/(1-b+b*fl/avg_f)) with avg_f ONE exactly-rounded
+    division of exact integer sums; ptf_q = sum(u_f); sat =
+    floor(65536.0*ptf/(ptf+57.6)); score_q = sum(idf_q*sat). Integer
+    sums are order-free — no rounding on the compared score."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+),
+f AS (
+  SELECT doc_id, 'title' AS field, tokens[1:8] AS ftoks FROM toks
+  UNION ALL
+  SELECT doc_id, 'body' AS field, tokens[9:len(tokens)] AS ftoks FROM toks
+),
+fl AS (SELECT doc_id, field, len(ftoks) AS field_len FROM f),
+ftf AS (
+  SELECT doc_id, field, term, count(*) AS tf
+  FROM (SELECT doc_id, field, unnest(ftoks) AS term FROM f)
+  GROUP BY doc_id, field, term
+),
+avgfl AS (
+  SELECT CAST(sum(CASE WHEN field = 'title' THEN field_len ELSE 0 END)
+              AS DOUBLE) / count(DISTINCT doc_id) AS a_title,
+         CAST(sum(CASE WHEN field = 'body' THEN field_len ELSE 0 END)
+              AS DOUBLE) / count(DISTINCT doc_id) AS a_body
+  FROM fl
+),
+nd AS (SELECT count(*) AS n_docs FROM toks),
+units AS (
+  SELECT t.doc_id, t.term,
+         CAST(sum(CASE WHEN t.field = 'title'
+                  THEN floor(64.0 * 2.0 * t.tf
+                             / (1.0 - 0.5 + 0.5 * l.field_len
+                                / (SELECT a_title FROM avgfl)))
+                  ELSE floor(64.0 * 1.0 * t.tf
+                             / (1.0 - 0.4 + 0.4 * l.field_len
+                                / (SELECT a_body FROM avgfl)))
+             END) AS BIGINT) AS ptf_q
+  FROM ftf t
+  JOIN fl l ON l.doc_id = t.doc_id AND l.field = t.field
+  GROUP BY t.doc_id, t.term
+),
+dfq AS (SELECT term, count(*) AS df FROM units GROUP BY term),
+idfq AS (
+  SELECT term,
+         CAST(floor(ln(((SELECT n_docs FROM nd) - df + 0.5) / (df + 0.5))
+                    * 65536.0) AS BIGINT) AS idf_q
+  FROM dfq
+),
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+scored AS (
+  SELECT q.query_id, u.doc_id,
+         CAST(sum(i.idf_q
+                  * CAST(floor(65536.0 * u.ptf_q / (u.ptf_q + 57.6))
+                         AS BIGINT)) AS BIGINT) AS score_q
+  FROM units u
+  JOIN q USING (term)
+  JOIN idfq i USING (term)
+  GROUP BY q.query_id, u.doc_id
+)
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT query_id, doc_id, score_q,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _bm25_rm3_df(
     spark: SparkSession, sf_dir: str, qs, k: int = 10
 ) -> DataFrame:
@@ -3772,6 +3877,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "bm25f_topk_quant",
     "bm25_phrase_filtered_topk",
     "bm25_near_filtered_topk",
     "bm25_phrase_deleted_topk",
@@ -4008,6 +4114,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_or_wand": lambda spark, sf: _bm25_wand(spark, sf, _OR_QUERIES, False),
         "bm25_topk_and_wand": lambda spark, sf: _bm25_wand(spark, sf, _AND_QUERIES, True),
         # --- alternative scorers (QLD / PL2 / DPH) off the same relation ---
+        "bm25f_topk_quant": lambda spark, sf: _bm25f_quant_df(
+            spark, sf, _OR_QUERIES
+        ),
         "bm25_phrase_filtered_topk": _bm25_phrase_filtered,
         "bm25_near_filtered_topk": _bm25_near_filtered,
         "bm25_phrase_deleted_topk": _bm25_phrase_deleted,
@@ -4573,6 +4682,7 @@ SELECT query_id, facet, value, n FROM (
         "bm25_top100_or": _bm25_sql(_OR_QUERIES, conjunctive=False, k=100),
         "bm25_topk_or_wand": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_wand": _bm25_sql(_AND_QUERIES, conjunctive=True),
+        "bm25f_topk_quant": _bm25f_quant_sql(_OR_QUERIES),
         "bm25_phrase_filtered_topk": _phrase_filtered_sql(
             _PHRASE_FILTER_QUERIES
         ),

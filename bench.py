@@ -220,6 +220,31 @@ def main() -> None:
     ).collect()
     timings["q_batch64_quant"] = round(time.perf_counter() - t0, 4)
 
+    # quantized BM25F (fielded integer fast path, query/bm25f_quant.py):
+    # field weights/normalization baked into uint32 units at build,
+    # integer saturation + idf at serve
+    from pisa_spark.query.bm25f_quant import (
+        bm25f_quantized_topk,
+        build_bm25f_quantized,
+    )
+
+    t0 = time.perf_counter()
+    fq_postings = build_bm25f_quantized(
+        toks_q.select("doc_id", "tokens"), n_buckets=32,
+        max_doc_id=int(stats["n_docs"]),
+    ).repartition(n_part, "bucket").cache()
+    fq_postings.count()
+    timings["index_build_bm25f_quant"] = round(time.perf_counter() - t0, 4)
+    bm25f_quantized_topk(  # warm the plan shape (same rationale as WAND)
+        fq_postings, big_batch[:1], stats["n_docs"], k=10,
+        pre_arranged=True,
+    ).collect()
+    t0 = time.perf_counter()
+    bm25f_quantized_topk(
+        fq_postings, big_batch, stats["n_docs"], k=10, pre_arranged=True,
+    ).collect()
+    timings["q_batch64_bm25f_quant"] = round(time.perf_counter() - t0, 4)
+
     # alternative-scorer serving (QLD off the index): the bucket-local
     # pruned kernel path search_scored now uses (query/scored_kernel —
     # r4 verdict item #2); term (df, cf) stats precomputed like

@@ -101,13 +101,15 @@ def idf_quantized(df: int, n_docs: int) -> int:
 
 
 def _encode_quant_groups(
-    pdf_iter: Iterator[pd.DataFrame], block_size: int
+    pdf_iter: Iterator[pd.DataFrame], block_size: int, dtype=np.uint8
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: rows (bucket, term, doc_id, imp) sorted by
     (bucket, term, doc_id) within the partition -> one row per
-    <=block_size block; docs delta+varint, impacts raw uint8 (the
-    fixed-width payload is the point of quantizing). Carry-over of the
-    possibly-split tail group mirrors build._encode_groups."""
+    <=block_size block; docs delta+varint, impacts raw fixed-width
+    ints (uint8 for 8-bit BM25 impacts; the BM25F bridge passes uint32
+    pseudo-tf units) — the fixed-width payload is the point of
+    quantizing. Carry-over of the possibly-split tail group mirrors
+    build._encode_groups."""
     cols = [c.split()[0] for c in QUANT_SCHEMA.split(", ")]
 
     def emit(out: dict, g: pd.DataFrame) -> None:
@@ -129,7 +131,7 @@ def _encode_quant_groups(
             out["imp_max"].append(int(i.max()))
             out["imp_min"].append(int(i.min()))
             out["docs"].append(codec.delta_encode_docids(d))
-            out["imps"].append(i.astype(np.uint8).tobytes())
+            out["imps"].append(i.astype(dtype).tobytes())
 
     leftover: pd.DataFrame | None = None
     for pdf in pdf_iter:
