@@ -880,7 +880,6 @@ class SearchEngine:
         contract as query/feedback.py)."""
         import re as _re
 
-        self._guard_no_deletes("search_rm3")
         from pisa_spark.corpus import TOKEN_SPLIT_REGEX
         from pisa_spark.query.feedback import weighted_bm25_topk
         from pisa_spark.query.scorers import postings_to_tf
@@ -942,6 +941,10 @@ class SearchEngine:
             k=k,
             # df from pruned block metadata — never re-scan the decode
             df_df=pruned.groupBy("term").agg(F.sum("n").alias("df")),
+            # tombstone deletes: pass 1 already excludes them (WAND
+            # __deleted__ path), pass 2 anti-joins the id set so a
+            # deleted doc never occupies a rank slot
+            exclude_ids=self._tombstone_ids,
         )
 
     def search_synonyms(
@@ -980,13 +983,17 @@ class SearchEngine:
                 "search_synonyms does not support quoted phrases; use"
                 " search_phrase/search_mixed for exact phrases"
             )
-        q = self._normalize([raw])[0]
-        if q.get("conjunctive") or q.get("negated") or q.get("filter"):
+        # guard on the RAW query: _normalize injects the __deleted__
+        # pseudo-negation when tombstones are active, and that internal
+        # exclusion (served by the anti-join below) must not trip the
+        # user-facing refusal
+        if raw.get("conjunctive") or raw.get("negated") or raw.get("filter"):
             raise ValueError(
                 "search_synonyms is disjunctive expansion only; compose"
                 " with search()/search_batch for +/- operators or"
                 " search_filtered for attribute filters"
             )
+        q = self._normalize([raw])[0]
         terms = sorted(set(q["terms"]))
         qstems = {
             r["stem"]: r["term"]
@@ -1037,6 +1044,11 @@ class SearchEngine:
             self.stats["avgdl"],
             k=k,
             df_df=pruned.groupBy("term").agg(F.sum("n").alias("df")),
+            # tombstone deletes: the weighted pass scores the raw
+            # relation, so deleted ids anti-join out pre-window (this
+            # path previously had NO deletes handling — deleted docs
+            # could silently return)
+            exclude_ids=self._tombstone_ids,
         )
 
     def search_quantized(self, queries, k: int = 10) -> DataFrame:

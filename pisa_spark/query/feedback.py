@@ -144,10 +144,16 @@ def weighted_bm25_topk(
     avgdl: float,
     k: int = 10,
     df_df: DataFrame | None = None,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k under a weighted term query: score(d) = sum_t v(t) *
     bm25_t(d) over ``weighted_terms`` (query_id, term, v). The
-    scoring pass every expansion/reformulation front ends on."""
+    scoring pass every expansion/reformulation front ends on.
+
+    exclude_ids: optional (doc_id) relation dropped by anti-join
+    BEFORE the top-k window (the tombstone-deletes hook: an excluded
+    doc must not occupy a rank slot) — the id set is the deletes
+    table, small and broadcastable by contract."""
     scored = (
         _with_df(tf_df, df_df)
         .join(F.broadcast(weighted_terms), "term")
@@ -155,6 +161,12 @@ def weighted_bm25_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("pscore").alias("score"))
     )
+    if exclude_ids is not None:
+        scored = scored.join(
+            F.broadcast(exclude_ids.select("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
     return topk_window(scored.select("query_id", "doc_id", "score"), k)
 
 

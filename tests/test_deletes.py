@@ -1,10 +1,12 @@
 """Tombstone deletes (index/deletes.py + SearchEngine.delete_docs).
 
-Contracts: deleted docs vanish from every search_batch-served surface
-while SURVIVORS KEEP THEIR EXACT SCORES (Lucene stale-stats
-semantics); deletes accumulate; persisted deletes survive a fresh
-load(); kernels without a NOT path refuse to serve while deletes are
-active; composes with conjunctive/negation/positional indexes."""
+Contracts: deleted docs vanish from EVERY serving surface — term
+kernels, positional (phrase/near/mixed), quantized, scored, wildcard,
+and the weighted passes (RM3, synonyms) — while SURVIVORS KEEP THEIR
+EXACT SCORES (Lucene stale-stats semantics); deletes accumulate;
+persisted deletes survive a fresh load(); explain (audit tool) still
+refuses by design; composes with conjunctive/negation/positional
+indexes."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -231,3 +233,34 @@ def test_compact_closes_stale_stats_window(spark, sf_dir, tmp_path):
     # a reload sees no deletes either
     again = SearchEngine.load(spark, root)
     assert again._tombstone_ids is None
+
+
+def test_rm3_and_synonyms_exclude_deleted(spark, sf_dir, tmp_path):
+    """The weighted-pass facades (RM3, synonym expansion) anti-join the
+    tombstone ids before the top-k window: victims vanish, survivors
+    present in both runs keep their exact scores. search_synonyms
+    previously had NO deletes handling — this pins the fix."""
+    root = str(tmp_path / "widx")
+    eng = SearchEngine.build(
+        spark, sf_dir, root, n_buckets=8, wave_size=8
+    ).with_corpus(sf_dir)
+    before_syn = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in eng.search_synonyms("data table", k=50).collect()
+    }
+    before_rm3 = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in eng.search_rm3("data join", k=50).collect()
+    }
+    victims = sorted(set(before_syn) | set(before_rm3))[:2]
+    eng.delete_docs(victims, persist=False)
+    after_syn = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in eng.search_synonyms("data table", k=50).collect()
+    }
+    assert not set(victims) & set(after_syn)
+    assert all(
+        after_syn[d] == before_syn[d] for d in after_syn if d in before_syn
+    )
+    after_rm3 = eng.search_rm3("data join", k=50).collect()
+    assert not set(victims) & {r["doc_id"] for r in after_rm3}
