@@ -76,7 +76,40 @@ def main() -> None:
     sc_plan = fmt(uncached.search_scored(["data join"], scorer="qld", k=10))
     assert "In(term" in sc_plan, (
         "search_scored decodes the whole index: the term filter no"
-        " longer reaches the scan below the decode kernel"
+        " longer reaches the scan below the kernel"
+    )
+    assert "hashpartitioning(bucket" not in sc_plan, (
+        "scored-kernel serving regressed to a per-query bucket"
+        " repartition on the stored layout"
+    )
+    assert "WindowGroupLimit" in sc_plan, (
+        "scored-kernel serving lost the partial top-k group limit"
+    )
+
+    from pisa_spark.query.bm25f_quant import (
+        bm25f_quantized_topk,
+        build_bm25f_quantized,
+    )
+
+    fq = build_bm25f_quantized(
+        toks.select("doc_id", "tokens"), n_buckets=8,
+        max_doc_id=int(row[2]),
+    )
+    fq_plan = fmt(
+        bm25f_quantized_topk(
+            fq,
+            [{"query_id": 0, "terms": ["data", "join"],
+              "conjunctive": False}],
+            int(row[0]), k=10,
+        )
+    )
+    import re as _re
+
+    n_ex = len(_re.findall(r"^\(\d+\) Exchange", fq_plan, _re.M))
+    assert n_ex <= 5, (
+        f"bm25f-quant plan grew to {n_ex} shuffles (expect 5: fielded-tf"
+        " agg + units agg + (bucket,term) build + bucket arrange + the"
+        " k-row top-k merge)"
     )
 
     from pisa_spark.functions.quality import gopher_signals
@@ -276,20 +309,41 @@ asserts the pushed filter and the absence of the bucket exchange.
 {ms_plan}
 ```
 
-## 9. Term-pruned alternative-scorer serving (search_scored)
+## 9. Scorer-generic kernel serving (search_scored: QLD/PL2/DPH)
 
-`postings_to_tf` is a mapInPandas decode, which is a Catalyst
-barrier: a join applied above it could never push its term predicate
-down to storage. The engine therefore prunes the posting blocks to
-the queries' terms BEFORE the decode — per-term df/cf are unchanged
-by dropping other terms, and total_cf comes from the stored corpus
-stats. Look for: `PushedFilters: [..., In(term, ...)]` in the
-parquet scan UNDER the `MapInPandas` decode — only the queried
-terms' blocks are read or decoded, at any index size. The dump
-script asserts the pushed filter.
+search_scored serves every registered scorer through the SAME
+bucket-local kernel dataflow as WAND (query/scored_kernel.py — r4
+verdict item #2): term-pruned scan, per-bucket decode + bincount
+inside one `MapInPandas`, partial top-k, k-row merge. The old
+relational path (decode -> join -> per-posting (query, doc) aggregate
+SHUFFLE) remains only as the oracle twin; at 10^12 docs it shuffled
+billions of matched rows per stop-wordy query, this plan ships <=
+n_buckets*|q|*k candidate rows total. Look for: `PushedFilters:
+[..., In(term, ...)]` in the parquet scan UNDER the kernel, NO
+`Exchange hashpartitioning(bucket` (shuffle-free off the stored
+layout), no per-posting aggregate exchange, and the
+`WindowGroupLimit` partial-top-k tail. The dump script asserts all
+three.
 
 ```
 {sc_plan}
+```
+
+## 9b. Quantized BM25F serving (fielded integer fast path)
+
+The combined-units table (query/bm25f_quant.py) bakes per-field
+weights/normalization into one uint32 payload, so fielded ranking
+serves exactly like quantized BM25: term-pruned scan -> integer
+kernel -> partial top-k. This dump runs off the freshly-built
+relation (build exchange visible at the bottom); a persisted table
+serves with the scan + kernel + k-row merge only. Look for: exactly
+five exchanges — fielded-tf aggregate + units aggregate + the wide
+(bucket, term) build shuffle below the encode kernel, then ONE bucket
+arrange and ONE k-row top-k merge above it — nothing per-posting
+above the kernel. The dump script asserts the shuffle count.
+
+```
+{fq_plan}
 ```
 
 ## 10. Gopher quality signals: one shuffle-free codegen pass
