@@ -933,6 +933,22 @@ class SearchEngine:
             "query_id int, term string, v double",
         )
         pruned = self.postings.filter(F.col("term").isin(sorted(v)))
+        # pass-2 exclusion set: '-term' docs AND tombstone deletes in
+        # one relation — both live as postings ('__deleted__' is a
+        # pseudo-term), so the doc sets come from one term-pruned
+        # decode. Without this, negation would apply to FEEDBACK
+        # selection only and negated docs could return in the final
+        # ranking (and deleted docs would occupy rank slots).
+        exclude_ids = None
+        negs = sorted(set(q.get("negated", [])))
+        if negs:
+            exclude_ids = (
+                postings_to_tf(
+                    self.postings.filter(F.col("term").isin(negs))
+                )
+                .select("doc_id")
+                .distinct()
+            )
         return weighted_bm25_topk(
             postings_to_tf(pruned),
             v_df,
@@ -941,10 +957,7 @@ class SearchEngine:
             k=k,
             # df from pruned block metadata — never re-scan the decode
             df_df=pruned.groupBy("term").agg(F.sum("n").alias("df")),
-            # tombstone deletes: pass 1 already excludes them (WAND
-            # __deleted__ path), pass 2 anti-joins the id set so a
-            # deleted doc never occupies a rank slot
-            exclude_ids=self._tombstone_ids,
+            exclude_ids=exclude_ids,
         )
 
     def search_synonyms(

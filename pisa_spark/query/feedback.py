@@ -151,9 +151,10 @@ def weighted_bm25_topk(
     scoring pass every expansion/reformulation front ends on.
 
     exclude_ids: optional (doc_id) relation dropped by anti-join
-    BEFORE the top-k window (the tombstone-deletes hook: an excluded
-    doc must not occupy a rank slot) — the id set is the deletes
-    table, small and broadcastable by contract."""
+    BEFORE the top-k window (an excluded doc must not occupy a rank
+    slot) — the tombstone-deletes / '-term' hook. Not force-broadcast:
+    the deletes table is small by contract but a stop-word negation's
+    doc set is not; AQE picks the join strategy from runtime sizes."""
     scored = (
         _with_df(tf_df, df_df)
         .join(F.broadcast(weighted_terms), "term")
@@ -163,9 +164,7 @@ def weighted_bm25_topk(
     )
     if exclude_ids is not None:
         scored = scored.join(
-            F.broadcast(exclude_ids.select("doc_id")),
-            "doc_id",
-            "left_anti",
+            exclude_ids.select("doc_id"), "doc_id", "left_anti"
         )
     return topk_window(scored.select("query_id", "doc_id", "score"), k)
 

@@ -264,3 +264,28 @@ def test_rm3_and_synonyms_exclude_deleted(spark, sf_dir, tmp_path):
     )
     after_rm3 = eng.search_rm3("data join", k=50).collect()
     assert not set(victims) & {r["doc_id"] for r in after_rm3}
+
+
+def test_rm3_negation_excludes_from_final_ranking(spark, sf_dir, tmp_path):
+    """'-term' in an RM3 query must gate the FINAL ranking, not just
+    feedback selection: no result doc contains the negated term, and
+    docs present in both runs keep identical scores (exclusion is an
+    anti-join, never a score change)."""
+    from pisa_spark.corpus import tokens_col
+
+    root = str(tmp_path / "ridx")
+    eng = SearchEngine.build(
+        spark, sf_dir, root, n_buckets=8, wave_size=8
+    ).with_corpus(sf_dir)
+    got = eng.search_rm3("data join -the", k=50).collect()
+    assert got
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    has_the = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", tokens_col(F.col("text")).alias("toks")
+        )
+        .filter(F.array_contains("toks", "the"))
+        .collect()
+    }
+    assert not {r["doc_id"] for r in got} & has_the
