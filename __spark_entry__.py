@@ -3154,6 +3154,83 @@ SELECT query_id, rank, doc_id, score_q FROM (
 """
 
 
+def _pack_report(
+    spark: SparkSession, sf_dir: str, seq_len: int = 256
+) -> DataFrame:
+    """Concat-split sequence packing report (operators/packing.py):
+    per-doc global token offset + spanned sequence ids via the
+    two-phase prefix sum (never a single-partition window). The twin
+    is DuckDB's ordered window cumsum — single-node, so the window is
+    fine THERE; equality proves the distributed prefix sum."""
+    from pisa_spark.operators.packing import pack_sequences
+
+    lens = _tokens(spark, sf_dir).select(
+        "doc_id", F.col("doc_len").alias("n_tokens")
+    )
+    rep = pack_sequences(lens, seq_len)
+    return rep.select(
+        "doc_id", "n_tokens", F.col("offset").alias("start_off"),
+        "first_seq", "last_seq", "n_seqs",
+    )
+
+
+def _pack_sql(seq_len: int = 256) -> str:
+    return f"""
+{_SQL_BASE},
+lens AS (SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens FROM toks),
+off AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_off
+  FROM lens
+)
+SELECT doc_id, n_tokens, start_off,
+       CAST(start_off // {seq_len} AS BIGINT) AS first_seq,
+       CAST((start_off + greatest(n_tokens - 1, 0)) // {seq_len} AS BIGINT)
+         AS last_seq,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+            ELSE (start_off + n_tokens - 1) // {seq_len}
+                 - start_off // {seq_len} + 1 END AS BIGINT) AS n_seqs
+FROM off
+"""
+
+
+def _decontam_flags(
+    spark: SparkSession, sf_dir: str, n: int = 8
+) -> DataFrame:
+    """Benchmark decontamination (functions/decontam.py): benchmark =
+    the deterministic doc_id % 17 == 0 slice of the corpus; flagged
+    docs with their distinct-overlapping-n-gram counts (benchmark
+    members flag themselves — the audit includes them by design)."""
+    from pisa_spark.functions.decontam import contamination_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return contamination_report(
+        docs, docs.filter(F.col("doc_id") % 17 == 0), n=n
+    )
+
+
+def _decontam_sql(n: int = 8) -> str:
+    return f"""
+{_SQL_BASE},
+grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(tokens) - {n} + 2),
+                  i -> array_to_string(tokens[i:i+{n}-1], ' '))) AS gram
+    FROM toks WHERE len(tokens) >= {n}
+  )
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 0)
+SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
+FROM grams g JOIN bench USING (gram)
+GROUP BY g.doc_id
+"""
+
+
 def _bm25_rm3_df(
     spark: SparkSession, sf_dir: str, qs, k: int = 10
 ) -> DataFrame:
@@ -3877,6 +3954,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "pack_sequences_report",
+    "decontam_flags",
     "bm25f_topk_quant",
     "bm25_phrase_filtered_topk",
     "bm25_near_filtered_topk",
@@ -4114,6 +4193,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_or_wand": lambda spark, sf: _bm25_wand(spark, sf, _OR_QUERIES, False),
         "bm25_topk_and_wand": lambda spark, sf: _bm25_wand(spark, sf, _AND_QUERIES, True),
         # --- alternative scorers (QLD / PL2 / DPH) off the same relation ---
+        "pack_sequences_report": lambda spark, sf: _pack_report(spark, sf),
+        "decontam_flags": lambda spark, sf: _decontam_flags(spark, sf),
         "bm25f_topk_quant": lambda spark, sf: _bm25f_quant_df(
             spark, sf, _OR_QUERIES
         ),
@@ -4682,6 +4763,8 @@ SELECT query_id, facet, value, n FROM (
         "bm25_top100_or": _bm25_sql(_OR_QUERIES, conjunctive=False, k=100),
         "bm25_topk_or_wand": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_topk_and_wand": _bm25_sql(_AND_QUERIES, conjunctive=True),
+        "pack_sequences_report": _pack_sql(),
+        "decontam_flags": _decontam_sql(),
         "bm25f_topk_quant": _bm25f_quant_sql(_OR_QUERIES),
         "bm25_phrase_filtered_topk": _phrase_filtered_sql(
             _PHRASE_FILTER_QUERIES
