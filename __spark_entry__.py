@@ -3231,6 +3231,65 @@ GROUP BY g.doc_id
 """
 
 
+def _lm_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style add-k bigram LM self-perplexity per document
+    (functions/lm_quality.py) — the classic web-curation quality
+    signal (Wenzek et al. 2020). Twin replays the exact unigram/bigram
+    counts and smoothed formulas in SQL."""
+    from pisa_spark.functions.lm_quality import lm_perplexity
+
+    out = lm_perplexity(_docs(spark, sf_dir).select("doc_id", "text"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("logprob", 6).alias("logprob"),
+        F.round("perplexity", 4).alias("perplexity"),
+    )
+
+
+def _lm_perplexity_sql(k: float = 0.5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN i > 1 THEN tokens[i - 1] END AS prev,
+         tok AS term
+  FROM (
+    SELECT doc_id, tokens, generate_subscripts(tokens, 1) AS i,
+           unnest(tokens) AS tok
+    FROM toks WHERE len(tokens) > 0
+  )
+),
+uni AS (SELECT term, count(*) AS c_w FROM grams GROUP BY term),
+st AS (SELECT CAST(sum(c_w) AS DOUBLE) AS n_ref,
+              CAST(count(*) AS DOUBLE) AS v FROM uni),
+bi AS (SELECT prev, term, count(*) AS c_pw FROM grams
+       WHERE prev IS NOT NULL GROUP BY prev, term),
+lp AS (
+  SELECT g.doc_id,
+         CASE WHEN g.prev IS NULL THEN
+           ln((coalesce(u.c_w, 0) + {k}) / (st.n_ref + {k} * st.v))
+         ELSE
+           ln((coalesce(b.c_pw, 0) + {k})
+              / (coalesce(p.c_w, 0) + {k} * st.v))
+         END AS lp
+  FROM grams g
+  CROSS JOIN st
+  LEFT JOIN uni u ON u.term = g.term
+  LEFT JOIN bi b ON b.prev = g.prev AND b.term = g.term
+  LEFT JOIN uni p ON p.term = g.prev
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(lp) / count(*), 6) AS logprob,
+       round(exp(-sum(lp) / count(*)), 4) AS perplexity
+FROM lp GROUP BY doc_id
+"""
+
+
 def _bm25_rm3_df(
     spark: SparkSession, sf_dir: str, qs, k: int = 10
 ) -> DataFrame:
@@ -3954,6 +4013,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "lm_perplexity_scores",
     "pack_sequences_report",
     "decontam_flags",
     "bm25f_topk_quant",
@@ -4195,6 +4255,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- alternative scorers (QLD / PL2 / DPH) off the same relation ---
         "pack_sequences_report": lambda spark, sf: _pack_report(spark, sf),
         "decontam_flags": lambda spark, sf: _decontam_flags(spark, sf),
+        "lm_perplexity_scores": _lm_perplexity_gate,
         "bm25f_topk_quant": lambda spark, sf: _bm25f_quant_df(
             spark, sf, _OR_QUERIES
         ),
@@ -4765,6 +4826,7 @@ SELECT query_id, facet, value, n FROM (
         "bm25_topk_and_wand": _bm25_sql(_AND_QUERIES, conjunctive=True),
         "pack_sequences_report": _pack_sql(),
         "decontam_flags": _decontam_sql(),
+        "lm_perplexity_scores": _lm_perplexity_sql(),
         "bm25f_topk_quant": _bm25f_quant_sql(_OR_QUERIES),
         "bm25_phrase_filtered_topk": _phrase_filtered_sql(
             _PHRASE_FILTER_QUERIES
