@@ -3290,6 +3290,93 @@ FROM lp GROUP BY doc_id
 """
 
 
+def _pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing (functions/pii.py): the corpus with
+    deterministic injected PII (email on doc_id%7, IPv4 on %11, phone
+    on %13 — the synthetic corpus itself contains none), per-doc
+    detector counts and the md5 of the scrubbed text. Twin injects the
+    identical strings and replays the regex rules (RE2/Java common
+    subset, pinned in the module)."""
+    from pisa_spark.functions.pii import pii_signals, scrub_text_col
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-4567"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    sig = pii_signals(docs)
+    scrubbed = docs.select(
+        "doc_id", F.md5(scrub_text_col(F.col("text"))).alias("scrub_md5")
+    )
+    return (
+        sig.join(scrubbed, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_emails").cast("long").alias("n_emails"),
+            F.col("n_phones").cast("long").alias("n_phones"),
+            F.col("n_ipv4").cast("long").alias("n_ipv4"),
+            "has_pii",
+            "scrub_md5",
+        )
+    )
+
+
+def _pii_sql() -> str:
+    from pisa_spark.functions.pii import PII_RULES
+
+    t = "injected.text"
+    counts = ", ".join(
+        "CAST(len(regexp_extract_all(%s, '%s')) AS BIGINT) AS n_%s"
+        % (t, pat, name)
+        for name, pat, _ in PII_RULES
+    )
+    scrub = t
+    for _, pat, tok in PII_RULES:
+        scrub = "regexp_replace(%s, '%s', '%s', 'g')" % (scrub, pat, tok)
+    return f"""
+WITH injected AS (
+  SELECT doc_id, concat(text,
+    CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||
+      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END,
+    CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' ||
+      CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END,
+    CASE WHEN doc_id % 13 = 0 THEN ' call 555-' ||
+      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567' ELSE '' END
+  ) AS text
+  FROM documents
+)
+SELECT doc_id, {counts},
+       (n_emails + n_phones + n_ipv4) > 0 AS has_pii,
+       md5({scrub}) AS scrub_md5
+FROM injected
+"""
+
+
 def _bm25_rm3_df(
     spark: SparkSession, sf_dir: str, qs, k: int = 10
 ) -> DataFrame:
@@ -4013,6 +4100,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "pii_scrub_stats",
     "lm_perplexity_scores",
     "pack_sequences_report",
     "decontam_flags",
@@ -4256,6 +4344,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_report": lambda spark, sf: _pack_report(spark, sf),
         "decontam_flags": lambda spark, sf: _decontam_flags(spark, sf),
         "lm_perplexity_scores": _lm_perplexity_gate,
+        "pii_scrub_stats": _pii_gate,
         "bm25f_topk_quant": lambda spark, sf: _bm25f_quant_df(
             spark, sf, _OR_QUERIES
         ),
@@ -4827,6 +4916,7 @@ SELECT query_id, facet, value, n FROM (
         "pack_sequences_report": _pack_sql(),
         "decontam_flags": _decontam_sql(),
         "lm_perplexity_scores": _lm_perplexity_sql(),
+        "pii_scrub_stats": _pii_sql(),
         "bm25f_topk_quant": _bm25f_quant_sql(_OR_QUERIES),
         "bm25_phrase_filtered_topk": _phrase_filtered_sql(
             _PHRASE_FILTER_QUERIES
