@@ -3377,6 +3377,58 @@ FROM injected
 """
 
 
+def _mixture_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (operators/sampling.py,
+    the XLM-R data-mixing rule) at alpha=0.5 over the lang strata:
+    per-stratum sizes, quantized ppm keep fractions, and the surviving
+    row counts under the deterministic md5 draw. Twin replays counts,
+    pow, round and the draw rule."""
+    from pisa_spark.operators.sampling import (
+        temperature_fractions,
+        temperature_sample,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    fr = temperature_fractions(docs, "lang", 0.5)
+    kept = (
+        temperature_sample(docs, "lang", 0.5)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+    return (
+        fr.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("keep_ppm").cast("long").alias("keep_ppm"),
+            F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept"),
+        )
+    )
+
+
+_SQL_MIXTURE = """
+WITH c AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang),
+m AS (SELECT min(n_rows) AS n_min FROM c),
+f AS (
+  SELECT lang, n_rows,
+         least(1000000, CAST(round(
+           pow(n_rows / CAST(n_min AS DOUBLE), -0.5) * 1000000
+         ) AS BIGINT)) AS keep_ppm
+  FROM c, m
+),
+kept AS (
+  SELECT d.lang, count(*) AS kept
+  FROM documents d JOIN f USING (lang)
+  WHERE ((CAST('0x'||substring(md5('samp:'||d.doc_id),1,8) AS BIGINT)
+          % 1000000) + 1000000) % 1000000 < f.keep_ppm
+  GROUP BY d.lang
+)
+SELECT f.lang, CAST(f.n_rows AS BIGINT) AS n_rows, f.keep_ppm,
+       CAST(coalesce(k.kept, 0) AS BIGINT) AS kept
+FROM f LEFT JOIN kept k USING (lang)
+"""
+
+
 def _bm25_rm3_df(
     spark: SparkSession, sf_dir: str, qs, k: int = 10
 ) -> DataFrame:
@@ -4100,6 +4152,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "mixture_temperature_sample",
     "pii_scrub_stats",
     "lm_perplexity_scores",
     "pack_sequences_report",
@@ -4345,6 +4398,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_flags": lambda spark, sf: _decontam_flags(spark, sf),
         "lm_perplexity_scores": _lm_perplexity_gate,
         "pii_scrub_stats": _pii_gate,
+        "mixture_temperature_sample": _mixture_gate,
         "bm25f_topk_quant": lambda spark, sf: _bm25f_quant_df(
             spark, sf, _OR_QUERIES
         ),
@@ -4917,6 +4971,7 @@ SELECT query_id, facet, value, n FROM (
         "decontam_flags": _decontam_sql(),
         "lm_perplexity_scores": _lm_perplexity_sql(),
         "pii_scrub_stats": _pii_sql(),
+        "mixture_temperature_sample": _SQL_MIXTURE,
         "bm25f_topk_quant": _bm25f_quant_sql(_OR_QUERIES),
         "bm25_phrase_filtered_topk": _phrase_filtered_sql(
             _PHRASE_FILTER_QUERIES

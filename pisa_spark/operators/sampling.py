@@ -35,6 +35,58 @@ def sample_fraction(
     return df.filter(sample_draw(F.col(key_col)) < int(round(fraction * _DEN)))
 
 
+def temperature_fractions(
+    df: DataFrame, strata_col: str, alpha: float
+) -> DataFrame:
+    """(stratum, n_rows, keep_ppm): deterministic per-stratum keep
+    fractions implementing temperature-scaled mixture sampling (the
+    multilingual-LM data-mixing rule of XLM-R / mBERT: sample strata
+    with probability proportional to ``n_s**alpha``). With a fixed
+    corpus and no duplication the realizable rendering is a keep
+    fraction ``f_s = (n_s / n_min)**(alpha - 1)`` — the smallest
+    stratum keeps everything, larger strata are downsampled toward
+    the flattened target; ``alpha = 1`` keeps everything (natural
+    mixing). Fractions are quantized to ppm integers so the DuckDB
+    twin replays them exactly. The counts relation is
+    strata-cardinality-sized; only the single ``n_min`` scalar
+    touches the driver."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("temperature alpha must be in (0, 1]")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    n_min = counts.agg(F.min("n_rows")).collect()[0][0]
+    if n_min is None:
+        return counts.withColumn("keep_ppm", F.lit(_DEN).cast("long"))
+    return counts.withColumn(
+        "keep_ppm",
+        F.least(
+            F.lit(_DEN).cast("long"),
+            F.round(
+                F.pow(F.col("n_rows") / F.lit(float(n_min)), alpha - 1.0)
+                * _DEN
+            ).cast("long"),
+        ),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled mixture sample: ``temperature_fractions``
+    broadcast-joined back and applied through the same deterministic
+    ppm draw as every other sampler here — reproducible across runs,
+    engines, partitionings, and stable under corpus growth within a
+    stratum (a kept row only flips if its stratum's fraction moves)."""
+    fr = temperature_fractions(df, strata_col, alpha)
+    return (
+        df.join(F.broadcast(fr), strata_col)
+        .filter(sample_draw(F.col(key_col)) < F.col("keep_ppm"))
+        .drop("n_rows", "keep_ppm")
+    )
+
+
 def sample_stratified(
     df: DataFrame,
     strata_col: str,

@@ -44,3 +44,52 @@ def test_sample_stratified_default_passthrough(spark):
     kept = sample_stratified(df, "lang", {"en": 0.0}).collect()
     assert all(r["lang"] == "de" for r in kept)
     assert len(kept) == 300 - (300 // 3)
+
+
+def test_temperature_fractions_closed_form(spark):
+    import pytest as _pt
+
+    from pisa_spark.operators.sampling import temperature_fractions
+
+    df = _docs(spark)  # en: 1334, de: 2666
+    fr = {
+        r["lang"]: (r["n_rows"], r["keep_ppm"])
+        for r in temperature_fractions(df, "lang", 0.3).collect()
+    }
+    n_en, n_de = 4000 // 3 + 1, 4000 - (4000 // 3 + 1)
+    assert fr["en"] == (n_en, 1_000_000)  # smallest stratum keeps all
+    want_de = round((n_de / n_en) ** (0.3 - 1.0) * 1_000_000)
+    assert fr["de"] == (n_de, want_de)
+    # alpha = 1: natural mixing, everything kept
+    fr1 = {
+        r["lang"]: r["keep_ppm"]
+        for r in temperature_fractions(df, "lang", 1.0).collect()
+    }
+    assert set(fr1.values()) == {1_000_000}
+    with _pt.raises(ValueError):
+        temperature_fractions(df, "lang", 0.0)
+    with _pt.raises(ValueError):
+        temperature_fractions(df, "lang", 1.5)
+
+
+def test_temperature_sample_matches_stratified_draws(spark):
+    from pisa_spark.operators.sampling import (
+        temperature_fractions,
+        temperature_sample,
+    )
+
+    df = _docs(spark)
+    fr = {
+        r["lang"]: r["keep_ppm"] / 1_000_000
+        for r in temperature_fractions(df, "lang", 0.5).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in sample_stratified(df, "lang", fr).collect()
+    }
+    got = {r["doc_id"] for r in temperature_sample(df, "lang", 0.5).collect()}
+    assert got == want
+    # flattening: kept de/en ratio shrinks toward 1 vs the natural 2:1
+    en = sum(1 for d in got if d % 3 == 0)
+    de = len(got) - en
+    assert de / en < 2666 / 1334 * 0.85
