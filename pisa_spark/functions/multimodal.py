@@ -172,15 +172,138 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
+# ---------------------------------------------------------------------------
+# real codec: PNG (8-bit RGB/RGBA, non-interlaced) in NumPy + stdlib zlib
+# ---------------------------------------------------------------------------
+# PNG needs only DEFLATE (stdlib zlib) and the five scanline filters —
+# no external codec. This is the common web image format, so decoding
+# it natively closes most of the "non-BMP formats need PIL" gap; JPEG
+# (DCT + Huffman) and video stay behind the import-try.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3|4) uint8 -> PNG bytes (8-bit truecolor / truecolor+
+    alpha, non-interlaced, filter 0 scanlines, one zlib IDAT)."""
+    import struct
+    import zlib
+
+    h, w, c = arr.shape
+    assert c in (3, 4) and arr.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if c == 3 else 6, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    raw[:, 1:] = arr.reshape(h, w * c)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters -> (h, w*bpp) uint8. Filters 0-2 are
+    vectorized per row (Sub is a grouped mod-256 cumsum); Average and
+    Paeth are inherently sequential in x, so they fall back to a
+    per-byte loop — our encoder never emits them, foreign PNGs may."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        f = int(raw[pos])
+        line = raw[pos + 1 : pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: grouped cumsum mod 256 over same-channel lanes
+            rec = np.cumsum(line.reshape(w, bpp), axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average (sequential)
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + ((a + prev[x]) >> 1)) % 256
+        elif f == 4:  # Paeth (sequential)
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3|4) uint8. Supports 8-bit truecolor and
+    truecolor+alpha, non-interlaced, all five scanline filters; chunk
+    CRCs are verified. Palette/grayscale/16-bit/interlaced raise."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype_n, comp, filt, interlace = meta
+    if depth != 8 or ctype_n not in (2, 6) or comp or filt or interlace:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced truecolor(+alpha) PNG supported"
+        )
+    bpp = 3 if ctype_n == 2 else 4
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + w * bpp):
+        raise ValueError("PNG payload size mismatch")
+    return _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+
+
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode an image blob. BMP decodes natively (decode_bmp, pure
-    NumPy); other formats need PIL, absent from this container."""
+    """Decode an image blob. BMP and PNG decode natively (pure
+    NumPy + stdlib zlib); other formats need PIL, absent from this
+    container."""
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     if not _HAS_PIL:
         raise NotImplementedError(
-            "non-BMP image decode requires PIL; container ships without"
-            " media libs"
+            "JPEG/other image decode requires PIL; container ships"
+            " without media libs"
         )
     raise NotImplementedError("wire PIL.Image.open here when available")
 
@@ -200,13 +323,16 @@ DECODE_STATS_SCHEMA = (
 
 def media_fixture_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic REAL media blobs from (doc_id, text): even doc_ids
-    encode a 24-bit BMP (w = 4 + doc_id % 5, h = 3 + doc_id % 7,
-    pixels = the doc's UTF-8 bytes cycled to w*h*3), odd doc_ids a
-    PCM16 mono WAV (one sample per text byte, (byte - 128) * 256,
-    rate = 8000 + (doc_id % 4) * 4000). Every parameter is a closed
-    form of (doc_id, text), so the DuckDB gate twin recomputes the
-    expected decoded stats from the text column alone — the decode
-    gate checks a real byte-level encode->decode round trip.
+    encode an image (w = 4 + doc_id % 5, h = 3 + doc_id % 7, pixels =
+    the doc's UTF-8 bytes cycled to w*h*3 — as PNG when doc_id % 4 ==
+    0, else 24-bit BMP; identical pixels either way, so the decoded
+    stats don't depend on the container), odd doc_ids a PCM16 mono WAV
+    (one sample per text byte, (byte - 128) * 256, rate = 8000 +
+    (doc_id % 4) * 4000). Every parameter is a closed form of
+    (doc_id, text), so the DuckDB gate twin recomputes the expected
+    decoded stats from the text column alone — the decode gate checks
+    real byte-level encode->decode round trips through BOTH image
+    codecs.
 
     Per-blob Python here is fixture GENERATION, not a serving path;
     the pixel fill itself is a vectorized np.resize cycle."""
@@ -225,7 +351,11 @@ def media_fixture_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     w = 4 + int(doc_id) % 5
                     h = 3 + int(doc_id) % 7
                     arr = np.resize(raw, (h, w, 3))
-                    out_blob.append(encode_bmp(arr))
+                    out_blob.append(
+                        encode_png(arr)
+                        if int(doc_id) % 4 == 0
+                        else encode_bmp(arr)
+                    )
                     out_type.append("image")
                 else:
                     samples = ((raw.astype(np.int32) - 128) * 256).astype(
