@@ -292,14 +292,197 @@ def decode_png(data: bytes) -> np.ndarray:
     return _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
 
 
+# ---------------------------------------------------------------------------
+# real codec: GIF (87a/89a, first frame, global/local palettes) with a
+# from-scratch LZW — lossless, so round trips are bit-exact testable
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width from min_code_size+1,
+    clear/EOI codes, dict capped at 4095 (emit clear + reset when
+    full). Sequential by nature — encoder is fixture/test machinery,
+    the serving path only decodes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh():
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    out_bits.append((clear, width))
+    buf: tuple[int, ...] = ()
+    for sym in indices.tolist():
+        cand = buf + (sym,)
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], width))
+        if next_code <= 4095:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            out_bits.append((clear, width))
+            table, next_code, width = fresh()
+        buf = (sym,)
+    if buf:
+        out_bits.append((table[buf], width))
+    out_bits.append((eoi, width))
+    # pack LSB-first
+    acc = bitpos = 0
+    by = bytearray()
+    for code, w in out_bits:
+        acc |= code << bitpos
+        bitpos += w
+        while bitpos >= 8:
+            by.append(acc & 0xFF)
+            acc >>= 8
+            bitpos -= 8
+    if bitpos:
+        by.append(acc & 0xFF)
+    return bytes(by)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8), bitorder="little"
+    )
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = pos = 0
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""], min_code_size + 1
+
+    table, width = fresh()
+    prev: bytes | None = None
+    while pos + width <= bits.size and n_out < n_pixels:
+        code = int(bits[pos : pos + width] @ (1 << np.arange(width)))
+        pos += width
+        if code == clear:
+            table, width = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out[n_out : n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+        n_out += len(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n_out != n_pixels:
+        raise ValueError("GIF pixel data truncated")
+    return out
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 with <= 256 distinct colors -> single-frame
+    GIF89a bytes (global palette, non-interlaced)."""
+    import struct
+
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    flat = arr.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors")
+    depth = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    table = np.zeros(((1 << depth), 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    min_code = max(2, depth)
+    lzw = _lzw_encode(indices.astype(np.int64), min_code)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0)
+        + table.tobytes()
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        + bytes([min_code])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a bytes -> (h, w, 3) uint8 RGB of the FIRST image
+    frame (global or local palette, non-interlaced; extensions are
+    skipped). From-scratch LZW with variable code widths and clear
+    codes."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data, dtype=np.uint8, count=n * 3, offset=pos
+                            ).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _, _, w, h, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(data, dtype=np.uint8, count=n * 3,
+                                    offset=pos).reshape(n, 3)
+                pos += n * 3
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if pal is None:
+                raise ValueError("GIF frame has no palette")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw.extend(data[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(lzw), min_code, w * h)
+            return pal[idx].reshape(h, w, 3).copy()
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode an image blob. BMP and PNG decode natively (pure
+    """Decode an image blob. BMP, PNG and GIF decode natively (pure
     NumPy + stdlib zlib); other formats need PIL, absent from this
     container."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
     if not _HAS_PIL:
         raise NotImplementedError(
             "JPEG/other image decode requires PIL; container ships"
@@ -325,8 +508,9 @@ def media_fixture_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic REAL media blobs from (doc_id, text): even doc_ids
     encode an image (w = 4 + doc_id % 5, h = 3 + doc_id % 7, pixels =
     the doc's UTF-8 bytes cycled to w*h*3 — as PNG when doc_id % 4 ==
-    0, else 24-bit BMP; identical pixels either way, so the decoded
-    stats don't depend on the container), odd doc_ids a PCM16 mono WAV
+    0, GIF when doc_id % 8 == 2, else 24-bit BMP; identical pixels
+    in every container, so the decoded stats are container-
+    independent), odd doc_ids a PCM16 mono WAV
     (one sample per text byte, (byte - 128) * 256, rate = 8000 +
     (doc_id % 4) * 4000). Every parameter is a closed form of
     (doc_id, text), so the DuckDB gate twin recomputes the expected
@@ -351,11 +535,13 @@ def media_fixture_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     w = 4 + int(doc_id) % 5
                     h = 3 + int(doc_id) % 7
                     arr = np.resize(raw, (h, w, 3))
-                    out_blob.append(
-                        encode_png(arr)
-                        if int(doc_id) % 4 == 0
-                        else encode_bmp(arr)
-                    )
+                    if int(doc_id) % 4 == 0:
+                        blob = encode_png(arr)
+                    elif int(doc_id) % 8 == 2:
+                        blob = encode_gif(arr)  # <= 72 px, palette-safe
+                    else:
+                        blob = encode_bmp(arr)
+                    out_blob.append(blob)
                     out_type.append("image")
                 else:
                     samples = ((raw.astype(np.int32) - 128) * 256).astype(
