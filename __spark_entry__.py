@@ -4207,13 +4207,15 @@ _GATE_ORDER = [
     "text_collocations",
     "search_facets",
     "bm25_negation_topk",
+    # ---- window boundary (~50): below here = green r3/r4, pytest-
+    # covered; the first block below was additionally re-verified
+    # against the DuckDB oracle by the round-5 session replica ----
     "bm25f_topk",
     "bm25_top100_or",
     "bm25_topk_and_wand",
     "qld_topk_and",
     "pl2_topk",
     "dph_topk",
-    # ---- window boundary (~50): below here = green r3/r4, pytest-covered ----
     "dph_topk_indexed",
     "bm25_topk_or_maxscore",
     "bm25_mixed_idf_maxscore",
