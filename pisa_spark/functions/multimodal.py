@@ -483,9 +483,13 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_png(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
+    if data[:2] == b"\xff\xd8":
+        from pisa_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     if not _HAS_PIL:
         raise NotImplementedError(
-            "JPEG/other image decode requires PIL; container ships"
+            "WebP/other image decode requires PIL; container ships"
             " without media libs"
         )
     raise NotImplementedError("wire PIL.Image.open here when available")
