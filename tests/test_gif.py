@@ -63,3 +63,22 @@ def test_gif_guards_and_dispatch():
     gif = encode_gif(arr)
     assert np.array_equal(decode_image(gif), arr)
     assert resize_image(gif, 2, 3).shape == (3, 2, 3)
+
+
+def test_mjpeg_avi_frame_sampling():
+    from pisa_spark.functions.multimodal import (
+        encode_mjpeg_avi,
+        sample_video_frames,
+    )
+
+    frames = [
+        np.full((16, 16, 3), 30 * i + 20, dtype=np.uint8) for i in range(7)
+    ]
+    avi = encode_mjpeg_avi(frames, fps=10, quality=95)
+    got = sample_video_frames(avi, every_n=3)  # frames 0, 3, 6
+    assert len(got) == 3
+    for arr, i in zip(got, (0, 3, 6)):
+        assert arr.shape == (16, 16, 3)
+        assert abs(int(arr.mean()) - (30 * i + 20)) <= 2
+    every = sample_video_frames(avi, every_n=1)
+    assert len(every) == 7

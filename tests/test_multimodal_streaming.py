@@ -42,14 +42,16 @@ def test_media_features_real_and_deterministic(spark, sf_dir):
 
 
 def test_media_decode_stubs_raise(spark):
-    """Codec-dependent formats still raise (no PIL/av in container);
-    BMP/WAV are real now and covered below."""
+    """Formats beyond the native codecs (BMP/PNG/GIF/JPEG, MJPG AVI)
+    still refuse cleanly — e.g. WebP and non-MJPG containers."""
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(NotImplementedError):
-        resize_image(b"\x89PNG", 32, 32)
+        resize_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", 32, 32)
     with pytest.raises(NotImplementedError):
         sample_video_frames(b"\x00\x00")
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(b"RIFF\x04\x00\x00\x00WEBP")
 
 
 def test_bmp_roundtrip_and_resize():
