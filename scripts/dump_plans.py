@@ -411,11 +411,20 @@ opt-in for oracle-scale parity checks.
 {emb_plan}
 ```
 """
-    os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))) if False else "/root/repo", "docs"), exist_ok=True)
-    with open("/root/repo/docs/PLANS.md", "w") as f:
-        f.write(out)
-    print("wrote /root/repo/docs/PLANS.md")
+    # Preserve hand-appended sections (## 15 onward): regenerating
+    # only sections 1-14 once silently dropped §15-21 (restored in
+    # round 5) — never rewrite past the generator's own content.
+    path = "/root/repo/docs/PLANS.md"
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        cut = old.find("\n## 15.")
+        if cut != -1:
+            tail = old[cut:]
+    os.makedirs("/root/repo/docs", exist_ok=True)
+    with open(path, "w") as f:
+        f.write(out.rstrip("\n") + "\n" + tail)
+    print(f"wrote {path} (preserved tail: {len(tail)} bytes)")
     spark.stop()
 
 
