@@ -3391,7 +3391,7 @@ def _mixture_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     fr = temperature_fractions(docs, "lang", 0.5)
     kept = (
-        temperature_sample(docs, "lang", 0.5)
+        temperature_sample(docs, "lang", 0.5, fractions=fr)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("kept"))
     )

@@ -447,6 +447,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("expected marker")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -512,6 +515,10 @@ def _decode_scan(
 ):
     if comps is None:
         raise ValueError("SOS before SOF")
+    if len(scan) != len(comps):
+        raise NotImplementedError(
+            "non-interleaved (multi-scan) baseline JPEG not supported"
+        )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax > 2 or vmax > 2:

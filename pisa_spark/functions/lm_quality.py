@@ -79,6 +79,11 @@ def lm_perplexity(
     stats = uni.agg(
         F.sum("c_w").alias("n_tokens"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
+    if stats["n_tokens"] is None or int(stats["v"]) == 0:
+        raise ValueError(
+            "reference slice has no tokens — the LM cannot be trained"
+            " (empty corpus, or every reference doc tokenizes to nothing)"
+        )
     n_ref, v = int(stats["n_tokens"]), int(stats["v"])
     bi = (
         ref_bi.filter(F.col("prev").isNotNull())
@@ -90,7 +95,9 @@ def lm_perplexity(
     )
 
     kk = float(k)
-    grams = _bigrams(docs, text_col)
+    # self-perplexity reuses the reference's bigram subtree instead of
+    # tokenizing the corpus a second time in the same job
+    grams = ref_bi if reference is None else _bigrams(docs, text_col)
     scored = (
         grams.join(
             uni, "term", "left"

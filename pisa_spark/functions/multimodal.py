@@ -375,6 +375,8 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
             entry = prev + prev[:1]
         else:
             raise ValueError("corrupt GIF LZW stream")
+        if n_out + len(entry) > n_pixels:
+            raise ValueError("GIF pixel data overruns image size")
         out[n_out : n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
         n_out += len(entry)
         if prev is not None and len(table) < 4096:

@@ -52,7 +52,11 @@ def temperature_fractions(
     touches the driver."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError("temperature alpha must be in (0, 1]")
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    counts = (
+        df.filter(F.col(strata_col).isNotNull())
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
     n_min = counts.agg(F.min("n_rows")).collect()[0][0]
     if n_min is None:
         return counts.withColumn("keep_ppm", F.lit(_DEN).cast("long"))
@@ -73,16 +77,28 @@ def temperature_sample(
     strata_col: str,
     alpha: float,
     key_col: str = "doc_id",
+    fractions: DataFrame | None = None,
 ) -> DataFrame:
     """Temperature-scaled mixture sample: ``temperature_fractions``
     broadcast-joined back and applied through the same deterministic
     ppm draw as every other sampler here — reproducible across runs,
     engines, partitionings, and stable under corpus growth within a
-    stratum (a kept row only flips if its stratum's fraction moves)."""
-    fr = temperature_fractions(df, strata_col, alpha)
+    stratum (a kept row only flips if its stratum's fraction moves).
+    NULL-stratum rows pass through unsampled (fraction 1.0, matching
+    ``sample_stratified``'s default-passthrough) and never influence
+    ``n_min``. Pass a precomputed ``temperature_fractions`` result via
+    ``fractions`` to avoid recounting."""
+    fr = (
+        temperature_fractions(df, strata_col, alpha)
+        if fractions is None
+        else fractions
+    )
     return (
-        df.join(F.broadcast(fr), strata_col)
-        .filter(sample_draw(F.col(key_col)) < F.col("keep_ppm"))
+        df.join(F.broadcast(fr), strata_col, "left")
+        .filter(
+            sample_draw(F.col(key_col))
+            < F.coalesce(F.col("keep_ppm"), F.lit(_DEN))
+        )
         .drop("n_rows", "keep_ppm")
     )
 

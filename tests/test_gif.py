@@ -82,3 +82,20 @@ def test_mjpeg_avi_frame_sampling():
         assert abs(int(arr.mean()) - (30 * i + 20)) <= 2
     every = sample_video_frames(avi, every_n=1)
     assert len(every) == 7
+
+
+def test_gif_overrun_raises_cleanly():
+    # an LZW stream whose decoded length crosses the pixel budget
+    # MID-ENTRY must raise the module's own error, not a numpy
+    # broadcast failure
+    syms = np.array([0, 1] * 40, dtype=np.int64)
+    enc = _lzw_encode(syms, 2)
+    hit = 0
+    for n in range(1, syms.size):
+        try:
+            out = _lzw_decode(enc, 2, n)
+            assert np.array_equal(out, syms[:n].astype(np.uint8))
+        except ValueError as ex:
+            assert "overruns" in str(ex)
+            hit += 1
+    assert hit > 0  # at least one cut lands mid-entry

@@ -252,3 +252,25 @@ def test_decode_restart_markers():
     assert got.shape == (8, 16, 3)
     assert abs(int(got[:, :8, 0].mean()) - 50) <= 2
     assert abs(int(got[:, 8:, 0].mean()) - 200) <= 2
+
+
+def test_fill_bytes_before_marker_tolerated():
+    arr = np.full((8, 8, 3), 90, dtype=np.uint8)
+    data = bytes(encode_jpeg(arr, quality=90))
+    i = data.index(b"\xff\xc0")
+    padded = data[:i] + b"\xff\xff\xff" + data[i:]  # T.81 B.1.1.2 fill
+    out = decode_jpeg(padded)
+    assert np.abs(out.astype(int) - 90).max() <= 2
+
+
+def test_multiscan_refuses_cleanly():
+    import struct
+
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(arr))
+    i = bytes(data).index(b"\xff\xda")
+    # rewrite SOS to a single-component scan (ns=1)
+    new_sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    data[i : i + 14] = new_sos
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(bytes(data))

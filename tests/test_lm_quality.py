@@ -117,3 +117,10 @@ def test_filter_quantile_cut(docs):
 def test_bad_k_raises(docs):
     with pytest.raises(ValueError):
         lm_perplexity(docs, k=0.0)
+
+
+def test_empty_reference_raises_cleanly(spark, docs):
+    ref = spark.createDataFrame([(9, ""), (10, "!!! ...")],
+                                "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        lm_perplexity(docs, reference=ref).collect()

@@ -93,3 +93,22 @@ def test_temperature_sample_matches_stratified_draws(spark):
     en = sum(1 for d in got if d % 3 == 0)
     de = len(got) - en
     assert de / en < 2666 / 1334 * 0.85
+
+
+def test_temperature_null_strata_pass_through(spark):
+    from pisa_spark.operators.sampling import (
+        temperature_fractions,
+        temperature_sample,
+    )
+
+    base = _docs(spark, 300)
+    nulls = spark.range(300, 303).select(
+        F.col("id").alias("doc_id"), F.lit(None).cast("string").alias("lang")
+    )
+    df = base.union(nulls)
+    # NULL stratum never influences n_min / the fractions table
+    fr = {r["lang"] for r in temperature_fractions(df, "lang", 0.5).collect()}
+    assert fr == {"en", "de"}
+    # alpha=1 keeps EVERY row, including the NULL-stratum ones
+    kept = {r["doc_id"] for r in temperature_sample(df, "lang", 1.0).collect()}
+    assert kept == set(range(303))
