@@ -70,10 +70,14 @@ def main() -> None:
     run("decontam", contamination_report(docs, bench, n=8))
     # dedup runs on the UNAMPLIFIED base: replication makes every doc
     # a near-dup of its clones, which measures the dup rate of the
-    # amplification trick, not the operator
-    n_b = base.count()
+    # amplification trick, not the operator. Repartition first — the
+    # sf table is one parquet file, and a one-partition input would
+    # serialize the whole signature map into a single task (at real
+    # scale the scan supplies the parallelism).
+    base_d = base.repartition(cores).cache()
+    n_b = base_d.count()
     t0 = time.perf_counter()
-    n_pairs = near_duplicate_pairs(base, threshold=0.5).count()
+    n_pairs = near_duplicate_pairs(base_d, threshold=0.5).count()
     out["minhash_dedup_s"] = round(time.perf_counter() - t0, 2)
     out["minhash_dedup_docs_per_s"] = round(n_b / out["minhash_dedup_s"])
     out["minhash_dedup_docs"] = int(n_b)
