@@ -134,23 +134,56 @@ def parse_warc_bytes(data: bytes) -> list[tuple[str, str, bytes]]:
     return out
 
 
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members -> raw bytes.
+
+    Common Crawl's ``.warc.gz`` files are per-RECORD gzip members
+    back to back (the spec's record-at-time compression, what makes
+    range requests per record possible); stdlib ``gzip`` reads only
+    the first member via ``zlib``, so walk members explicitly."""
+    import zlib
+
+    out = []
+    while data:
+        d = zlib.decompressobj(31)  # 31 = gzip wrapper
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error:
+            break  # truncated/garbage tail: keep completed members
+        if not d.eof or d.unused_data == data:
+            break
+        data = d.unused_data
+    return b"".join(out)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC files under ``path`` -> pages(url, warc_ts, html).
 
     ``binaryFile`` source (one task per file; Spark lists and
-    distributes the files) -> mapInPandas parse. warc_ts parses the
-    ISO 8601 WARC-Date as UTC (the session timezone), naive."""
+    distributes the files) -> mapInPandas parse. Accepts plain
+    ``*.warc`` and Common-Crawl-style ``*.warc.gz`` (per-record gzip
+    members, sniffed by magic bytes and member-walked). warc_ts
+    parses the ISO 8601 WARC-Date as UTC (the session timezone),
+    naive."""
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc")
+        .option("pathGlobFilter", "*.warc*")
         .load(path)
+        .filter(
+            F.col("path").endswith(".warc")
+            | F.col("path").endswith(".warc.gz")
+        )
         .select("content")
     )
 
     def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for blob in pdf["content"]:
-                recs = parse_warc_bytes(bytes(blob))
+                raw = bytes(blob)
+                if raw[:2] == b"\x1f\x8b":
+                    raw = gunzip_members(raw)
+                recs = parse_warc_bytes(raw)
                 if not recs:
                     continue
                 urls, dates, htmls = zip(*recs)
@@ -174,13 +207,16 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_warc_directory(
-    pages: DataFrame, out_dir: str, n_files: int = 8
+    pages: DataFrame, out_dir: str, n_files: int = 8,
+    gzip_members: bool = False,
 ) -> DataFrame:
     """Write pages(url, warc_ts, html) as ``n_files`` WARC files under
     ``out_dir`` — the fixture/export sink. One task per output file
     (groupBy a url-hash file id; records sorted by url within a file
     so bytes are deterministic across runs and parallelism levels).
-    Returns (file_id, n_records, n_bytes) per written file."""
+    ``gzip_members=True`` writes Common-Crawl-style ``.warc.gz``:
+    one gzip member per record (mtime pinned to 0 so bytes stay
+    deterministic). Returns (file_id, n_records, n_bytes) per file."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -198,9 +234,26 @@ def write_warc_directory(
             (u, int(t), bytes(h))
             for u, t, h in zip(pdf["url"], pdf["ts_s"], pdf["html"])
         ]
-        blob = warc_file_bytes(recs)
-        tmp = os.path.join(out_dir, f".part-{fid:05d}.warc.tmp")
-        final = os.path.join(out_dir, f"part-{fid:05d}.warc")
+        if gzip_members:
+            import gzip as _gzip
+            import io
+
+            def _member(b: bytes) -> bytes:
+                buf = io.BytesIO()
+                with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                    g.write(b)
+                return buf.getvalue()
+
+            whole = warc_file_bytes(recs)
+            per_rec = [warc_record_bytes(*r) for r in recs]
+            info = whole[: len(whole) - sum(len(p) for p in per_rec)]
+            blob = b"".join(_member(m) for m in [info] + per_rec)
+            ext = "warc.gz"
+        else:
+            blob = warc_file_bytes(recs)
+            ext = "warc"
+        tmp = os.path.join(out_dir, f".part-{fid:05d}.{ext}.tmp")
+        final = os.path.join(out_dir, f"part-{fid:05d}.{ext}")
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, final)  # atomic publish, torn writes invisible

@@ -133,3 +133,63 @@ def test_read_warc_tolerates_bad_and_fractional_dates(
     # malformed date -> NaT for that record, html still delivered
     assert rows["https://x.test/1"]["warc_ts"] is None
     assert bytes(rows["https://x.test/1"]["html"]) == b"<p>x</p>"
+
+
+def test_gunzip_members_walks_concatenated_streams():
+    import gzip as _g
+    import io
+
+    from pisa_spark.sources.warc import gunzip_members
+
+    def member(b):
+        buf = io.BytesIO()
+        with _g.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(b)
+        return buf.getvalue()
+
+    parts = [b"alpha", b"beta" * 1000, b"", b"gamma\r\n\r\n"]
+    data = b"".join(member(p) for p in parts)
+    assert gunzip_members(data) == b"".join(parts)
+    # truncated tail: completed members survive
+    assert gunzip_members(data[:-7]).startswith(b"alpha" + b"beta")
+    assert gunzip_members(b"") == b""
+
+
+def test_read_warc_gz_roundtrips_pages(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "warcgz")
+    pages = pages_from_documents(spark, sf_dir).select(
+        "url", "warc_ts", "html"
+    )
+    stats = write_warc_directory(
+        pages, out, n_files=3, gzip_members=True
+    ).collect()
+    import os
+
+    names = sorted(os.listdir(out))
+    assert names and all(n.endswith(".warc.gz") for n in names)
+    orig = {
+        r["url"]: (r["ts"], bytes(r["html"]))
+        for r in pages.select(
+            "url", F.col("warc_ts").cast("long").alias("ts"), "html"
+        ).collect()
+    }
+    got = {
+        r["url"]: (r["ts"], bytes(r["html"]))
+        for r in read_warc(spark, out)
+        .select("url", F.col("warc_ts").cast("long").alias("ts"), "html")
+        .collect()
+    }
+    assert got == orig
+    assert sum(r["n_records"] for r in stats) == len(orig)
+
+
+def test_read_warc_mixed_plain_and_gz(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "mixed")
+    pages = pages_from_documents(spark, sf_dir).select(
+        "url", "warc_ts", "html"
+    )
+    a = pages.filter(F.col("url") < "https://example5")
+    b = pages.subtract(a)
+    write_warc_directory(a, out, n_files=2).collect()
+    write_warc_directory(b, out, n_files=2, gzip_members=True).collect()
+    assert read_warc(spark, out).count() == pages.count()
