@@ -3429,6 +3429,120 @@ FROM f LEFT JOIN kept k USING (lang)
 """
 
 
+def _link_graph_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink extraction -> host link graph (functions/links.py):
+    deterministic anchors injected into the synthetic pages (absolute
+    on every doc, root-relative on %3, path-relative on %5,
+    protocol-relative on %7, junk fragment/mailto on %11 — the
+    synthetic html carries no links of its own). Twin replays
+    injection, the href regex, RFC 3986 resolution forms and host
+    canonicalization."""
+    from pisa_spark.functions.links import extract_links, host_link_graph
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://example"),
+        (d % 1000).cast("string"),
+        F.lit(".test/p/"),
+        F.lpad(d.cast("string"), 8, "0"),
+    )
+    anchors = F.concat(
+        F.lit('<a href="https://example'),
+        ((d * 7) % 1000).cast("string"),
+        F.lit('.test/l/'),
+        d.cast("string"),
+        F.lit('">x</a>'),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit('<a href="/r/'), d.cast("string"), F.lit('">x</a>')),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit('<a href="s/'), d.cast("string"), F.lit('">x</a>')),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(
+                F.lit('<a href="//example'),
+                ((d * 3) % 1000).cast("string"),
+                F.lit('.test/z">x</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.lit('<a href="#top">x</a><a href="mailto:a@b.c">x</a>'),
+        ).otherwise(F.lit("")),
+    )
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), anchors, F.lit("</body></html>")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return host_link_graph(extract_links(pages)).select(
+        "src_host", "dst_host", F.col("n_links").cast("long").alias("n_links")
+    )
+
+
+_SQL_LINK_GRAPH = """
+WITH pages AS (
+  SELECT 'https://example' || CAST(doc_id % 1000 AS VARCHAR)
+           || '.test/p/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+         '<html><body>'
+         || '<a href="https://example' || CAST((doc_id * 7) % 1000 AS VARCHAR)
+           || '.test/l/' || CAST(doc_id AS VARCHAR) || '">x</a>'
+         || CASE WHEN doc_id % 3 = 0 THEN '<a href="/r/'
+              || CAST(doc_id AS VARCHAR) || '">x</a>' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '<a href="s/'
+              || CAST(doc_id AS VARCHAR) || '">x</a>' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN '<a href="//example'
+              || CAST((doc_id * 3) % 1000 AS VARCHAR)
+              || '.test/z">x</a>' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN '<a href="#top">x</a><a href="mailto:a@b.c">x</a>'
+              ELSE '' END
+         || '</body></html>' AS html
+  FROM documents
+),
+hrefs AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+  FROM pages
+),
+kept AS (
+  SELECT src_url, href FROM hrefs
+  WHERE href <> '' AND href NOT LIKE '#%'
+    AND href NOT LIKE 'javascript:%' AND href NOT LIKE 'mailto:%'
+),
+resolved AS (
+  SELECT src_url,
+         regexp_replace(
+           CASE
+             WHEN regexp_matches(href, '^https?://') THEN href
+             WHEN href LIKE '//%' THEN
+               regexp_extract(src_url, '^(https?:)', 1) || href
+             WHEN href LIKE '/%' THEN
+               regexp_extract(src_url, '^(https?://[^/]*)', 1) || href
+             ELSE regexp_replace(src_url, '[^/]*$', '') || href
+           END, '#.*$', '') AS dst_url
+  FROM kept
+),
+hosted AS (
+  SELECT
+    regexp_extract(regexp_replace(regexp_replace(regexp_replace(
+      lower(src_url), '^https?://', ''), '^www\\.', ''), '[?#].*', ''),
+      '^[^/]*', 0) AS src_host,
+    regexp_extract(regexp_replace(regexp_replace(regexp_replace(
+      lower(dst_url), '^https?://', ''), '^www\\.', ''), '[?#].*', ''),
+      '^[^/]*', 0) AS dst_host
+  FROM resolved
+)
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM hosted GROUP BY src_host, dst_host
+"""
+
+
 def _bm25_rm3_df(
     spark: SparkSession, sf_dir: str, qs, k: int = 10
 ) -> DataFrame:
@@ -4152,6 +4266,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "link_host_graph",
     "mixture_temperature_sample",
     "pii_scrub_stats",
     "lm_perplexity_scores",
@@ -4401,6 +4516,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_scores": _lm_perplexity_gate,
         "pii_scrub_stats": _pii_gate,
         "mixture_temperature_sample": _mixture_gate,
+        "link_host_graph": _link_graph_gate,
         "bm25f_topk_quant": lambda spark, sf: _bm25f_quant_df(
             spark, sf, _OR_QUERIES
         ),
@@ -4974,6 +5090,7 @@ SELECT query_id, facet, value, n FROM (
         "lm_perplexity_scores": _lm_perplexity_sql(),
         "pii_scrub_stats": _pii_sql(),
         "mixture_temperature_sample": _SQL_MIXTURE,
+        "link_host_graph": _SQL_LINK_GRAPH,
         "bm25f_topk_quant": _bm25f_quant_sql(_OR_QUERIES),
         "bm25_phrase_filtered_topk": _phrase_filtered_sql(
             _PHRASE_FILTER_QUERIES
