@@ -4319,12 +4319,12 @@ _GATE_ORDER = [
     "search_eval_metrics",
     "bm25_near_topk",
     "bm25_mixed_query_topk",
-    "text_collocations",
-    "search_facets",
-    "bm25_negation_topk",
     # ---- window boundary (~50): below here = green r3/r4, pytest-
     # covered; the first block below was additionally re-verified
     # against the DuckDB oracle by the round-5 session replica ----
+    "text_collocations",
+    "search_facets",
+    "bm25_negation_topk",
     "bm25f_topk",
     "bm25_top100_or",
     "bm25_topk_and_wand",
