@@ -3543,6 +3543,198 @@ FROM hosted GROUP BY src_host, dst_host
 """
 
 
+_ANCHOR_QUERIES = [
+    (0, ["data", "join"]),
+    (2, ["spark", "query", "scan"]),
+    (30, ["anchor3", "data"]),
+]
+
+
+def _bm25f_anchor_df(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """BM25F with an inbound-anchor-text field (functions/links.py
+    extract_anchors/anchor_field_tf composed into query/bm25f.py):
+    every doc links to target (doc_id*13+7) %% n_docs with anchor
+    text '<first token of source> anchor<doc_id%%5>'; the anchor
+    relation unions with the title/body split and scores with
+    field_params {title 2.0/0.5, body 1.0/0.4, anchor 2.5/0.6}. Twin
+    replays the injected html, the tag regex, target-url join,
+    tokenization and the full BM25F math."""
+    from pisa_spark.functions.links import anchor_field_tf, extract_anchors
+    from pisa_spark.query.bm25f import (
+        avg_field_lengths,
+        bm25f_topk,
+        fielded_tf,
+    )
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+
+    def _url(d):
+        return F.concat(
+            F.lit("https://example"),
+            (d % 1000).cast("string"),
+            F.lit(".test/p/"),
+            F.lpad(d.cast("string"), 8, "0"),
+        )
+
+    d = F.col("doc_id")
+    tgt = (d * 13 + 7) % n_docs
+    first_tok = F.regexp_extract(F.lower(F.col("text")), "[a-z0-9]+", 0)
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        _url(tgt),
+        F.lit('">'),
+        first_tok,
+        F.lit(" anchor"),
+        (d % 5).cast("string"),
+        F.lit("</a></body></html>"),
+    )
+    pages = docs.select(
+        _url(d).alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+    doc_urls = docs.select(_url(d).alias("url"), "doc_id")
+    arel = anchor_field_tf(extract_anchors(pages), doc_urls)
+
+    toks = _tokens(spark, sf_dir)
+    ftf = fielded_tf(toks).unionByName(arel)
+    afl = avg_field_lengths(toks)
+    a_avg = (
+        arel.select("doc_id", "field_len")
+        .distinct()
+        .agg(F.avg("field_len"))
+        .collect()[0][0]
+    )
+    afl["anchor"] = float(a_avg)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in _ANCHOR_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    out = bm25f_topk(
+        ftf, qdf, n_docs, afl, k=k,
+        field_params={
+            "title": (2.0, 0.5),
+            "body": (1.0, 0.4),
+            "anchor": (2.5, 0.6),
+        },
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25f_anchor_sql(qs, k: int = 10) -> str:
+    return f"""
+WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+urls AS (
+  SELECT doc_id,
+         'https://example' || CAST(doc_id % 1000 AS VARCHAR)
+           || '.test/p/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url
+  FROM documents
+),
+pages AS (
+  SELECT d.doc_id AS src_id, u.url AS src_url,
+         '<html><body><a href="'
+         || 'https://example'
+           || CAST(((d.doc_id * 13 + 7) % (SELECT n_docs FROM nd)) % 1000
+                   AS VARCHAR)
+           || '.test/p/'
+           || lpad(CAST((d.doc_id * 13 + 7) % (SELECT n_docs FROM nd)
+                        AS VARCHAR), 8, '0')
+         || '">'
+         || regexp_extract(lower(d.text), '[a-z0-9]+', 0)
+         || ' anchor' || CAST(d.doc_id % 5 AS VARCHAR)
+         || '</a></body></html>' AS html
+  FROM documents d JOIN urls u USING (doc_id)
+),
+tags AS (
+  SELECT src_url,
+         unnest(regexp_extract_all(html,
+           '<a href="[^"]*"[^>]*>[^<]*</a>', 0)) AS tag
+  FROM pages
+),
+anch AS (
+  SELECT regexp_extract(tag, 'href="([^"]*)"', 1) AS dst_url,
+         regexp_extract(tag, '>([^<]*)<', 1) AS anchor
+  FROM tags
+  WHERE regexp_extract(tag, 'href="([^"]*)"', 1) <> ''
+    AND regexp_extract(tag, '>([^<]*)<', 1) <> ''
+),
+atoks AS (
+  SELECT u.doc_id,
+         unnest(list_filter(
+           regexp_split_to_array(lower(a.anchor), '[^a-z0-9]+'),
+           x -> x <> '')) AS term
+  FROM anch a JOIN urls u ON u.url = a.dst_url
+),
+alen AS (SELECT doc_id, count(*) AS field_len FROM atoks GROUP BY doc_id),
+atf AS (SELECT doc_id, term, count(*) AS tf FROM atoks GROUP BY doc_id, term),
+a_avg AS (SELECT avg(field_len) AS a_anchor FROM alen),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+),
+f AS (
+  SELECT doc_id, 'title' AS field, tokens[1:8] AS ftoks FROM toks
+  UNION ALL
+  SELECT doc_id, 'body' AS field, tokens[9:len(tokens)] AS ftoks FROM toks
+),
+fl AS (SELECT doc_id, field, len(ftoks) AS field_len FROM f),
+ftf AS (
+  SELECT doc_id, field, term, count(*) AS tf
+  FROM (SELECT doc_id, field, unnest(ftoks) AS term FROM f)
+  GROUP BY doc_id, field, term
+),
+avgfl AS (
+  SELECT avg(CASE WHEN field = 'title' THEN field_len END) AS a_title,
+         avg(CASE WHEN field = 'body' THEN field_len END) AS a_body
+  FROM fl
+),
+allrows AS (
+  SELECT t.doc_id, t.field, t.term, t.tf, l.field_len
+  FROM ftf t JOIN fl l ON l.doc_id = t.doc_id AND l.field = t.field
+  UNION ALL
+  SELECT a.doc_id, 'anchor' AS field, a.term, a.tf, n.field_len
+  FROM atf a JOIN alen n USING (doc_id)
+),
+pseudo AS (
+  SELECT doc_id, term,
+         sum(CASE
+               WHEN field = 'title'
+                 THEN 2.0 * tf / (1 - 0.5 + 0.5 * field_len
+                                  / (SELECT a_title FROM avgfl))
+               WHEN field = 'body'
+                 THEN 1.0 * tf / (1 - 0.4 + 0.4 * field_len
+                                  / (SELECT a_body FROM avgfl))
+               ELSE 2.5 * tf / (1 - 0.6 + 0.6 * field_len
+                                / (SELECT a_anchor FROM a_avg))
+             END) AS ptf
+  FROM allrows GROUP BY doc_id, term
+),
+dfq AS (SELECT term, count(*) AS df FROM pseudo GROUP BY term),
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(((SELECT n_docs FROM nd) - d.df + 0.5) / (d.df + 0.5))
+              * p.ptf / (0.9 + p.ptf) ) AS raw_score
+  FROM pseudo p
+  JOIN q USING (term)
+  JOIN dfq d USING (term)
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER)
+           AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _bm25_rm3_df(
     spark: SparkSession, sf_dir: str, qs, k: int = 10
 ) -> DataFrame:
@@ -4267,6 +4459,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
     "link_host_graph",
+    "bm25f_anchor_topk",
     "mixture_temperature_sample",
     "pii_scrub_stats",
     "lm_perplexity_scores",
@@ -4318,10 +4511,10 @@ _GATE_ORDER = [
     "suggest_prefix_topk",
     "search_eval_metrics",
     "bm25_near_topk",
-    "bm25_mixed_query_topk",
     # ---- window boundary (~50): below here = green r3/r4, pytest-
     # covered; the first block below was additionally re-verified
     # against the DuckDB oracle by the round-5 session replica ----
+    "bm25_mixed_query_topk",
     "text_collocations",
     "search_facets",
     "bm25_negation_topk",
@@ -4517,6 +4710,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_stats": _pii_gate,
         "mixture_temperature_sample": _mixture_gate,
         "link_host_graph": _link_graph_gate,
+        "bm25f_anchor_topk": lambda spark, sf: _bm25f_anchor_df(spark, sf),
         "bm25f_topk_quant": lambda spark, sf: _bm25f_quant_df(
             spark, sf, _OR_QUERIES
         ),
@@ -5091,6 +5285,7 @@ SELECT query_id, facet, value, n FROM (
         "pii_scrub_stats": _pii_sql(),
         "mixture_temperature_sample": _SQL_MIXTURE,
         "link_host_graph": _SQL_LINK_GRAPH,
+        "bm25f_anchor_topk": _bm25f_anchor_sql(_ANCHOR_QUERIES),
         "bm25f_topk_quant": _bm25f_quant_sql(_OR_QUERIES),
         "bm25_phrase_filtered_topk": _phrase_filtered_sql(
             _PHRASE_FILTER_QUERIES

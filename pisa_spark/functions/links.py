@@ -71,6 +71,72 @@ def extract_links(
     )
 
 
+ANCHOR_TAG_RE = r'<a href="[^"]*"[^>]*>[^<]*</a>'
+
+
+def extract_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(dst_url, anchor) — inbound anchor text per resolved link
+    target, the classic web-ranking signal (how OTHERS describe a
+    page; feeds BM25F as an 'anchor' field via ``anchor_field_tf``).
+    Same codegen shape as ``extract_links``; empty anchor texts and
+    junk hrefs are dropped."""
+    h = F.decode(F.col(html_col), "UTF-8")
+    tags = pages.select(
+        F.col(url_col).alias("src_url"),
+        F.explode(
+            F.regexp_extract_all(h, F.lit(ANCHOR_TAG_RE), F.lit(0))
+        ).alias("tag"),
+    ).select(
+        "src_url",
+        F.regexp_extract("tag", HREF_RE, 1).alias("href"),
+        F.regexp_extract("tag", r">([^<]*)<", 1).alias("anchor"),
+    ).filter(
+        (F.col("href") != "")
+        & ~F.col("href").startswith("#")
+        & ~F.col("href").startswith("javascript:")
+        & ~F.col("href").startswith("mailto:")
+        & (F.col("anchor") != "")
+    )
+    return tags.select(
+        resolve_href(F.col("src_url"), F.col("href")).alias("dst_url"),
+        "anchor",
+    )
+
+
+def anchor_field_tf(
+    anchors: DataFrame, doc_urls: DataFrame
+) -> DataFrame:
+    """Inbound anchors -> a BM25F field relation
+    (doc_id, field='anchor', term, tf, field_len): join targets to
+    doc ids, tokenize with the index tokenizer, field_len = the doc's
+    total inbound anchor tokens. Union with ``fielded_tf``'s
+    title/body rows and score via ``bm25f_topk`` with an 'anchor'
+    entry in field_params — zero new scoring code."""
+    from pisa_spark.corpus import tokens_col
+
+    toks = (
+        anchors.join(
+            doc_urls.select(F.col("url").alias("dst_url"), "doc_id"),
+            "dst_url",
+        )
+        .select(
+            "doc_id",
+            F.explode(tokens_col(F.col("anchor"))).alias("term"),
+        )
+    )
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("field_len"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.join(lens, "doc_id").select(
+        "doc_id",
+        F.lit("anchor").alias("field"),
+        "term",
+        "tf",
+        "field_len",
+    )
+
+
 def host_link_graph(links: DataFrame) -> DataFrame:
     """(src_host, dst_host, n_links) — the host-level web graph, self
     edges (intra-host navigation) included; feed

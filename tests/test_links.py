@@ -91,3 +91,44 @@ def test_feeds_pagerank(spark, pages):
     assert ranks[ids["a.test"]] < ranks[ids["c.test"]]
     # one dedup'd edge each from the same source: b and c tie exactly
     assert ranks[ids["b.test"]] == ranks[ids["c.test"]]
+
+
+def test_anchor_field_feeds_bm25f(spark):
+    from pisa_spark.functions.links import anchor_field_tf, extract_anchors
+    from pisa_spark.query.bm25f import bm25f_topk
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://s.test/p",
+                '<a href="https://t.test/a">great engine</a>'
+                '<a href="https://u.test/b">engine</a>'
+                '<a href="#x">skip</a><a href="https://t.test/a"></a>',
+            )
+        ],
+        "url string, body string",
+    ).select("url", F.encode("body", "UTF-8").alias("html"))
+    doc_urls = spark.createDataFrame(
+        [("https://t.test/a", 1), ("https://u.test/b", 2)],
+        "url string, doc_id long",
+    )
+    arel = anchor_field_tf(extract_anchors(pages), doc_urls)
+    rows = {
+        (r["doc_id"], r["term"]): (r["tf"], r["field_len"])
+        for r in arel.collect()
+    }
+    # doc 1: "great engine" (2 tokens); the empty-anchor dup dropped
+    assert rows == {
+        (1, "great"): (1, 2),
+        (1, "engine"): (1, 2),
+        (2, "engine"): (1, 1),
+    }
+    assert arel.columns == ["doc_id", "field", "term", "tf", "field_len"]
+    # scoring: 'engine' hits both docs; doc 2's anchor field is
+    # shorter, so under pure-anchor scoring it saturates higher
+    qdf = spark.createDataFrame([(0, "engine")], "query_id int, term string")
+    out = bm25f_topk(
+        arel, qdf, n_docs=10, avg_field_lens={"anchor": 1.5},
+        field_params={"anchor": (2.5, 0.6)}, k=5,
+    ).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [2, 1]
