@@ -1126,6 +1126,101 @@ def _bm25_wand(
     )
 
 
+# kth-threshold probes: 'dup' is the corpus's one mid-df term (a valid
+# primable bound), the head terms threshold with NEGATIVE values
+# (df > N/2), and the absent term emits no row
+_THR_PROBES = ["dup", "data", "query", "the", "spark", "zzzzzz"]
+_THR_K = 10
+
+
+def _thresholds_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PISA's offline kth_threshold tool (query/thresholds.py): the
+    k-th highest single-term BM25 score per probe term, served off the
+    compressed index via one decode + a WindowGroupLimit top-k."""
+    from pisa_spark.query.thresholds import term_kth_scores
+
+    postings, stats = _built_index(spark, sf_dir)
+    thr = term_kth_scores(
+        postings, stats["n_docs"], stats["avgdl"], k=_THR_K,
+        terms=_THR_PROBES,
+    )
+    return thr.select(
+        "term", "df", F.round("threshold", 4).alias("threshold")
+    )
+
+
+def _thresholds_sql(terms: list[str], k: int) -> str:
+    probe = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+{_SQL_BASE},
+probe(term) AS (VALUES {probe}),
+scored AS (
+  SELECT tf.term, tf.doc_id, dfreq.df,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * 1.9)
+         / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl))
+           AS score
+  FROM tf
+  JOIN probe USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+),
+ranked AS (
+  SELECT term, df, score,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT term, df, round(score, 4) AS threshold FROM ranked WHERE rn = {k}
+"""
+
+
+# primed-serving queries: q0 actually primes ('dup' idf >= 0, df >= k);
+# the others exercise the eligibility fallbacks (negative-idf head
+# terms) — primed or not, ranks must equal the exhaustive oracle
+_PRIMED_QUERIES = [
+    (0, ["dup"]),
+    (1, ["dup", "data"]),
+    (2, ["spark", "query", "scan"]),
+    (3, ["the", "data"]),
+]
+
+
+def _bm25_primed(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """WAND serving with build-time primed thresholds (no phase-1
+    bootstrap job): rank-identical to the exhaustive BM25 oracle."""
+    from pisa_spark.query.thresholds import prime_thresholds, term_kth_scores
+
+    postings, stats = _built_index(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms, "conjunctive": False}
+        for qid, terms in _PRIMED_QUERIES
+    ]
+    terms = sorted({t for _, ts in _PRIMED_QUERIES for t in ts})
+    thr = {
+        r["term"]: r["threshold"]
+        for r in term_kth_scores(
+            postings, stats["n_docs"], stats["avgdl"], k=k, terms=terms
+        ).collect()
+    }
+    term_dfs = {
+        r["term"]: int(r["df"])
+        for r in postings.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"))
+        .collect()
+    }
+    primed = prime_thresholds(thr, queries, term_dfs, stats["n_docs"])
+    out = bm25_topk_wand(
+        postings, queries, stats["n_docs"], stats["avgdl"], k=k,
+        term_dfs=term_dfs, primed_thresholds=primed,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 _TV_DOC_IDS = [3, 42, 123, 250, 499]
 
 
@@ -4458,6 +4553,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "term_kth_thresholds",
+    "bm25_primed_topk",
     "link_host_graph",
     "bm25f_anchor_topk",
     "mixture_temperature_sample",
@@ -4711,6 +4808,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_temperature_sample": _mixture_gate,
         "link_host_graph": _link_graph_gate,
         "bm25f_anchor_topk": lambda spark, sf: _bm25f_anchor_df(spark, sf),
+        "term_kth_thresholds": _thresholds_gate,
+        "bm25_primed_topk": lambda spark, sf: _bm25_primed(spark, sf),
         "bm25f_topk_quant": lambda spark, sf: _bm25f_quant_df(
             spark, sf, _OR_QUERIES
         ),
@@ -5286,6 +5385,8 @@ SELECT query_id, facet, value, n FROM (
         "mixture_temperature_sample": _SQL_MIXTURE,
         "link_host_graph": _SQL_LINK_GRAPH,
         "bm25f_anchor_topk": _bm25f_anchor_sql(_ANCHOR_QUERIES),
+        "term_kth_thresholds": _thresholds_sql(_THR_PROBES, _THR_K),
+        "bm25_primed_topk": _bm25_sql(_PRIMED_QUERIES, conjunctive=False),
         "bm25f_topk_quant": _bm25f_quant_sql(_OR_QUERIES),
         "bm25_phrase_filtered_topk": _phrase_filtered_sql(
             _PHRASE_FILTER_QUERIES

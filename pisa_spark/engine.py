@@ -64,6 +64,12 @@ class SearchEngine:
         # term -> (df, cf) for the alternative-scorer kernel (QLD/PL2/
         # DPH need collection frequency); same snapshot-lifetime rule
         self._term_stats_cache: dict[str, tuple[int, int]] = {}
+        # precomputed k-th-score thresholds (query/thresholds.py):
+        # term -> threshold or None (= looked up, no row); the table's
+        # build K rides along, None until first lookup/precompute
+        self._thr_cache: dict[str, float | None] = {}
+        self._thr_table_k: int | None = None
+        self._thr_df: DataFrame | None = None
 
     # -- construction ------------------------------------------------------
 
@@ -372,7 +378,7 @@ class SearchEngine:
 
     def search(
         self, query, k: int = 10, two_phase: bool = False,
-        algorithm: str = "wand",
+        algorithm: str = "wand", primed: bool = False,
     ) -> DataFrame:
         """One query (string or dict) -> (query_id, rank, doc_id, score).
 
@@ -438,7 +444,8 @@ class SearchEngine:
                 pre_arranged=self._pre_arranged,
             )
         return self.search_batch(
-            [q], k=k, two_phase=two_phase, algorithm=algorithm
+            [q], k=k, two_phase=two_phase, algorithm=algorithm,
+            primed=primed,
         )
 
     # above this many queries, MaxScore's per-query term-at-a-time
@@ -451,6 +458,7 @@ class SearchEngine:
     def search_batch(
         self, queries, k: int = 10, two_phase: bool = False,
         algorithm: str = "wand", strict_algorithm: bool = False,
+        primed: bool = False,
     ) -> DataFrame:
         """Batch of queries in one pass. algorithm: 'wand' (block-max
         pruning with batch-shared union decode — the batched-serving
@@ -464,7 +472,15 @@ class SearchEngine:
         than MAXSCORE_BATCH_LIMIT it is rerouted to the WAND
         union-decode with a warning (identical ranks, ~2x less work at
         10M docs). Pass strict_algorithm=True to force the requested
-        kernel anyway (e.g. for kernel A/B measurement)."""
+        kernel anyway (e.g. for kernel A/B measurement).
+
+        primed=True starts pruning from the precomputed per-term k-th
+        score bounds (precompute_thresholds — PISA's kth_threshold
+        tool) instead of -inf: the threshold skipping of two_phase
+        without its phase-1 job + collect. Rank-identical by the bound
+        soundness contract; ineligible queries (conjunctive, negated,
+        filtered, negative-idf terms, k above the table's K) simply
+        stay unprimed."""
         import warnings
 
         from pisa_spark.query.bm25 import bm25_topk_maxscore
@@ -501,6 +517,9 @@ class SearchEngine:
                 stacklevel=2,
             )
             algorithm = "wand"
+        term_dfs = self._term_dfs(
+            {t for q in normalized for t in q["terms"]}
+        )
         return impl[algorithm](
             self.postings,
             normalized,
@@ -508,10 +527,13 @@ class SearchEngine:
             self.stats["avgdl"],
             k=k,
             two_phase=two_phase,
-            term_dfs=self._term_dfs(
-                {t for q in normalized for t in q["terms"]}
-            ),
+            term_dfs=term_dfs,
             pre_arranged=self._pre_arranged,
+            primed_thresholds=(
+                self._primed_thresholds(normalized, k, term_dfs)
+                if primed
+                else None
+            ),
         )
 
     def search_boolean(self, query, k: int = 10, **search_kwargs) -> DataFrame:
@@ -620,6 +642,103 @@ class SearchEngine:
                 term_stats_from_blocks(self.postings, missing)
             )
         return {t: self._term_stats_cache[t] for t in terms}
+
+    def precompute_thresholds(
+        self, k: int = 10, persist: bool = True
+    ) -> DataFrame:
+        """Build the (term, df, threshold, k) table that primes WAND/
+        MaxScore pruning — PISA's offline ``kth_threshold`` tool
+        (query/thresholds.py). One decode pass + a WindowGroupLimit
+        per-term top-k; persist=True commits it under the index root
+        as the ``term_thresholds`` catalog table so future load()s
+        prime without recomputing. Serving reads it per query with a
+        pushed In(term, ...) filter — search_batch(primed=True)."""
+        if self._tombstone_ids is not None:
+            raise ValueError(
+                "precompute_thresholds on a tombstoned index would"
+                " bake deleted docs into the bounds — compact() first"
+            )
+        from pisa_spark.query.thresholds import (
+            THRESHOLDS_TABLE,
+            term_kth_scores,
+        )
+        from pisa_spark.sources import catalog
+
+        thr = term_kth_scores(
+            self.postings,
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            k=k,
+        ).withColumn("k", F.lit(k))
+        if persist:
+            if self._index_root is None:
+                raise ValueError(
+                    "persist=True needs a catalog-backed index"
+                    " (build()/load()); pass persist=False for a"
+                    " relation-constructed engine"
+                )
+            catalog.write_table(thr, self._index_root, THRESHOLDS_TABLE)
+            thr = catalog.read_table(
+                self.spark, self._index_root, THRESHOLDS_TABLE
+            )
+        self._thr_df = thr
+        self._thr_table_k = k
+        self._thr_cache = {}
+        return thr
+
+    def _primed_thresholds(
+        self, normalized: list[dict], k: int, term_dfs: dict[str, int]
+    ) -> dict[int, float]:
+        """{query_id: theta0} for the eligible queries of a primed
+        batch (query/thresholds.py prime_thresholds rules; tombstone
+        deletes inject a negated pseudo-term, so eligibility fails by
+        construction — skip even the lookup). Raises when NO threshold
+        source exists at all: silently serving an unprimed batch the
+        caller asked to prime would hide a missing precompute."""
+        if self._tombstone_ids is not None:
+            return {}
+        from pisa_spark.query.thresholds import (
+            THRESHOLDS_TABLE,
+            prime_thresholds,
+        )
+        from pisa_spark.sources import catalog
+
+        if self._thr_df is None:
+            if self._index_root is not None and catalog.table_exists(
+                self._index_root, THRESHOLDS_TABLE
+            ):
+                self._thr_df = catalog.read_table(
+                    self.spark, self._index_root, THRESHOLDS_TABLE
+                )
+            else:
+                raise ValueError(
+                    "primed=True needs precomputed thresholds — call"
+                    " precompute_thresholds() (persisted under the"
+                    " index root as the term_thresholds table)"
+                )
+        qterms = sorted({t for q in normalized for t in q["terms"]})
+        missing = [t for t in qterms if t not in self._thr_cache]
+        if missing:
+            rows = self._thr_df.filter(F.col("term").isin(missing)).collect()
+            found: dict[str, float] = {}
+            for r in rows:
+                found[r["term"]] = float(r["threshold"])
+                if self._thr_table_k is None:
+                    self._thr_table_k = int(r["k"])
+            for t in missing:
+                self._thr_cache[t] = found.get(t)
+        # the K-th best only lower-bounds the k-th best for k <= K;
+        # K unknown (no row ever seen) means nothing to prime with
+        if self._thr_table_k is None or k > self._thr_table_k:
+            return {}
+        thr = {
+            t: v
+            for t in qterms
+            if (v := self._thr_cache.get(t)) is not None
+        }
+        return prime_thresholds(
+            thr, normalized, term_dfs, float(self.stats["n_docs"])
+        )
 
     def search_scored(
         self, queries, scorer: str = "bm25", k: int = 10

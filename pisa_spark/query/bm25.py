@@ -561,6 +561,7 @@ def bm25_topk_wand(
     sample_buckets: int = 2,
     term_dfs: dict[str, int] | None = None,
     pre_arranged: bool = False,
+    primed_thresholds: dict[int, float] | None = None,
 ) -> DataFrame:
     """Block-max WAND top-k over the compressed index.
 
@@ -575,6 +576,12 @@ def bm25_topk_wand(
     lower bound on the global k-th score, so phase-2 pruning is exact;
     at 10^12 docs this skips decoding for the vast majority of blocks
     of head terms while only metadata (block_max_score) is scanned.
+
+    primed_thresholds: per-query VALID lower bounds on the global k-th
+    score, precomputed at build time (query/thresholds.py — PISA's
+    kth_threshold tool). Pruning starts from them instead of -inf, with
+    no phase-1 job; composes with two_phase (phase 2 takes the max of
+    the primed and bootstrapped bounds).
 
     pre_arranged: the input already holds every bucket wholly inside
     one partition (the serving layout: the catalog stores postings
@@ -600,7 +607,7 @@ def bm25_topk_wand(
     )
     return _two_phase_topk(
         wand_kernel, arranged, queries, n_docs, avgdl, k,
-        two_phase, sample_buckets, term_dfs,
+        two_phase, sample_buckets, term_dfs, primed_thresholds,
     )
 
 
@@ -614,6 +621,7 @@ def _two_phase_topk(
     two_phase: bool,
     sample_buckets: int,
     term_dfs: dict[str, int],
+    primed: dict[int, float] | None = None,
 ) -> DataFrame:
     """Shared phase-1/phase-2 driver for both pruning kernels.
 
@@ -623,10 +631,20 @@ def _two_phase_topk(
     (collected k rows per query re-shipped as a literal frame) and
     phase 2 scans only bucket >= sample_buckets. The sampled buckets
     are never read twice, and the thresholds ride along for free from
-    the same collect that builds the reused rows."""
+    the same collect that builds the reused rows.
+
+    primed: precomputed per-query lower bounds (query/thresholds.py).
+    They seed BOTH phases — phase-1 candidates below a primed bound
+    are dropped early, which is exact because a primed bound already
+    proves >= k docs score above them globally; phase 2 prunes with
+    max(primed, phase-1 k-th)."""
+    primed = primed or {}
     if not two_phase:
         partial = arranged.mapInPandas(
-            kernel_factory(queries, float(n_docs), float(avgdl), k, term_dfs),
+            kernel_factory(
+                queries, float(n_docs), float(avgdl), k, term_dfs,
+                primed or None,
+            ),
             schema=TOPK_RESULT_SCHEMA,
         )
         return topk_window(partial, k)
@@ -636,7 +654,8 @@ def _two_phase_topk(
         topk_window(
             sample.mapInPandas(
                 kernel_factory(
-                    queries, float(n_docs), float(avgdl), k, term_dfs
+                    queries, float(n_docs), float(avgdl), k, term_dfs,
+                    primed or None,
                 ),
                 schema=TOPK_RESULT_SCHEMA,
             ),
@@ -652,8 +671,12 @@ def _two_phase_topk(
         kth[r["query_id"]] = min(
             kth.get(r["query_id"], np.inf), r["score"]
         )
-    # a threshold is only valid once we have a full k results
-    thresholds = {q: kth[q] for q, c in counts.items() if c >= k}
+    # a bootstrapped threshold is only valid once we have a full k
+    # results; a primed bound is valid unconditionally — take the max
+    thresholds = dict(primed)
+    for q, c in counts.items():
+        if c >= k:
+            thresholds[q] = max(thresholds.get(q, -np.inf), kth[q])
     rest = arranged.filter(F.col("bucket") >= sample_buckets)
     partial = rest.mapInPandas(
         kernel_factory(
@@ -951,6 +974,7 @@ def bm25_topk_maxscore(
     sample_buckets: int = 2,
     term_dfs: dict[str, int] | None = None,
     pre_arranged: bool = False,
+    primed_thresholds: dict[int, float] | None = None,
 ) -> DataFrame:
     """MaxScore top-k over the compressed index — same signature,
     result contract and plan shape as bm25_topk_wand (term-pruned scan
@@ -973,7 +997,7 @@ def bm25_topk_maxscore(
     )
     return _two_phase_topk(
         maxscore_kernel, arranged, queries, n_docs, avgdl, k,
-        two_phase, sample_buckets, term_dfs,
+        two_phase, sample_buckets, term_dfs, primed_thresholds,
     )
 
 
