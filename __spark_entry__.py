@@ -1221,6 +1221,144 @@ def _bm25_primed(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+# selective-search queries: <= 2 terms each — two-element belief sums
+# are IEEE-order-independent, so the Python-side CORI selection and the
+# DuckDB avg() agree bit-exactly (3+ term sums would be associativity-
+# sensitive across engines); 'dup' is the one mid-df term, 'the' the
+# head stop term
+_SEL_QUERIES = [
+    (0, ["data", "join"]),
+    (1, ["the"]),
+    (2, ["dup", "query"]),
+    (3, ["spark", "scan"]),
+]
+
+
+def _built_lang_shards(spark: SparkSession, sf_dir: str):
+    """Per-language topical shards of the documents corpus — the
+    selective-search fixture (query/shards.py). Memoized like
+    _built_index; [(lang, postings, stats)] sorted by lang."""
+    key = ("langshards", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        from pisa_spark.corpus import tokens_col
+        from pisa_spark.index.build import build_postings
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        langs = sorted(
+            r["lang"] for r in docs.select("lang").distinct().collect()
+        )
+        shards = []
+        for lang in langs:
+            toks = docs.filter(F.col("lang") == lang).select(
+                "doc_id", tokens_col(F.col("text")).alias("tokens")
+            ).withColumn("doc_len", F.size("tokens"))
+            r = toks.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("doc_len").alias("avgdl"),
+                F.sum("doc_len").alias("total"),
+                F.max("doc_id").alias("mx"),
+            ).collect()[0]
+            postings = build_postings(
+                toks, int(r["n"]), float(r["avgdl"]), n_buckets=4,
+                max_doc_id=int(r["mx"]),
+            ).cache()
+            shards.append(
+                (lang, postings, {"n_docs": int(r["n"]),
+                                  "avgdl": float(r["avgdl"]),
+                                  "total_terms": int(r["total"])})
+            )
+        _MEMO[key] = shards
+    return _MEMO[key]
+
+
+def _selective_gate(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """CORI selective search over per-language shards: each query runs
+    on its top-2 shards only, scored under GLOBAL corpus stats — the
+    twin replays shard stats, CORI beliefs, the top-2 cut and the
+    restricted BM25 ranking."""
+    from pisa_spark.query.shards import selective_topk
+
+    shards = _built_lang_shards(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms, "conjunctive": False}
+        for qid, terms in _SEL_QUERIES
+    ]
+    out = selective_topk(shards, queries, k=k, n_select=2)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _selective_sql(qs, k: int = 10, n_select: int = 2) -> str:
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+docshard AS (SELECT doc_id, lang AS shard FROM documents),
+cw AS (
+  SELECT ds.shard, sum(dl.doc_len) AS cw
+  FROM doclen dl JOIN docshard ds USING (doc_id) GROUP BY 1
+),
+shardn AS (SELECT count(*) AS ns, avg(cw) AS avg_cw FROM cw),
+sdf AS (
+  SELECT ds.shard, tf.term, count(*) AS df_ts
+  FROM tf
+  JOIN docshard ds USING (doc_id)
+  JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+  GROUP BY 1, 2
+),
+cf AS (SELECT term, count(*) AS cf FROM sdf GROUP BY term),
+grid AS (
+  SELECT qd.query_id, qd.term, cw.shard, cw.cw
+  FROM (SELECT DISTINCT query_id, term FROM q) qd CROSS JOIN cw
+),
+pterm AS (
+  SELECT g.query_id, g.shard,
+         0.4 + 0.6
+             * (coalesce(sdf.df_ts, 0)
+                / (coalesce(sdf.df_ts, 0) + 50 + 150 * g.cw / shardn.avg_cw))
+             * coalesce(ln((shardn.ns + 0.5) / cf.cf) / ln(shardn.ns + 1.0), 0)
+           AS p
+  FROM grid g
+  LEFT JOIN sdf ON sdf.shard = g.shard AND sdf.term = g.term
+  LEFT JOIN cf ON cf.term = g.term
+  CROSS JOIN shardn
+),
+belief AS (SELECT query_id, shard, avg(p) AS belief FROM pterm GROUP BY 1, 2),
+sel AS (
+  SELECT query_id, shard FROM (
+    SELECT query_id, shard,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY belief DESC, shard ASC) AS rn
+    FROM belief
+  ) WHERE rn <= {n_select}
+),
+allowed AS (
+  SELECT s.query_id, ds.doc_id
+  FROM sel s JOIN docshard ds ON ds.shard = s.shard
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  JOIN allowed a ON a.query_id = q.query_id AND a.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 _TV_DOC_IDS = [3, 42, 123, 250, 499]
 
 
@@ -4553,6 +4691,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "selective_shard_topk",
     "term_kth_thresholds",
     "bm25_primed_topk",
     "link_host_graph",
@@ -4810,6 +4949,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_anchor_topk": lambda spark, sf: _bm25f_anchor_df(spark, sf),
         "term_kth_thresholds": _thresholds_gate,
         "bm25_primed_topk": lambda spark, sf: _bm25_primed(spark, sf),
+        "selective_shard_topk": lambda spark, sf: _selective_gate(spark, sf),
         "bm25f_topk_quant": lambda spark, sf: _bm25f_quant_df(
             spark, sf, _OR_QUERIES
         ),
@@ -5387,6 +5527,7 @@ SELECT query_id, facet, value, n FROM (
         "bm25f_anchor_topk": _bm25f_anchor_sql(_ANCHOR_QUERIES),
         "term_kth_thresholds": _thresholds_sql(_THR_PROBES, _THR_K),
         "bm25_primed_topk": _bm25_sql(_PRIMED_QUERIES, conjunctive=False),
+        "selective_shard_topk": _selective_sql(_SEL_QUERIES),
         "bm25f_topk_quant": _bm25f_quant_sql(_OR_QUERIES),
         "bm25_phrase_filtered_topk": _phrase_filtered_sql(
             _PHRASE_FILTER_QUERIES

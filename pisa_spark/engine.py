@@ -1725,11 +1725,20 @@ class FederatedEngine:
     a serving-topology concern, not a new query language."""
 
     def __init__(
-        self, spark: SparkSession, members: list, pre_arranged: bool = False
+        self, spark: SparkSession, members: list, pre_arranged: bool = False,
+        names: list[str] | None = None,
     ):
         self.spark = spark
         self.members = members  # [(postings, stats)]
         self._pre_arranged = pre_arranged
+        # shard names for selective search; default to member ordinals
+        self.names = (
+            list(names)
+            if names is not None
+            else [f"shard{i:04d}" for i in range(len(members))]
+        )
+        if len(self.names) != len(members):
+            raise ValueError("names must match members 1:1")
 
     @classmethod
     def load(
@@ -1742,7 +1751,7 @@ class FederatedEngine:
             arranged.append(eng._pre_arranged)
         # the bucket-co-location invariant must hold for EVERY member
         # before the per-query repartition can be skipped
-        return cls(spark, members, pre_arranged=all(arranged))
+        return cls(spark, members, pre_arranged=all(arranged), names=roots)
 
     def search(self, query, k: int = 10, two_phase: bool = False):
         return self.search_batch([query], k=k, two_phase=two_phase)
@@ -1777,5 +1786,46 @@ class FederatedEngine:
             )
         return bm25_topk_federated(
             self.members, norm, k=k, two_phase=two_phase,
+            pre_arranged=self._pre_arranged,
+        )
+
+    def search_selective(
+        self, queries, k: int = 10, n_select: int = 2
+    ) -> DataFrame:
+        """Selective search (query/shards.py): CORI-rank the members
+        per query from block-metadata term stats and execute each
+        query on only its top n_select members, scored under the
+        federation's GLOBAL stats. Needs total_terms in every member's
+        stats (load() provides it). The result is rank-identical to
+        search_batch restricted to the selected members' documents —
+        gate selective_shard_topk proves it against the SQL twin."""
+        from pisa_spark.query.shards import selective_topk
+
+        norm = []
+        for i, q in enumerate(queries):
+            q = parse_query(q) if isinstance(q, str) else dict(q)
+            if q.get("phrases") or q.get("filter"):
+                raise ValueError(
+                    "selective serving covers term queries; route"
+                    " phrases/filters to a single-index SearchEngine"
+                )
+            norm.append(
+                {
+                    "query_id": q.get("query_id", i),
+                    "terms": list(q["terms"]),
+                    "conjunctive": q.get("conjunctive", False),
+                    **(
+                        {"negated": list(q["negated"])}
+                        if q.get("negated")
+                        else {}
+                    ),
+                }
+            )
+        shards = [
+            (name, postings, stats)
+            for name, (postings, stats) in zip(self.names, self.members)
+        ]
+        return selective_topk(
+            shards, norm, k=k, n_select=n_select,
             pre_arranged=self._pre_arranged,
         )
