@@ -1359,6 +1359,85 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+# NB quality-classifier reference slices: two disjoint source strata
+# stand in for "reference corpus" vs "raw crawl" (deterministic, no
+# external data; the whole corpus is scored against them)
+_CLS_POS_SRC = "src0"
+_CLS_NEG_SRC = "src9"
+
+
+def _classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style quality classifier (functions/classifier.py):
+    add-k multinomial NB trained on the src0 (positive) vs src9
+    (negative) slices, every document scored. Twin replays class
+    counts, smoothing, prior and sigmoid op for op."""
+    from pisa_spark.functions.classifier import nb_classifier_scores
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    out = nb_classifier_scores(
+        docs.select("doc_id", "text"),
+        docs.filter(F.col("source") == _CLS_POS_SRC).select(
+            "doc_id", "text"
+        ),
+        docs.filter(F.col("source") == _CLS_NEG_SRC).select(
+            "doc_id", "text"
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("llr_per_token", 6).alias("llr_per_token"),
+        F.round("logit", 6).alias("logit"),
+        F.round("p_ref", 6).alias("p_ref"),
+    )
+
+
+def _classifier_sql(pos: str, neg: str, k: float = 0.5) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+posc AS (
+  SELECT term, count(*) AS c_pos
+  FROM tok JOIN documents d USING (doc_id) WHERE d.source = '{pos}'
+  GROUP BY 1
+),
+negc AS (
+  SELECT term, count(*) AS c_neg
+  FROM tok JOIN documents d USING (doc_id) WHERE d.source = '{neg}'
+  GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT sum(c_pos) FROM posc) AS n_pos,
+         (SELECT sum(c_neg) FROM negc) AS n_neg,
+         (SELECT count(*) FROM documents WHERE source = '{pos}') AS d_pos,
+         (SELECT count(*) FROM documents WHERE source = '{neg}') AS d_neg,
+         (SELECT count(*) FROM (
+            SELECT term FROM posc UNION SELECT term FROM negc)) AS v
+),
+scored AS (
+  SELECT tok.doc_id,
+         ln((coalesce(c_pos, 0) + {k}) / (n_pos + {k} * v))
+         - ln((coalesce(c_neg, 0) + {k}) / (n_neg + {k} * v)) AS lr
+  FROM tok
+  LEFT JOIN posc USING (term)
+  LEFT JOIN negc USING (term)
+  CROSS JOIN stats
+),
+per AS (SELECT doc_id, count(*) AS n_tokens, sum(lr) AS s FROM scored GROUP BY 1)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(s / n_tokens, 6) AS llr_per_token,
+       round(s + ln(CAST(d_pos AS DOUBLE) / d_neg), 6) AS logit,
+       round(1 / (1 + exp(-(s + ln(CAST(d_pos AS DOUBLE) / d_neg)))), 6)
+         AS p_ref
+FROM per CROSS JOIN stats
+"""
+
+
 _TV_DOC_IDS = [3, 42, 123, 250, 499]
 
 
@@ -4691,6 +4770,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "classifier_quality_scores",
     "selective_shard_topk",
     "term_kth_thresholds",
     "bm25_primed_topk",
@@ -4950,6 +5030,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_kth_thresholds": _thresholds_gate,
         "bm25_primed_topk": lambda spark, sf: _bm25_primed(spark, sf),
         "selective_shard_topk": lambda spark, sf: _selective_gate(spark, sf),
+        "classifier_quality_scores": _classifier_gate,
         "bm25f_topk_quant": lambda spark, sf: _bm25f_quant_df(
             spark, sf, _OR_QUERIES
         ),
@@ -5528,6 +5609,9 @@ SELECT query_id, facet, value, n FROM (
         "term_kth_thresholds": _thresholds_sql(_THR_PROBES, _THR_K),
         "bm25_primed_topk": _bm25_sql(_PRIMED_QUERIES, conjunctive=False),
         "selective_shard_topk": _selective_sql(_SEL_QUERIES),
+        "classifier_quality_scores": _classifier_sql(
+            _CLS_POS_SRC, _CLS_NEG_SRC
+        ),
         "bm25f_topk_quant": _bm25f_quant_sql(_OR_QUERIES),
         "bm25_phrase_filtered_topk": _phrase_filtered_sql(
             _PHRASE_FILTER_QUERIES
