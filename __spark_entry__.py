@@ -1221,6 +1221,82 @@ def _bm25_primed(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+# intersection-statistics probes (PISA's compute_intersection tool):
+# a mid-df pair, a 3-term query (3 singleton + 3 pair subsets), and a
+# pair with an absent term (absent subsets emit NO row — sparse output)
+_ISECT_QUERIES = [
+    (0, ["data", "join"]),
+    (1, ["dup", "query", "the"]),
+    (2, ["spark", "zzzzzz"]),
+]
+
+
+def _intersections_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PISA's offline compute_intersection tool
+    (query/intersections.py): cardinality + exact max summed-BM25
+    score of every singleton and pair term subset per query, served
+    off the compressed index — one decode, hash aggregates, a
+    broadcast pair list; no kernel, no UDF."""
+    from pisa_spark.query.intersections import term_intersections
+
+    postings, stats = _built_index(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms} for qid, terms in _ISECT_QUERIES
+    ]
+    out = term_intersections(
+        postings, queries, stats["n_docs"], stats["avgdl"]
+    )
+    return out.select(
+        "query_id",
+        "terms",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("max_score", 4).alias("max_score"),
+    )
+
+
+def _intersections_sql(qs: list[tuple[int, list[str]]]) -> str:
+    all_terms = ", ".join(
+        f"'{t}'" for t in sorted({t for _, ts in qs for t in ts})
+    )
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+scored AS (
+  SELECT tf.term, tf.doc_id,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * 1.9)
+         / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl))
+           AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ({all_terms})
+),
+singles AS (
+  SELECT q.query_id, q.term AS terms,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         round(max(s.score), 4) AS max_score
+  FROM q JOIN scored s ON s.term = q.term
+  GROUP BY q.query_id, q.term
+),
+qp AS (
+  SELECT a.query_id, a.term AS ta, b.term AS tb
+  FROM q a JOIN q b ON a.query_id = b.query_id AND a.term < b.term
+),
+pairs AS (
+  SELECT qp.query_id, qp.ta || ' ' || qp.tb AS terms,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         round(max(sa.score + sb.score), 4) AS max_score
+  FROM qp
+  JOIN scored sa ON sa.term = qp.ta
+  JOIN scored sb ON sb.term = qp.tb AND sb.doc_id = sa.doc_id
+  GROUP BY qp.query_id, qp.ta, qp.tb
+)
+SELECT * FROM singles UNION ALL SELECT * FROM pairs
+"""
+
+
 # selective-search queries: <= 2 terms each — two-element belief sums
 # are IEEE-order-independent, so the Python-side CORI selection and the
 # DuckDB avg() agree bit-exactly (3+ term sums would be associativity-
@@ -4770,6 +4846,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "term_intersections_stats",
     "classifier_quality_scores",
     "selective_shard_topk",
     "term_kth_thresholds",
@@ -5028,6 +5105,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_host_graph": _link_graph_gate,
         "bm25f_anchor_topk": lambda spark, sf: _bm25f_anchor_df(spark, sf),
         "term_kth_thresholds": _thresholds_gate,
+        "term_intersections_stats": _intersections_gate,
         "bm25_primed_topk": lambda spark, sf: _bm25_primed(spark, sf),
         "selective_shard_topk": lambda spark, sf: _selective_gate(spark, sf),
         "classifier_quality_scores": _classifier_gate,
@@ -5607,6 +5685,7 @@ SELECT query_id, facet, value, n FROM (
         "link_host_graph": _SQL_LINK_GRAPH,
         "bm25f_anchor_topk": _bm25f_anchor_sql(_ANCHOR_QUERIES),
         "term_kth_thresholds": _thresholds_sql(_THR_PROBES, _THR_K),
+        "term_intersections_stats": _intersections_sql(_ISECT_QUERIES),
         "bm25_primed_topk": _bm25_sql(_PRIMED_QUERIES, conjunctive=False),
         "selective_shard_topk": _selective_sql(_SEL_QUERIES),
         "classifier_quality_scores": _classifier_sql(
