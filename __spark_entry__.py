@@ -532,6 +532,9 @@ _SCORER_SQL = {
         "ln(1 + tf / (1000.0 * (cf / total_cf)))"
         " + ln(1000.0 / (doc_len + 1000.0))"
     ),
+    "qljm": (
+        "ln(1 + (0.15 * tf * total_cf) / (0.85 * cf * doc_len))"
+    ),
     "pl2": (
         f"( tfn * (ln(tfn / lam) * {_LOG2E})"
         f"  + (lam + 1.0 / (12.0 * tfn) - tfn) * {_LOG2E}"
@@ -4846,6 +4849,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "qljm_topk_pruned",
     "term_intersections_stats",
     "classifier_quality_scores",
     "selective_shard_topk",
@@ -5116,6 +5120,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_near_filtered_topk": _bm25_near_filtered,
         "bm25_phrase_deleted_topk": _bm25_phrase_deleted,
         "bm25_quant_deleted_topk": _bm25_quant_deleted,
+        "qljm_topk_pruned": lambda spark, sf: _scored_pruned_df(
+            spark, sf, _OR_QUERIES, "qljm"
+        ),
         "qld_topk_pruned": lambda spark, sf: _scored_pruned_df(
             spark, sf, _OR_QUERIES, "qld"
         ),
@@ -5700,6 +5707,7 @@ SELECT query_id, facet, value, n FROM (
         "bm25_quant_deleted_topk": _bm25_quant_sql(
             _OR_QUERIES, conjunctive=False, deleted=True
         ),
+        "qljm_topk_pruned": _scored_sql(_OR_QUERIES, "qljm", conjunctive=False),
         "qld_topk_pruned": _scored_sql(_OR_QUERIES, "qld", conjunctive=False),
         "pl2_topk_pruned": _scored_sql(_OR_QUERIES, "pl2", conjunctive=False),
         "dph_topk_pruned": _scored_sql(_OR_QUERIES, "dph", conjunctive=False),

@@ -743,7 +743,7 @@ class SearchEngine:
     def search_scored(
         self, queries, scorer: str = "bm25", k: int = 10
     ) -> DataFrame:
-        """Top-k under any registered scorer (bm25 / qld / pl2 / dph)
+        """Top-k under any registered scorer (bm25 / qld / qljm / pl2 / dph)
         served off the loaded compressed index through the bucket-local
         kernel dataflow (query/scored_kernel.scored_topk_pruned): the
         posting blocks are pruned to the queries' terms BEFORE the

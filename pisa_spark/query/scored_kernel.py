@@ -16,7 +16,8 @@ Dynamic pruning is scorer-aware, exactness first (the same
 scorer/pruning split PISA itself makes — impact layouts and bound
 metadata are per-scorer):
 
-* **QLD** is corner-monotone like BM25 (score rises with tf, falls
+* **QLD** (and **QLJM**, whose score is strictly +tf/-dl and always
+  positive) is corner-monotone like BM25 (score rises with tf, falls
   with dl — d/dtf ln(1+tf/(mu*p_c)) > 0, d/ddl ln(mu/(dl+mu)) < 0), so
   the stored (tf_max, tf_min, dl_min, dl_max) corner stats yield exact
   attainable block bounds: ub = qld(tf_max, dl_min), lb =
@@ -57,7 +58,7 @@ from pisa_spark.query.bm25 import (
     _flat_filters,
     _two_phase_topk,
 )
-from pisa_spark.query.scorers import dph_np, pl2_np, qld_np
+from pisa_spark.query.scorers import dph_np, pl2_np, qld_np, qljm_np
 
 
 def _score_fn(scorer: str, n_docs: float, avgdl: float, total_cf: float):
@@ -71,6 +72,10 @@ def _score_fn(scorer: str, n_docs: float, avgdl: float, total_cf: float):
         return lambda tf, dl, df, cf: qld_np(
             tf, dl, np.full(tf.shape, cf, np.float64), total_cf
         )
+    if scorer == "qljm":
+        return lambda tf, dl, df, cf: qljm_np(
+            tf, dl, np.full(tf.shape, cf, np.float64), total_cf
+        )
     if scorer == "pl2":
         return lambda tf, dl, df, cf: pl2_np(
             tf, dl, np.full(tf.shape, cf, np.float64), n_docs, avgdl
@@ -82,7 +87,7 @@ def _score_fn(scorer: str, n_docs: float, avgdl: float, total_cf: float):
     raise ValueError(f"unknown scorer: {scorer!r}")
 
 
-_CORNER_MONOTONE = {"bm25", "qld"}
+_CORNER_MONOTONE = {"bm25", "qld", "qljm"}
 
 
 def _scored_block_bounds(
@@ -94,7 +99,7 @@ def _scored_block_bounds(
 ) -> tuple[dict[str, np.ndarray], dict[str, bool]]:
     """Per-block upper-bound arrays + per-term may-be-negative flags.
 
-    Corner-monotone scorers (bm25/qld) bound from the stored (tf, dl)
+    Corner-monotone scorers (bm25/qld/qljm) bound from the stored (tf, dl)
     corners with the scorer's own function; BM25's direction flips
     with the idf sign (the _block_bounds rule), QLD's never does
     (always +tf/-dl). Non-monotone scorers get +inf bounds — sound,

@@ -55,6 +55,7 @@ from pisa_spark.query.bm25 import topk_window
 
 QLD_MU = 1000.0
 PL2_C = 1.0
+JM_LAMBDA = 0.15  # Hiemstra_LM / Terrier default document-model weight
 LOG2E = 1.4426950408889634  # log2(e), pinned literal shared with oracles
 TWO_PI = 6.283185307179586
 
@@ -78,6 +79,24 @@ def qld_expr(total_cf: float, mu: float = QLD_MU):
     p_c = F.col("cf").cast("double") / F.lit(float(total_cf))
     return F.log(1.0 + tf / (F.lit(float(mu)) * p_c)) + F.log(
         F.lit(float(mu)) / (dl + F.lit(float(mu)))
+    )
+
+
+def qljm_expr(total_cf: float, lam: float = JM_LAMBDA):
+    """Jelinek-Mercer smoothed query likelihood (Hiemstra_LM shape) —
+    matched-term contribution relative to the background model:
+    ln(1 + lam * tf * total_cf / ((1 - lam) * cf * doc_len)). Strictly
+    positive and corner-monotone (+tf, -dl), so the kernel's corner
+    block bounds prune it soundly under OR and AND."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    cf = F.col("cf").cast("double")
+    return F.log(
+        1.0
+        + F.lit(float(lam))
+        * tf
+        * F.lit(float(total_cf))
+        / (F.lit(1.0 - float(lam)) * cf * dl)
     )
 
 
@@ -121,6 +140,13 @@ def qld_np(tf, dl, cf, total_cf, mu: float = QLD_MU):
     return np.log(1.0 + tf / (mu * p_c)) + np.log(mu / (dl + mu))
 
 
+def qljm_np(tf, dl, cf, total_cf, lam: float = JM_LAMBDA):
+    tf = np.asarray(tf, np.float64)
+    dl = np.asarray(dl, np.float64)
+    cf = np.asarray(cf, np.float64)
+    return np.log(1.0 + lam * tf * total_cf / ((1.0 - lam) * cf * dl))
+
+
 def pl2_np(tf, dl, cf, n_docs, avgdl, c: float = PL2_C):
     tf = np.asarray(tf, np.float64)
     dl = np.asarray(dl, np.float64)
@@ -157,6 +183,8 @@ def scorer_expr(name: str, n_docs: float, avgdl: float, total_cf: float):
         return bm25_expr(n_docs, avgdl)
     if name == "qld":
         return qld_expr(total_cf)
+    if name == "qljm":
+        return qljm_expr(total_cf)
     if name == "pl2":
         return pl2_expr(n_docs, avgdl)
     if name == "dph":
@@ -164,7 +192,7 @@ def scorer_expr(name: str, n_docs: float, avgdl: float, total_cf: float):
     raise ValueError(f"unknown scorer: {name!r}")
 
 
-SCORERS = ("bm25", "qld", "pl2", "dph")
+SCORERS = ("bm25", "qld", "qljm", "pl2", "dph")
 
 
 def term_stats_full(tf_df: DataFrame) -> DataFrame:

@@ -16,6 +16,7 @@ from pisa_spark.query.scorers import (
     pl2_np,
     postings_to_tf,
     qld_np,
+    qljm_np,
     scored_topk_dataframe,
     term_stats_full,
 )
@@ -53,6 +54,8 @@ def _np_scores(tf_rows, stats_rows, scorer, n_docs, avgdl, total_cf):
         )
         if scorer == "qld":
             s = qld_np(*args, total_cf)[0]
+        elif scorer == "qljm":
+            s = qljm_np(*args, total_cf)[0]
         elif scorer == "pl2":
             s = pl2_np(*args, n_docs, avgdl)[0]
         else:
@@ -61,7 +64,7 @@ def _np_scores(tf_rows, stats_rows, scorer, n_docs, avgdl, total_cf):
     return out
 
 
-@pytest.mark.parametrize("scorer", ["qld", "pl2", "dph"])
+@pytest.mark.parametrize("scorer", ["qld", "qljm", "pl2", "dph"])
 def test_expr_matches_numpy_twin(spark, corpus, scorer):
     toks, tf, n_docs, avgdl, total_cf = corpus
     stats = term_stats_full(tf)
@@ -92,7 +95,7 @@ def test_dph_one_term_doc_scores_zero(spark, corpus):
     assert math.isfinite(out[0]["score"])
 
 
-@pytest.mark.parametrize("scorer", ["qld", "pl2", "dph"])
+@pytest.mark.parametrize("scorer", ["qld", "qljm", "pl2", "dph"])
 def test_topk_ranks_match_numpy(spark, corpus, scorer):
     toks, tf, n_docs, avgdl, total_cf = corpus
     qdf = spark.createDataFrame(
