@@ -4827,6 +4827,148 @@ _STOP_FR = "['le','la','les','et','de','un','une','est','pour','dans']"
 _STOP_ES = "['el','la','los','las','y','de','un','una','es','para']"
 
 
+def _trec_qrels(spark: SparkSession, sf_dir: str, qs) -> DataFrame:
+    """Deterministic graded qrels from the corpus itself: for every
+    (query, doc) with at least one matched term, rel = 2 if the doc
+    matches ALL query terms with sum(tf) >= 4, 1 if it matches all
+    terms, else 0 (judged non-relevant) — integer-only, so the DuckDB
+    twin reproduces it exactly."""
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in qs for t in sorted(set(terms))],
+        "query_id int, term string",
+    )
+    qn = qdf.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    tf = _tf_full(spark, sf_dir)
+    m = (
+        tf.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.countDistinct("term").alias("m"),
+            F.sum("tf").alias("s"),
+        )
+        .join(F.broadcast(qn), "query_id")
+    )
+    return m.select(
+        "query_id",
+        "doc_id",
+        F.when((F.col("m") == F.col("n_terms")) & (F.col("s") >= 4), 2)
+        .when(F.col("m") == F.col("n_terms"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rel"),
+    )
+
+
+def _trec_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trec_eval harness (operators/treceval.py): AP / graded nDCG /
+    P@10 / RR / recall@10 of the BM25 OR run against corpus-derived
+    graded qrels, per query plus macro-average rows (query_id = -1)."""
+    from pisa_spark.operators.treceval import trec_eval
+
+    run = _bm25_df(spark, sf_dir, _OR_QUERIES, False, k=10)
+    qrels = _trec_qrels(spark, sf_dir, _OR_QUERIES)
+    return trec_eval(run, qrels, k=10)
+
+
+def _trec_sql(qs, k: int = 10) -> str:
+    """DuckDB twin of the FULL evaluation path: BM25 run, derived
+    graded qrels, and every trec_eval measure replayed relationally
+    (same integer gain table {0,1,3,7}, same rounding points)."""
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+run AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM scored
+  ) WHERE rank <= {k}
+),
+qrels AS (
+  SELECT q.query_id, tf.doc_id,
+         CASE WHEN count(DISTINCT tf.term) = max(qn.n_terms)
+                   AND sum(tf.tf) >= 4 THEN 2
+              WHEN count(DISTINCT tf.term) = max(qn.n_terms) THEN 1
+              ELSE 0 END AS rel
+  FROM tf JOIN q USING (term) JOIN qn USING (query_id)
+  GROUP BY q.query_id, tf.doc_id
+),
+relpos AS (SELECT * FROM qrels WHERE rel > 0),
+nrel AS (
+  SELECT query_id, count(DISTINCT doc_id) AS num_rel
+  FROM relpos GROUP BY query_id
+),
+idcg AS (
+  SELECT query_id,
+         sum((CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1
+              ELSE 0 END) / (ln(irank + 1.0) / ln(2.0))) AS idcg
+  FROM (
+    SELECT query_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id ASC) AS irank
+    FROM relpos
+  ) WHERE irank <= {k} GROUP BY query_id
+),
+jr AS (
+  SELECT r.query_id, r.rank, coalesce(qr.rel, 0) AS rel,
+         CASE WHEN coalesce(qr.rel, 0) > 0 THEN 1 ELSE 0 END AS is_rel
+  FROM run r
+  LEFT JOIN qrels qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+),
+cum AS (
+  SELECT *, sum(is_rel) OVER (PARTITION BY query_id ORDER BY rank
+             ROWS UNBOUNDED PRECEDING) AS cum_hits
+  FROM jr
+),
+perq AS (
+  SELECT query_id,
+         sum(CASE WHEN is_rel = 1
+                  THEN cum_hits::DOUBLE / rank ELSE 0 END) AS ap_num,
+         sum((CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1
+              ELSE 0 END) / (ln(rank + 1.0) / ln(2.0))) AS dcg,
+         sum(is_rel) AS hits,
+         min(CASE WHEN is_rel = 1 THEN rank END) AS first_hit
+  FROM cum GROUP BY query_id
+),
+pq AS (
+  SELECT p.query_id,
+         round(ap_num / num_rel, 4) AS ap,
+         round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END, 4) AS ndcg,
+         round(hits / {float(k)}, 4) AS p_at_k,
+         round(coalesce(1.0 / first_hit, 0.0), 4) AS rr,
+         round(hits::DOUBLE / num_rel, 4) AS recall
+  FROM perq p JOIN nrel USING (query_id) JOIN idcg USING (query_id)
+),
+longf AS (
+  SELECT query_id, m.metric,
+         CASE m.metric WHEN 'ap' THEN ap WHEN 'ndcg' THEN ndcg
+              WHEN 'p_at_k' THEN p_at_k WHEN 'rr' THEN rr
+              ELSE recall END AS value
+  FROM pq CROSS JOIN (
+    SELECT unnest(['ap','ndcg','p_at_k','rr','recall']) AS metric) m
+)
+SELECT query_id, metric, value FROM longf
+UNION ALL
+SELECT CAST(-1 AS INTEGER), metric, round(avg(value), 4)
+FROM longf GROUP BY metric
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -4849,6 +4991,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "trec_eval_metrics",
     "qljm_topk_pruned",
     "term_intersections_stats",
     "classifier_quality_scores",
@@ -5120,6 +5263,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_near_filtered_topk": _bm25_near_filtered,
         "bm25_phrase_deleted_topk": _bm25_phrase_deleted,
         "bm25_quant_deleted_topk": _bm25_quant_deleted,
+        "trec_eval_metrics": lambda spark, sf: _trec_gate(spark, sf),
         "qljm_topk_pruned": lambda spark, sf: _scored_pruned_df(
             spark, sf, _OR_QUERIES, "qljm"
         ),
@@ -5707,6 +5851,7 @@ SELECT query_id, facet, value, n FROM (
         "bm25_quant_deleted_topk": _bm25_quant_sql(
             _OR_QUERIES, conjunctive=False, deleted=True
         ),
+        "trec_eval_metrics": _trec_sql(_OR_QUERIES, k=10),
         "qljm_topk_pruned": _scored_sql(_OR_QUERIES, "qljm", conjunctive=False),
         "qld_topk_pruned": _scored_sql(_OR_QUERIES, "qld", conjunctive=False),
         "pl2_topk_pruned": _scored_sql(_OR_QUERIES, "pl2", conjunctive=False),
