@@ -4969,6 +4969,136 @@ FROM longf GROUP BY metric
 """
 
 
+def _bpe_learned(spark: SparkSession, sf_dir: str, n_merges: int = 8):
+    key = ("bpe", spark.sparkContext.applicationId, sf_dir, n_merges)
+    if key not in _MEMO:
+        from pisa_spark.functions.bpe import bpe_learn, word_frequencies
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _MEMO[key] = bpe_learn(word_frequencies(docs), n_merges)
+    return _MEMO[key]
+
+
+def _bpe_merges_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE trainer (functions/bpe.py): the ordered merge
+    table of 8 rounds over the corpus word-frequency relation."""
+    merges, _ = _bpe_learned(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (m["step"], m["lhs"], m["rhs"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "step int, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+def _bpe_stats_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus-weighted subword units of the learned vocabulary
+    — validates the trainer's FULL final state, not just the merges."""
+    from pisa_spark.functions.bpe import subword_stats
+
+    _, final = _bpe_learned(spark, sf_dir)
+    return subword_stats(final, 20)
+
+
+def _bpe_sql_base(n_merges: int = 8) -> str:
+    """DuckDB twin of the FULL BPE training loop: word frequencies,
+    then per round the pair-count argmax (count DESC, pair ASC) and
+    the greedy merge application. Greediness is replayed positionally:
+    within each maximal island of consecutive matched positions only
+    every other match (from the island head) applies — exactly the
+    engine's left-fold semantics — and a position is consumed when the
+    match at its left neighbour applied. Integer/string-only, so the
+    replay is byte-identical."""
+    parts = [
+        """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+),
+wf AS MATERIALIZED (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(tokens) AS word FROM toks) GROUP BY word
+),
+w0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_append(list_transform(range(1, length(word) + 1),
+                     i -> word[i:i]), '</w>') AS syms
+  FROM wf
+)"""
+    ]
+    for t in range(1, n_merges + 1):
+        prev = f"w{t - 1}"
+        parts.append(
+            f""",
+p{t} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt FROM (
+    SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(freq) AS cnt
+    FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM {prev})
+    GROUP BY 1, 2
+  ) ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+),
+e{t} AS MATERIALIZED (
+  SELECT word, freq, i, syms[i] AS sym,
+         CASE WHEN i < len(syms) AND syms[i] = p.lhs AND syms[i + 1] = p.rhs
+              THEN 1 ELSE 0 END AS hit
+  FROM (SELECT word, freq, syms, unnest(range(1, len(syms) + 1)) AS i
+        FROM {prev})
+  CROSS JOIN p{t} p
+),
+a{t} AS MATERIALIZED (
+  SELECT word, i,
+         CASE WHEN (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0
+              THEN 1 ELSE 0 END AS applied
+  FROM (
+    SELECT word, i,
+           i - row_number() OVER (PARTITION BY word ORDER BY i) AS isl
+    FROM e{t} WHERE hit = 1
+  )
+),
+w{t} AS MATERIALIZED (
+  SELECT e.word, any_value(e.freq) AS freq,
+         list(CASE WHEN coalesce(a.applied, 0) = 1 THEN p.lhs || p.rhs
+                   ELSE e.sym END ORDER BY e.i) AS syms
+  FROM e{t} e
+  CROSS JOIN p{t} p
+  LEFT JOIN a{t} a ON a.word = e.word AND a.i = e.i
+  LEFT JOIN a{t} ap ON ap.word = e.word AND ap.i = e.i - 1
+  WHERE coalesce(ap.applied, 0) = 0
+  GROUP BY e.word
+)"""
+        )
+    return "".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int = 8) -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {t} AS step, lhs, rhs, lhs || rhs AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM p{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return _bpe_sql_base(n_merges) + "\n" + selects
+
+
+def _bpe_stats_sql(n_merges: int = 8, top_n: int = 20) -> str:
+    return (
+        _bpe_sql_base(n_merges)
+        + f"""
+SELECT CAST(rank AS INTEGER) AS rank, subword, total_freq FROM (
+  SELECT row_number() OVER (ORDER BY total_freq DESC, subword ASC) AS rank,
+         subword, total_freq
+  FROM (
+    SELECT sym AS subword, CAST(sum(freq) AS BIGINT) AS total_freq
+    FROM (SELECT freq, unnest(syms) AS sym FROM w{n_merges})
+    GROUP BY sym
+  )
+) WHERE rank <= {top_n}
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -4991,6 +5121,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "bpe_merge_table",
+    "bpe_subword_stats",
     "trec_eval_metrics",
     "qljm_topk_pruned",
     "term_intersections_stats",
@@ -5263,6 +5395,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_near_filtered_topk": _bm25_near_filtered,
         "bm25_phrase_deleted_topk": _bm25_phrase_deleted,
         "bm25_quant_deleted_topk": _bm25_quant_deleted,
+        "bpe_merge_table": lambda spark, sf: _bpe_merges_gate(spark, sf),
+        "bpe_subword_stats": lambda spark, sf: _bpe_stats_gate(spark, sf),
         "trec_eval_metrics": lambda spark, sf: _trec_gate(spark, sf),
         "qljm_topk_pruned": lambda spark, sf: _scored_pruned_df(
             spark, sf, _OR_QUERIES, "qljm"
@@ -5851,6 +5985,8 @@ SELECT query_id, facet, value, n FROM (
         "bm25_quant_deleted_topk": _bm25_quant_sql(
             _OR_QUERIES, conjunctive=False, deleted=True
         ),
+        "bpe_merge_table": _bpe_merges_sql(8),
+        "bpe_subword_stats": _bpe_stats_sql(8, 20),
         "trec_eval_metrics": _trec_sql(_OR_QUERIES, k=10),
         "qljm_topk_pruned": _scored_sql(_OR_QUERIES, "qljm", conjunctive=False),
         "qld_topk_pruned": _scored_sql(_OR_QUERIES, "qld", conjunctive=False),
