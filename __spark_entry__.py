@@ -1438,6 +1438,174 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+# rank-fusion fixture: fuse the index-served BM25 run with the QLD run
+# over the OR query set at depth 10 — RRF is rank-based (exact rational
+# sums), CombMNZ is min-max-normalized (Lee 1997); both twins replay
+# run scoring, per-run ranking, the depth cut and the pinned-order fuse
+_FUSION_DEPTH = 10
+
+
+def _fusion_runs(spark: SparkSession, sf_dir: str, qs, depth: int = _FUSION_DEPTH):
+    """(bm25_run, qld_run) — both served off the compressed index
+    through their pruned kernels; memoized + cached because two fusion
+    gates reuse them."""
+    key = ("fusionruns", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        toks = _tokens(spark, sf_dir)
+        row = toks.agg(
+            F.count(F.lit(1)), F.avg("doc_len"), F.sum("doc_len")
+        ).collect()[0]
+        n_docs, avgdl, total_cf = int(row[0]), float(row[1]), int(row[2])
+        postings, _ = _built_index(spark, sf_dir)
+        queries = [
+            {"query_id": qid, "terms": list(terms), "conjunctive": False}
+            for qid, terms in qs
+        ]
+        bm25 = bm25_topk_wand(postings, queries, n_docs, avgdl, k=depth)
+        qld = scored_topk_pruned(
+            postings, queries, n_docs, avgdl, float(total_cf),
+            scorer="qld", k=depth, two_phase=True,
+        )
+        _MEMO[key] = (bm25.cache(), qld.cache())
+    return _MEMO[key]
+
+
+def _fusion_rrf_gate(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Reciprocal Rank Fusion (query/fusion.py) of the BM25 and QLD
+    runs — the twin replays both scorers, ranks each run, cuts at
+    depth, and fuses 1/(60+rank) in the same pinned order."""
+    from pisa_spark.query.fusion import rrf_fuse
+
+    bm25, qld = _fusion_runs(spark, sf_dir, _OR_QUERIES)
+    out = rrf_fuse([bm25, qld], k=k, depth=_FUSION_DEPTH)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def _fusion_combmnz_gate(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """CombMNZ fusion of the BM25 and QLD runs with per-query min-max
+    normalization over each run's retrieved list."""
+    from pisa_spark.query.fusion import combsum_fuse
+
+    bm25, qld = _fusion_runs(spark, sf_dir, _OR_QUERIES)
+    out = combsum_fuse([bm25, qld], k=k, depth=_FUSION_DEPTH, mnz=True)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def _fusion_runs_sql(qs, depth: int) -> str:
+    """Shared CTE block: both runs scored raw, ranked, cut at depth."""
+    return f"""
+{_SQL_BASE},
+cfreq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_cf FROM tf),
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+bm25s AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS s
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY 1, 2
+),
+qlds AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + CAST(tf.tf AS DOUBLE)
+                     / (1000.0 * (CAST(cfreq.cf AS DOUBLE)
+                                  / CAST(tot.total_cf AS DOUBLE))))
+              + ln(1000.0 / (CAST(doclen.doc_len AS DOUBLE) + 1000.0)) ) AS s
+  FROM tf
+  JOIN q USING (term)
+  JOIN cfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN tot
+  GROUP BY 1, 2
+),
+ra AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id ASC) AS r
+    FROM bm25s) WHERE r <= {depth}
+),
+rb AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id ASC) AS r
+    FROM qlds) WHERE r <= {depth}
+)"""
+
+
+def _fusion_rrf_sql(qs, k: int = 10, depth: int = _FUSION_DEPTH) -> str:
+    return f"""
+{_fusion_runs_sql(qs, depth)},
+fused AS (
+  SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
+         coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         coalesce(1.0 / (60.0 + CAST(ra.r AS DOUBLE)), CAST(0.0 AS DOUBLE))
+         + coalesce(1.0 / (60.0 + CAST(rb.r AS DOUBLE)), CAST(0.0 AS DOUBLE))
+           AS fs
+  FROM ra FULL OUTER JOIN rb
+    ON ra.query_id = rb.query_id AND ra.doc_id = rb.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(fs, 6) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY fs DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
+def _fusion_combmnz_sql(qs, k: int = 10, depth: int = _FUSION_DEPTH) -> str:
+    return f"""
+{_fusion_runs_sql(qs, depth)},
+na AS (
+  SELECT ra.query_id, ra.doc_id,
+         CASE WHEN ext.hi > ext.lo
+              THEN (ra.s - ext.lo) / (ext.hi - ext.lo)
+              ELSE CAST(0.0 AS DOUBLE) END AS norm
+  FROM ra
+  JOIN (SELECT query_id, min(s) AS lo, max(s) AS hi
+        FROM ra GROUP BY 1) ext USING (query_id)
+),
+nb AS (
+  SELECT rb.query_id, rb.doc_id,
+         CASE WHEN ext.hi > ext.lo
+              THEN (rb.s - ext.lo) / (ext.hi - ext.lo)
+              ELSE CAST(0.0 AS DOUBLE) END AS norm
+  FROM rb
+  JOIN (SELECT query_id, min(s) AS lo, max(s) AS hi
+        FROM rb GROUP BY 1) ext USING (query_id)
+),
+fused AS (
+  SELECT coalesce(na.query_id, nb.query_id) AS query_id,
+         coalesce(na.doc_id, nb.doc_id) AS doc_id,
+         (CAST(0.0 AS DOUBLE) + coalesce(na.norm, CAST(0.0 AS DOUBLE))
+                              + coalesce(nb.norm, CAST(0.0 AS DOUBLE)))
+         * CAST( (CASE WHEN na.doc_id IS NULL THEN 0 ELSE 1 END)
+               + (CASE WHEN nb.doc_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+           AS fs
+  FROM na FULL OUTER JOIN nb
+    ON na.query_id = nb.query_id AND na.doc_id = nb.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(fs, 6) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY fs DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
 # NB quality-classifier reference slices: two disjoint source strata
 # stand in for "reference corpus" vs "raw crawl" (deterministic, no
 # external data; the whole corpus is scored against them)
@@ -5121,6 +5289,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "fusion_rrf_topk",
+    "fusion_combmnz_topk",
     "bpe_merge_table",
     "bpe_subword_stats",
     "trec_eval_metrics",
@@ -5395,6 +5565,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_near_filtered_topk": _bm25_near_filtered,
         "bm25_phrase_deleted_topk": _bm25_phrase_deleted,
         "bm25_quant_deleted_topk": _bm25_quant_deleted,
+        "fusion_rrf_topk": _fusion_rrf_gate,
+        "fusion_combmnz_topk": _fusion_combmnz_gate,
         "bpe_merge_table": lambda spark, sf: _bpe_merges_gate(spark, sf),
         "bpe_subword_stats": lambda spark, sf: _bpe_stats_gate(spark, sf),
         "trec_eval_metrics": lambda spark, sf: _trec_gate(spark, sf),
@@ -5985,6 +6157,8 @@ SELECT query_id, facet, value, n FROM (
         "bm25_quant_deleted_topk": _bm25_quant_sql(
             _OR_QUERIES, conjunctive=False, deleted=True
         ),
+        "fusion_rrf_topk": _fusion_rrf_sql(_OR_QUERIES),
+        "fusion_combmnz_topk": _fusion_combmnz_sql(_OR_QUERIES),
         "bpe_merge_table": _bpe_merges_sql(8),
         "bpe_subword_stats": _bpe_stats_sql(8, 20),
         "trec_eval_metrics": _trec_sql(_OR_QUERIES, k=10),
