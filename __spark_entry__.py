@@ -1606,6 +1606,81 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+# pre-retrieval QPP fixture: the OR set plus a partially-absent and an
+# all-absent query — absent terms are excluded from every statistic
+# (n_terms still counts them); the all-absent query emits no row
+_QPP_QUERIES = [
+    (0, ["data", "join"]),
+    (1, ["the"]),
+    (2, ["spark", "query", "scan"]),
+    (3, ["data", "zzzzabsent"]),
+    (4, ["qqqabsentonly"]),
+]
+
+
+def _qpp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-retrieval query performance predictors (query/qpp.py):
+    avg/max IDF, SCQ, avgICTF and SCS per query — the twin replays the
+    per-term stats and every pinned formula."""
+    from pisa_spark.query.qpp import qpp_predictors
+
+    toks = _tokens(spark, sf_dir)
+    row = toks.agg(F.count(F.lit(1)), F.sum("doc_len")).collect()[0]
+    queries = [{"query_id": qid, "terms": terms} for qid, terms in _QPP_QUERIES]
+    out = qpp_predictors(
+        term_frequencies(toks), queries, int(row[0]), int(row[1])
+    )
+    return out.select(
+        "query_id",
+        "n_terms",
+        "n_present",
+        F.round("avg_idf", 6).alias("avg_idf"),
+        F.round("max_idf", 6).alias("max_idf"),
+        F.round("sum_scq", 6).alias("sum_scq"),
+        F.round("max_scq", 6).alias("max_scq"),
+        F.round("avg_ictf", 6).alias("avg_ictf"),
+        F.round("scs", 6).alias("scs"),
+    )
+
+
+def _qpp_sql(qs) -> str:
+    return f"""
+{_SQL_BASE},
+cfreq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_cf FROM tf),
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+nq AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+pt AS (
+  SELECT q.query_id,
+         ln(CAST(stats.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS idf,
+         (1.0 + ln(CAST(cfreq.cf AS DOUBLE)))
+           * ln(1.0 + CAST(stats.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+           AS scq,
+         ln(CAST(tot.total_cf AS DOUBLE) / CAST(cfreq.cf AS DOUBLE))
+           * {_LOG2E} AS ictf
+  FROM q
+  JOIN dfreq USING (term)
+  JOIN cfreq USING (term)
+  CROSS JOIN stats
+  CROSS JOIN tot
+),
+agg AS (
+  SELECT query_id, count(*) AS n_present,
+         avg(idf) AS avg_idf, max(idf) AS max_idf,
+         sum(scq) AS sum_scq, max(scq) AS max_scq,
+         avg(ictf) AS avg_ictf
+  FROM pt GROUP BY 1
+)
+SELECT agg.query_id, nq.n_terms, agg.n_present,
+       round(avg_idf, 6) AS avg_idf, round(max_idf, 6) AS max_idf,
+       round(sum_scq, 6) AS sum_scq, round(max_scq, 6) AS max_scq,
+       round(avg_ictf, 6) AS avg_ictf,
+       round(ln(1.0 / CAST(agg.n_present AS DOUBLE)) * {_LOG2E} + avg_ictf, 6)
+         AS scs
+FROM agg JOIN nq USING (query_id)
+"""
+
+
 # NB quality-classifier reference slices: two disjoint source strata
 # stand in for "reference corpus" vs "raw crawl" (deterministic, no
 # external data; the whole corpus is scored against them)
@@ -5289,6 +5364,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "qpp_predictors",
     "fusion_rrf_topk",
     "fusion_combmnz_topk",
     "bpe_merge_table",
@@ -5565,6 +5641,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_near_filtered_topk": _bm25_near_filtered,
         "bm25_phrase_deleted_topk": _bm25_phrase_deleted,
         "bm25_quant_deleted_topk": _bm25_quant_deleted,
+        "qpp_predictors": _qpp_gate,
         "fusion_rrf_topk": _fusion_rrf_gate,
         "fusion_combmnz_topk": _fusion_combmnz_gate,
         "bpe_merge_table": lambda spark, sf: _bpe_merges_gate(spark, sf),
@@ -6157,6 +6234,7 @@ SELECT query_id, facet, value, n FROM (
         "bm25_quant_deleted_topk": _bm25_quant_sql(
             _OR_QUERIES, conjunctive=False, deleted=True
         ),
+        "qpp_predictors": _qpp_sql(_QPP_QUERIES),
         "fusion_rrf_topk": _fusion_rrf_sql(_OR_QUERIES),
         "fusion_combmnz_topk": _fusion_combmnz_sql(_OR_QUERIES),
         "bpe_merge_table": _bpe_merges_sql(8),
