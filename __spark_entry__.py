@@ -1681,6 +1681,79 @@ FROM agg JOIN nq USING (query_id)
 """
 
 
+def _taily_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taily shard-selection statistics (query/taily.py): per
+    (query, shard) Gamma moment fits over the per-language shards —
+    the twin replays the global single-term BM25 scores, the per-shard
+    moments and the disjoint-union combination op for op. (The gamma
+    CDF/quantile selection step is driver-side closed form with no SQL
+    rendering; tests/test_taily.py pins it against numeric
+    integration and a full selective-serving identity.)"""
+    from pisa_spark.query.taily import taily_query_stats, taily_term_stats
+
+    shards = _built_lang_shards(spark, sf_dir)
+    n_docs = sum(int(st["n_docs"]) for _, _, st in shards)
+    avgdl = sum(int(st["total_terms"]) for _, _, st in shards) / float(n_docs)
+    all_terms = sorted({t for _, ts in _SEL_QUERIES for t in ts})
+    stats = taily_term_stats(
+        [(name, p) for name, p, _ in shards], n_docs, avgdl, terms=all_terms
+    )
+    queries = [{"query_id": qid, "terms": ts} for qid, ts in _SEL_QUERIES]
+    out = taily_query_stats(stats, queries)
+    return out.select(
+        "query_id",
+        "shard",
+        "n_any",
+        F.round("ev", 6).alias("ev"),
+        F.round("var", 6).alias("var"),
+        F.round("k", 6).alias("k"),
+        F.round("theta", 6).alias("theta"),
+    )
+
+
+def _taily_sql(qs) -> str:
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+docshard AS (SELECT doc_id, lang AS shard FROM documents),
+scored AS (
+  SELECT ds.shard, tf.term,
+         ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * 1.9)
+         / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) AS s
+  FROM tf
+  JOIN docshard ds USING (doc_id)
+  JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+),
+pst AS (
+  SELECT shard, term, count(*) AS freq, sum(s) AS s1, sum(s * s) AS s2
+  FROM scored GROUP BY 1, 2
+),
+agg AS (
+  SELECT q.query_id, pst.shard, CAST(sum(freq) AS BIGINT) AS n_any,
+         sum(s1) AS t1, sum(s2) AS t2
+  FROM q JOIN pst USING (term) GROUP BY 1, 2
+),
+fit AS (
+  SELECT query_id, shard, n_any,
+         t1 / CAST(n_any AS DOUBLE) AS ev,
+         t2 / CAST(n_any AS DOUBLE)
+           - (t1 / CAST(n_any AS DOUBLE)) * (t1 / CAST(n_any AS DOUBLE)) AS var
+  FROM agg
+)
+SELECT query_id, shard, n_any,
+       round(ev, 6) AS ev, round(var, 6) AS var,
+       round(CASE WHEN ev > 0 AND var > 0 THEN (ev * ev) / var
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS k,
+       round(CASE WHEN ev > 0 AND var > 0 THEN var / ev
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) AS theta
+FROM fit
+"""
+
+
 # NB quality-classifier reference slices: two disjoint source strata
 # stand in for "reference corpus" vs "raw crawl" (deterministic, no
 # external data; the whole corpus is scored against them)
@@ -5364,6 +5437,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "taily_shard_stats",
     "qpp_predictors",
     "fusion_rrf_topk",
     "fusion_combmnz_topk",
@@ -5641,6 +5715,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_near_filtered_topk": _bm25_near_filtered,
         "bm25_phrase_deleted_topk": _bm25_phrase_deleted,
         "bm25_quant_deleted_topk": _bm25_quant_deleted,
+        "taily_shard_stats": _taily_gate,
         "qpp_predictors": _qpp_gate,
         "fusion_rrf_topk": _fusion_rrf_gate,
         "fusion_combmnz_topk": _fusion_combmnz_gate,
@@ -6234,6 +6309,7 @@ SELECT query_id, facet, value, n FROM (
         "bm25_quant_deleted_topk": _bm25_quant_sql(
             _OR_QUERIES, conjunctive=False, deleted=True
         ),
+        "taily_shard_stats": _taily_sql(_SEL_QUERIES),
         "qpp_predictors": _qpp_sql(_QPP_QUERIES),
         "fusion_rrf_topk": _fusion_rrf_sql(_OR_QUERIES),
         "fusion_combmnz_topk": _fusion_combmnz_sql(_OR_QUERIES),

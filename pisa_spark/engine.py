@@ -1790,16 +1790,26 @@ class FederatedEngine:
         )
 
     def search_selective(
-        self, queries, k: int = 10, n_select: int = 2
+        self, queries, k: int = 10, n_select: int = 2,
+        method: str = "cori", taily_ntop: int = 100, taily_v: float = 1.0,
     ) -> DataFrame:
-        """Selective search (query/shards.py): CORI-rank the members
-        per query from block-metadata term stats and execute each
-        query on only its top n_select members, scored under the
-        federation's GLOBAL stats. Needs total_terms in every member's
-        stats (load() provides it). The result is rank-identical to
-        search_batch restricted to the selected members' documents —
-        gate selective_shard_topk proves it against the SQL twin."""
+        """Selective search: rank the members per query and execute
+        each query on a subset only, scored under the federation's
+        GLOBAL stats. method='cori' (query/shards.py) ranks from
+        block-metadata df beliefs and keeps the top n_select;
+        method='taily' (query/taily.py) fits per-shard Gamma score
+        distributions from one bounded decode pass and keeps shards
+        whose estimated above-cutoff doc count exceeds taily_v (so the
+        selected-set SIZE adapts per query). Needs total_terms in
+        every member's stats (load() provides it). Either way the
+        result is rank-identical to search_batch restricted to the
+        selected members' documents — gates selective_shard_topk /
+        taily_shard_stats pin the two selection mechanisms."""
         from pisa_spark.query.shards import selective_topk
+        from pisa_spark.query.taily import taily_topk
+
+        if method not in ("cori", "taily"):
+            raise ValueError("method must be 'cori' or 'taily'")
 
         norm = []
         for i, q in enumerate(queries):
@@ -1825,6 +1835,11 @@ class FederatedEngine:
             (name, postings, stats)
             for name, (postings, stats) in zip(self.names, self.members)
         ]
+        if method == "taily":
+            return taily_topk(
+                shards, norm, k=k, ntop=taily_ntop, v=taily_v,
+                pre_arranged=self._pre_arranged,
+            )
         return selective_topk(
             shards, norm, k=k, n_select=n_select,
             pre_arranged=self._pre_arranged,
