@@ -1754,6 +1754,83 @@ FROM fit
 """
 
 
+# paragraph-dedup fixture: the synthetic docs are single-line, so the
+# gate injects deterministic boilerplate footers (the realistic web
+# shape — shared copyright/newsletter lines) plus an empty line on both
+# sides; doc 0 wins every shared line (global first occurrence)
+_PARA_FOOTER1 = "copyright 2024 example corp all rights reserved"
+_PARA_FOOTER2 = "subscribe to our newsletter today"
+
+
+def _para_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_PARA_FOOTER1)),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_PARA_FOOTER2)),
+        ).alias("text"),
+    )
+
+
+def _para_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (dedup/paragraphs.py): repeated
+    boilerplate lines survive only at their global first (doc_id, pos)
+    occurrence; the twin replays injection, split, the first-occurrence
+    rule, per-doc counts and the reassembled text's md5."""
+    from pisa_spark.dedup.paragraphs import dedup_paragraphs
+
+    out = dedup_paragraphs(_para_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_paragraphs",
+        "n_removed",
+        F.md5("text").alias("text_md5"),
+    )
+
+
+def _para_dedup_sql(f1: str, f2: str) -> str:
+    return f"""
+WITH fixt AS (
+  SELECT doc_id, concat_ws(chr(10), text,
+         CASE WHEN doc_id % 3 = 0 THEN '{f1}' END,
+         CASE WHEN doc_id % 2 = 0 THEN '' END,
+         CASE WHEN doc_id % 7 = 0 THEN '{f2}' END) AS text
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM fixt
+),
+marked AS (
+  SELECT doc_id, pos, line,
+         (line = '') OR (row_number() OVER (PARTITION BY line
+                         ORDER BY doc_id, pos) = 1) AS keep
+  FROM parts
+),
+stats AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN line <> '' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_paragraphs,
+         CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+  FROM marked GROUP BY 1
+),
+texts AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2
+  FROM marked WHERE keep GROUP BY 1
+)
+SELECT s.doc_id, s.n_paragraphs, s.n_removed,
+       md5(coalesce(t.t2, '')) AS text_md5
+FROM stats s LEFT JOIN texts t USING (doc_id)
+"""
+
+
 # NB quality-classifier reference slices: two disjoint source strata
 # stand in for "reference corpus" vs "raw crawl" (deterministic, no
 # external data; the whole corpus is scored against them)
@@ -5437,6 +5514,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "dedup_paragraphs_stats",
     "taily_shard_stats",
     "qpp_predictors",
     "fusion_rrf_topk",
@@ -5715,6 +5793,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_near_filtered_topk": _bm25_near_filtered,
         "bm25_phrase_deleted_topk": _bm25_phrase_deleted,
         "bm25_quant_deleted_topk": _bm25_quant_deleted,
+        "dedup_paragraphs_stats": _para_dedup_gate,
         "taily_shard_stats": _taily_gate,
         "qpp_predictors": _qpp_gate,
         "fusion_rrf_topk": _fusion_rrf_gate,
@@ -6309,6 +6388,7 @@ SELECT query_id, facet, value, n FROM (
         "bm25_quant_deleted_topk": _bm25_quant_sql(
             _OR_QUERIES, conjunctive=False, deleted=True
         ),
+        "dedup_paragraphs_stats": _para_dedup_sql(_PARA_FOOTER1, _PARA_FOOTER2),
         "taily_shard_stats": _taily_sql(_SEL_QUERIES),
         "qpp_predictors": _qpp_sql(_QPP_QUERIES),
         "fusion_rrf_topk": _fusion_rrf_sql(_OR_QUERIES),
