@@ -1831,6 +1831,75 @@ FROM stats s LEFT JOIN texts t USING (doc_id)
 """
 
 
+# MaxP passage retrieval: 16-token windows so the ~100-token synthetic
+# docs split into several passages (the long-document web shape)
+_MAXP_PLEN = 16
+
+
+def _maxp_gate(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """MaxP passage BM25 (query/passages.py): docs ranked by their
+    best 16-token passage under passage-level statistics — the twin
+    replays windowing, passage df/N/avgdl, per-passage BM25, the
+    earliest-best-passage tie rule and the doc ranking."""
+    from pisa_spark.query.passages import bm25_maxp_topk
+
+    queries = [{"query_id": qid, "terms": ts} for qid, ts in _OR_QUERIES]
+    out = bm25_maxp_topk(
+        _tokens(spark, sf_dir), queries, k=k, passage_len=_MAXP_PLEN
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", "best_pid",
+        F.round("score", 4).alias("score"),
+    )
+
+
+def _maxp_sql(qs, k: int = 10, plen: int = _MAXP_PLEN) -> str:
+    return f"""
+{_SQL_BASE},
+parts AS (
+  SELECT doc_id,
+         CAST((generate_subscripts(tokens, 1) - 1) // {plen} AS INTEGER)
+           AS pid,
+         unnest(tokens) AS term
+  FROM toks
+),
+ptf AS (SELECT doc_id, pid, term, count(*) AS tf FROM parts GROUP BY 1, 2, 3),
+plen AS (SELECT doc_id, pid, count(*) AS p_len FROM parts GROUP BY 1, 2),
+pstats AS (SELECT count(*) AS n_pass, avg(p_len) AS avg_pl FROM plen),
+pdfreq AS (SELECT term, count(*) AS df FROM ptf GROUP BY term),
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+ps AS (
+  SELECT q.query_id, ptf.doc_id, ptf.pid,
+         sum( ln((pstats.n_pass - pdfreq.df + 0.5) / (pdfreq.df + 0.5))
+              * (ptf.tf * 1.9)
+              / (ptf.tf + 0.9 * (1 - 0.4 + 0.4 * plen.p_len / pstats.avg_pl)) )
+           AS raw
+  FROM ptf
+  JOIN q USING (term)
+  JOIN pdfreq USING (term)
+  JOIN plen USING (doc_id, pid)
+  CROSS JOIN pstats
+  GROUP BY 1, 2, 3
+),
+psr AS (SELECT query_id, doc_id, pid, round(raw, 4) AS ps FROM ps),
+best AS (
+  SELECT query_id, doc_id, ps AS score, pid AS best_pid FROM (
+    SELECT query_id, doc_id, pid, ps,
+           row_number() OVER (PARTITION BY query_id, doc_id
+                              ORDER BY ps DESC, pid ASC) AS rn
+    FROM psr
+  ) WHERE rn = 1
+)
+SELECT query_id, rank, doc_id, best_pid, score FROM (
+  SELECT query_id, doc_id, best_pid, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS INTEGER)
+           AS rank
+  FROM best
+) WHERE rank <= {k}
+"""
+
+
 # NB quality-classifier reference slices: two disjoint source strata
 # stand in for "reference corpus" vs "raw crawl" (deterministic, no
 # external data; the whole corpus is scored against them)
@@ -5514,6 +5583,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "bm25_maxp_topk",
     "dedup_paragraphs_stats",
     "taily_shard_stats",
     "qpp_predictors",
@@ -5793,6 +5863,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_near_filtered_topk": _bm25_near_filtered,
         "bm25_phrase_deleted_topk": _bm25_phrase_deleted,
         "bm25_quant_deleted_topk": _bm25_quant_deleted,
+        "bm25_maxp_topk": _maxp_gate,
         "dedup_paragraphs_stats": _para_dedup_gate,
         "taily_shard_stats": _taily_gate,
         "qpp_predictors": _qpp_gate,
@@ -6388,6 +6459,7 @@ SELECT query_id, facet, value, n FROM (
         "bm25_quant_deleted_topk": _bm25_quant_sql(
             _OR_QUERIES, conjunctive=False, deleted=True
         ),
+        "bm25_maxp_topk": _maxp_sql(_OR_QUERIES),
         "dedup_paragraphs_stats": _para_dedup_sql(_PARA_FOOTER1, _PARA_FOOTER2),
         "taily_shard_stats": _taily_sql(_SEL_QUERIES),
         "qpp_predictors": _qpp_sql(_QPP_QUERIES),
