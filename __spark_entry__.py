@@ -1485,13 +1485,32 @@ def _fusion_rrf_gate(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame
 
 def _fusion_combmnz_gate(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """CombMNZ fusion of the BM25 and QLD runs with per-query min-max
-    normalization over each run's retrieved list."""
+    normalization over each run's retrieved list.
+
+    Unlike RRF (exact rationals of ranks), CombMNZ consumes the RAW run
+    scores, whose accumulation order differs between the Spark kernels
+    and the DuckDB twin — near-tied fused values can flip at ulp level.
+    The gate therefore ranks on the 6dp-ROUNDED fused score (the MaxP
+    gate's tie-pinning trick), after fusing the complete <=2*depth
+    union so no candidate is pre-cut at full precision."""
+    from pyspark.sql import Window
+
     from pisa_spark.query.fusion import combsum_fuse
 
     bm25, qld = _fusion_runs(spark, sf_dir, _OR_QUERIES)
-    out = combsum_fuse([bm25, qld], k=k, depth=_FUSION_DEPTH, mnz=True)
-    return out.select(
-        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    out = combsum_fuse(
+        [bm25, qld], k=2 * _FUSION_DEPTH, depth=_FUSION_DEPTH, mnz=True
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        out.select(
+            "query_id", "doc_id", F.round("score", 6).alias("score")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
     )
 
 
@@ -1597,11 +1616,13 @@ fused AS (
   FROM na FULL OUTER JOIN nb
     ON na.query_id = nb.query_id AND na.doc_id = nb.doc_id
 )
+-- rank on the ROUNDED fused score (matches the gate: raw-score fusion
+-- is ulp-sensitive across engines, rounding + doc_id pins the order)
 SELECT query_id, rank, doc_id, score FROM (
-  SELECT query_id, doc_id, round(fs, 6) AS score,
+  SELECT query_id, doc_id, score,
          CAST(row_number() OVER (PARTITION BY query_id
-                            ORDER BY fs DESC, doc_id ASC) AS INTEGER) AS rank
-  FROM fused
+                            ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM (SELECT query_id, doc_id, round(fs, 6) AS score FROM fused)
 ) WHERE rank <= {k}
 """
 
