@@ -211,6 +211,18 @@ def build_index_resumable(
 
         if reorder_by == "dominant_terms":
             mapping = reorder_by_dominant_terms(docs_df)
+        elif reorder_by == "bisection":
+            # recursive graph bisection over id-order ranges
+            # (index/bisection.py; zero extra global passes)
+            from pisa_spark.index.bisection import reorder_by_bisection
+
+            mapping = reorder_by_bisection(docs_df)
+        elif reorder_by == "bisection_dominant_terms":
+            # BP refinement over a dominant-terms presort — buys
+            # cross-range locality for one extra tf pass
+            from pisa_spark.index.bisection import reorder_by_bisection
+
+            mapping = reorder_by_bisection(docs_df, presort="dominant_terms")
         else:
             mapping = reorder_by_key(docs_df, list(reorder_by))
         # mapping commits BEFORE the postings build: a reader of a
