@@ -2249,6 +2249,95 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+def _bisected_index(spark: SparkSession, sf_dir: str):
+    """Index built over recursive-graph-bisection doc ids — PISA's
+    reorder-docids --bp (index/bisection.py). Memoized like
+    _reordered_index: (postings, stats, mapping)."""
+    key = ("bpidx", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        from pisa_spark.index.bisection import reorder_by_bisection
+        from pisa_spark.index.build import build_postings
+        from pisa_spark.index.reorder import apply_reorder
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        mapping = reorder_by_bisection(docs).cache()
+        toks = apply_reorder(_tokens(spark, sf_dir), mapping)
+        row = toks.agg(
+            F.count(F.lit(1)), F.avg("doc_len"), F.max("doc_id")
+        ).collect()[0]
+        n, avgdl = int(row[0]), float(row[1])
+        postings = build_postings(
+            toks, n, avgdl, n_buckets=16, max_doc_id=int(row[2])
+        ).cache()
+        _MEMO[key] = (postings, {"n_docs": n, "avgdl": avgdl}, mapping)
+    return _MEMO[key]
+
+
+def _bm25_bisected(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """BM25 over the BP-reordered index. The BP permutation is
+    algorithmic (no SQL replay), so rank agreement is pinned WITHOUT
+    replaying new ids: serve a widened top-(k+50) candidate set over
+    the BP index, map back to ORIGINAL ids, and re-rank on the
+    4dp-rounded score with original-doc_id ties — exactly the twin's
+    order. BM25 inputs are permutation-invariant, so scores (and the
+    rounded ranking) are those of the plain index; the widened cut
+    absorbs the kernel's own new-id tie order at the k boundary."""
+    from pyspark.sql import Window
+
+    from pisa_spark.index.reorder import restore_ids
+    from pisa_spark.query.bm25 import bm25_topk_wand
+
+    postings, stats, mapping = _bisected_index(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms, "conjunctive": False}
+        for qid, terms in _OR_QUERIES
+    ]
+    out = bm25_topk_wand(
+        postings, queries, stats["n_docs"], stats["avgdl"], k=k + 50,
+        two_phase=True,
+    )
+    back = restore_ids(out, mapping).select(
+        "query_id", "doc_id", F.round("score", 4).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        back.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _bm25_bisected_sql(qs, k: int = 10) -> str:
+    """Twin: plain one-corpus BM25 (permutation-invariant scores),
+    ranked on the 4dp-rounded score with original-doc_id ties — the
+    same pinned order the gate re-ranks the restored results into."""
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM (SELECT query_id, doc_id, round(raw_score, 4) AS score FROM scored)
+) WHERE rank <= {k}
+"""
+
+
 def _search_mmr(
     spark: SparkSession, sf_dir: str, k: int = 10, n_cand: int = 20
 ) -> DataFrame:
@@ -5604,6 +5693,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "bm25_bisected_topk",
     "bm25_maxp_topk",
     "dedup_paragraphs_stats",
     "taily_shard_stats",
@@ -5800,6 +5890,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_range_filtered_topk": _bm25_range_filtered,
         "bm25_federated_topk": _bm25_federated,
         "bm25_reordered_topk": _bm25_reordered,
+        "bm25_bisected_topk": _bm25_bisected,
         "search_mmr_topk": _search_mmr,
         "bm25_deleted_topk": _bm25_deleted,
         "bm25_page2_topk": _bm25_page,
@@ -6383,6 +6474,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_range_filtered_topk": _bm25_range_filtered_sql(_RANGE_QUERIES),
         "bm25_federated_topk": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_reordered_topk": _bm25_reordered_sql(_OR_QUERIES),
+        "bm25_bisected_topk": _bm25_bisected_sql(_OR_QUERIES),
         "search_mmr_topk": _mmr_sql(_OR_QUERIES),
         "bm25_deleted_topk": _bm25_deleted_sql(_OR_QUERIES),
         "bm25_page2_topk": _bm25_page_sql(_OR_QUERIES),
