@@ -3459,6 +3459,131 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+# SDM fixture: ordered queries incl. a stop-wordy pair, a 3-term chain
+# and an absent term (cf=0 -> excluded from every feature, matching the
+# kernel); scores are Dirichlet log-probs, ranked on the 4dp-rounded
+# value (ln/sum order differs between engines at ulp level)
+_SDM_QUERIES = [
+    (0, ["data", "join"]),
+    (1, ["the", "data"]),
+    (2, ["spark", "query", "scan"]),
+    (3, ["data", "zzz_absent"]),
+]
+
+
+def _sdm_gate(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Sequential Dependence Model top-k (query/sdm.py): Dirichlet
+    unigram LM + ordered-adjacency + unordered-window-8 features over
+    the positional index; collection window stats from their own
+    pruned decode pass. The twin replays tokenization, both window
+    counters, the collection sums and the lambda mix op for op."""
+    from pyspark.sql import Window
+
+    from pisa_spark.query.sdm import sdm_topk
+
+    postings, _, _ = _built_pos_index(spark, sf_dir)
+    total = int(
+        _tokens(spark, sf_dir).agg(F.sum("doc_len")).collect()[0][0]
+    )
+    queries = [
+        {"query_id": qid, "terms": terms} for qid, terms in _SDM_QUERIES
+    ]
+    out = sdm_topk(postings, queries, float(total), k=k + 20)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        out.select("query_id", "doc_id", F.round("score", 4).alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
+def _sdm_sql(qs, k: int = 10) -> str:
+    """Twin for sdm_topk: token-level replay of the pinned feature
+    definitions — ordered adjacency, unordered window 8 as ordered
+    occurrence pairs with 0 < |i-j| < 8 (self-pair excluded), zero-cf
+    features dropped, candidates = docs with >= 1 present query term,
+    unigrams and pairs both per query POSITION (multiplicity)."""
+    qv = ", ".join(f"({qid}, {terms!r}::VARCHAR[])" for qid, terms in qs)
+    return f"""
+{_SQL_BASE},
+q(query_id, terms) AS (VALUES {qv}),
+tot AS (SELECT CAST(sum(doc_len) AS DOUBLE) AS total FROM doclen),
+cft AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf GROUP BY term),
+qt AS (SELECT query_id, unnest(terms) AS term FROM q),
+qp AS (
+  SELECT query_id, terms[i] AS a, terms[i + 1] AS b
+  FROM (SELECT query_id, terms, unnest(range(1, len(terms))) AS i FROM q)
+),
+pairs AS (SELECT DISTINCT a, b FROM qp),
+pc AS (
+  SELECT t.doc_id, p.a, p.b,
+    len(list_filter(range(1, len(t.tokens)),
+        i -> t.tokens[i] = p.a AND t.tokens[i + 1] = p.b)) AS o,
+    coalesce(list_sum(list_transform(range(1, len(t.tokens) + 1),
+        i -> CASE WHEN t.tokens[i] = p.a
+             THEN len(list_filter(
+                    range(greatest(i - 7, 1),
+                          least(i + 7, len(t.tokens)) + 1),
+                    j -> j <> i AND t.tokens[j] = p.b))
+             ELSE 0 END)), 0) AS u
+  FROM toks t CROSS JOIN pairs p
+),
+cfp AS (
+  SELECT a, b, CAST(sum(o) AS DOUBLE) AS cfo, CAST(sum(u) AS DOUBLE) AS cfu
+  FROM pc GROUP BY a, b
+),
+cand AS (
+  SELECT DISTINCT qt.query_id, tf.doc_id
+  FROM tf JOIN qt USING (term)
+),
+uni AS (
+  SELECT c.query_id, c.doc_id,
+         sum( ln(coalesce(tf.tf, 0) + 2500.0 * cft.cf / tot.total)
+              - ln(doclen.doc_len + 2500.0) ) AS s
+  FROM cand c
+  JOIN qt ON qt.query_id = c.query_id
+  JOIN cft ON cft.term = qt.term
+  JOIN doclen ON doclen.doc_id = c.doc_id
+  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = qt.term
+  CROSS JOIN tot
+  GROUP BY c.query_id, c.doc_id
+),
+pairf AS (
+  SELECT c.query_id, c.doc_id,
+         sum( CASE WHEN cfp.cfo > 0
+              THEN 0.10 * ( ln(coalesce(pc.o, 0) + 2500.0 * cfp.cfo / tot.total)
+                            - ln(doclen.doc_len + 2500.0) )
+              ELSE 0 END
+            + CASE WHEN cfp.cfu > 0
+              THEN 0.05 * ( ln(coalesce(pc.u, 0) + 2500.0 * cfp.cfu / tot.total)
+                            - ln(doclen.doc_len + 2500.0) )
+              ELSE 0 END ) AS s
+  FROM cand c
+  JOIN qp ON qp.query_id = c.query_id
+  JOIN cfp ON cfp.a = qp.a AND cfp.b = qp.b
+  JOIN doclen ON doclen.doc_id = c.doc_id
+  LEFT JOIN pc ON pc.doc_id = c.doc_id AND pc.a = qp.a AND pc.b = qp.b
+  CROSS JOIN tot
+  GROUP BY c.query_id, c.doc_id
+),
+fused AS (
+  SELECT u.query_id, u.doc_id,
+         0.85 * u.s + coalesce(p.s, 0.0) AS raw
+  FROM uni u
+  LEFT JOIN pairf p ON p.query_id = u.query_id AND p.doc_id = u.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM (SELECT query_id, doc_id, round(raw, 4) AS score FROM fused)
+) WHERE rank <= {k}
+"""
+
+
 def _allow_clause(entries) -> str:
     """UNION ALL of per-query allowed-doc selects off the documents
     table — the relational rendering of attribute filters (restrict
@@ -5693,6 +5818,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "sdm_topk",
     "bm25_bisected_topk",
     "bm25_maxp_topk",
     "dedup_paragraphs_stats",
@@ -5891,6 +6017,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_federated_topk": _bm25_federated,
         "bm25_reordered_topk": _bm25_reordered,
         "bm25_bisected_topk": _bm25_bisected,
+        "sdm_topk": _sdm_gate,
         "search_mmr_topk": _search_mmr,
         "bm25_deleted_topk": _bm25_deleted,
         "bm25_page2_topk": _bm25_page,
@@ -6475,6 +6602,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_federated_topk": _bm25_sql(_OR_QUERIES, conjunctive=False),
         "bm25_reordered_topk": _bm25_reordered_sql(_OR_QUERIES),
         "bm25_bisected_topk": _bm25_bisected_sql(_OR_QUERIES),
+        "sdm_topk": _sdm_sql(_SDM_QUERIES),
         "search_mmr_topk": _mmr_sql(_OR_QUERIES),
         "bm25_deleted_topk": _bm25_deleted_sql(_OR_QUERIES),
         "bm25_page2_topk": _bm25_page_sql(_OR_QUERIES),

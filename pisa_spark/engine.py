@@ -927,6 +927,50 @@ class SearchEngine:
             pre_arranged=self._pre_arranged,
         )
 
+    def search_sdm(
+        self,
+        query,
+        k: int = 10,
+        mu: float = 2500.0,
+        lambdas: tuple[float, float, float] = (0.85, 0.10, 0.05),
+        window: int = 8,
+    ) -> DataFrame:
+        """Sequential Dependence Model top-k (query/sdm.py — Metzler &
+        Croft 2005): Dirichlet unigram LM + ordered-adjacency and
+        unordered-window-8 bigram features over the positional index.
+        Term ORDER in the query is the model input (adjacent pairs
+        feature). '-term' negation, attribute filters and tombstone
+        deletes compose (candidate-gated in the kernel; collection
+        stats stay corpus-level — the same stale-stats convention as
+        deletes under BM25). Quoted phrases are rejected: SDM already
+        IS the proximity model. Needs total_terms in stats (any
+        load()/build() engine has it)."""
+        if "poss" not in self.postings.columns:
+            raise ValueError(
+                "SDM needs a positional index — build with"
+                " with_positions=True"
+            )
+        from pisa_spark.query.sdm import sdm_topk
+
+        q = parse_query(query) if isinstance(query, str) else dict(query)
+        if q.get("phrases"):
+            raise ValueError("quoted phrases do not combine with SDM")
+        nq = {"query_id": 0, "terms": list(q["terms"])}
+        if q.get("negated"):
+            nq["negated"] = list(q["negated"])
+        if q.get("filter"):
+            nq["filter"] = list(q["filter"])
+        nqs = self._exclude_deleted([nq])
+        return sdm_topk(
+            self.postings,
+            nqs,
+            float(self.stats["total_terms"]),
+            k=k,
+            mu=mu,
+            lambdas=lambdas,
+            window=window,
+        )
+
     def search_fuzzy(
         self, query, k: int = 10, max_dist: int = 1, **search_kwargs
     ) -> DataFrame:
