@@ -5796,6 +5796,152 @@ SELECT CAST(rank AS INTEGER) AS rank, subword, total_freq FROM (
     )
 
 
+def _bpe_encode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODER (functions/bpe.py bpe_encode_stats): merges learned
+    on the doc_id%3==0 slice, the WHOLE corpus encoded under them —
+    unseen words segment with whatever merges apply. Per-doc
+    (n_words, n_subwords, n_unmerged); the twin replays the slice
+    training loop and the sequential-by-rank apply chain op for op."""
+    from pisa_spark.functions.bpe import (
+        bpe_encode_stats,
+        bpe_learn,
+        word_frequencies,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges, final = bpe_learn(
+        word_frequencies(docs.filter(F.col("doc_id") % 3 == 0)), 6
+    )
+    final.unpersist()
+    return bpe_encode_stats(docs, merges).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "n_subwords",
+        "n_unmerged",
+    )
+
+
+def _bpe_encode_sql(n_merges: int = 6) -> str:
+    """Twin: the training CTE chain restricted to the doc_id%3==0
+    slice (same greedy island replay as _bpe_sql_base), then a second
+    chain applying each learned pair IN RANK ORDER to every distinct
+    corpus word, then the per-doc aggregate."""
+    parts = [
+        """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+),
+wf AS MATERIALIZED (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(tokens) AS word FROM toks WHERE doc_id % 3 = 0)
+  GROUP BY word
+),
+w0 AS MATERIALIZED (
+  SELECT word, freq,
+         list_append(list_transform(range(1, length(word) + 1),
+                     i -> word[i:i]), '</w>') AS syms
+  FROM wf
+),
+v0 AS MATERIALIZED (
+  SELECT word,
+         list_append(list_transform(range(1, length(word) + 1),
+                     i -> word[i:i]), '</w>') AS syms
+  FROM (SELECT DISTINCT unnest(tokens) AS word FROM toks)
+)"""
+    ]
+    for t in range(1, n_merges + 1):
+        prev = f"w{t - 1}"
+        vprev = f"v{t - 1}"
+        parts.append(
+            f""",
+p{t} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt FROM (
+    SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(freq) AS cnt
+    FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM {prev})
+    GROUP BY 1, 2
+  ) ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+),
+e{t} AS MATERIALIZED (
+  SELECT word, freq, i, syms[i] AS sym,
+         CASE WHEN i < len(syms) AND syms[i] = p.lhs AND syms[i + 1] = p.rhs
+              THEN 1 ELSE 0 END AS hit
+  FROM (SELECT word, freq, syms, unnest(range(1, len(syms) + 1)) AS i
+        FROM {prev})
+  CROSS JOIN p{t} p
+),
+a{t} AS MATERIALIZED (
+  SELECT word, i,
+         CASE WHEN (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0
+              THEN 1 ELSE 0 END AS applied
+  FROM (
+    SELECT word, i,
+           i - row_number() OVER (PARTITION BY word ORDER BY i) AS isl
+    FROM e{t} WHERE hit = 1
+  )
+),
+w{t} AS MATERIALIZED (
+  SELECT e.word, any_value(e.freq) AS freq,
+         list(CASE WHEN coalesce(a.applied, 0) = 1 THEN p.lhs || p.rhs
+                   ELSE e.sym END ORDER BY e.i) AS syms
+  FROM e{t} e
+  CROSS JOIN p{t} p
+  LEFT JOIN a{t} a ON a.word = e.word AND a.i = e.i
+  LEFT JOIN a{t} ap ON ap.word = e.word AND ap.i = e.i - 1
+  WHERE coalesce(ap.applied, 0) = 0
+  GROUP BY e.word
+),
+ve{t} AS MATERIALIZED (
+  SELECT word, i, syms[i] AS sym,
+         CASE WHEN i < len(syms) AND syms[i] = p.lhs AND syms[i + 1] = p.rhs
+              THEN 1 ELSE 0 END AS hit
+  FROM (SELECT word, syms, unnest(range(1, len(syms) + 1)) AS i
+        FROM {vprev})
+  CROSS JOIN p{t} p
+),
+va{t} AS MATERIALIZED (
+  SELECT word, i,
+         CASE WHEN (i - min(i) OVER (PARTITION BY word, isl)) % 2 = 0
+              THEN 1 ELSE 0 END AS applied
+  FROM (
+    SELECT word, i,
+           i - row_number() OVER (PARTITION BY word ORDER BY i) AS isl
+    FROM ve{t} WHERE hit = 1
+  )
+),
+v{t} AS MATERIALIZED (
+  SELECT e.word,
+         list(CASE WHEN coalesce(a.applied, 0) = 1 THEN p.lhs || p.rhs
+                   ELSE e.sym END ORDER BY e.i) AS syms
+  FROM ve{t} e
+  CROSS JOIN p{t} p
+  LEFT JOIN va{t} a ON a.word = e.word AND a.i = e.i
+  LEFT JOIN va{t} ap ON ap.word = e.word AND ap.i = e.i - 1
+  WHERE coalesce(ap.applied, 0) = 0
+  GROUP BY e.word
+)"""
+        )
+    parts.append(
+        f""",
+sizes AS (
+  SELECT word, len(syms) AS n_syms,
+         len(list_filter(syms, s -> length(s) = 1 OR s = '</w>'))
+           AS n_single
+  FROM v{n_merges}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_syms) AS BIGINT) AS n_subwords,
+       CAST(sum(n_single) AS BIGINT) AS n_unmerged
+FROM (SELECT doc_id, unnest(tokens) AS word FROM toks)
+JOIN sizes USING (word)
+GROUP BY doc_id
+"""
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -5818,6 +5964,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "bpe_encode_stats",
     "sdm_topk",
     "bm25_bisected_topk",
     "bm25_maxp_topk",
@@ -6109,6 +6256,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fusion_rrf_topk": _fusion_rrf_gate,
         "fusion_combmnz_topk": _fusion_combmnz_gate,
         "bpe_merge_table": lambda spark, sf: _bpe_merges_gate(spark, sf),
+        "bpe_encode_stats": _bpe_encode_gate,
         "bpe_subword_stats": lambda spark, sf: _bpe_stats_gate(spark, sf),
         "trec_eval_metrics": lambda spark, sf: _trec_gate(spark, sf),
         "qljm_topk_pruned": lambda spark, sf: _scored_pruned_df(
@@ -6707,6 +6855,7 @@ SELECT query_id, facet, value, n FROM (
         "fusion_rrf_topk": _fusion_rrf_sql(_OR_QUERIES),
         "fusion_combmnz_topk": _fusion_combmnz_sql(_OR_QUERIES),
         "bpe_merge_table": _bpe_merges_sql(8),
+        "bpe_encode_stats": _bpe_encode_sql(6),
         "bpe_subword_stats": _bpe_stats_sql(8, 20),
         "trec_eval_metrics": _trec_sql(_OR_QUERIES, k=10),
         "qljm_topk_pruned": _scored_sql(_OR_QUERIES, "qljm", conjunctive=False),

@@ -388,6 +388,18 @@ def main() -> None:
         pos_stats["n_docs"], pos_stats["avgdl"], k=10, pre_arranged=True,
     ).collect()
     timings["q_mixed"] = round(time.perf_counter() - t0, 4)
+
+    # SDM over the same positional index — cost includes the
+    # collection window-stats pass (the uncached per-query price)
+    from pisa_spark.query.sdm import sdm_topk
+
+    t0 = time.perf_counter()
+    sdm_topk(
+        pos_postings,
+        [{"query_id": 96, "terms": ["data", "join", "scan"]}],
+        float(pos_stats["total_terms"]), k=10,
+    ).collect()
+    timings["q_sdm"] = round(time.perf_counter() - t0, 4)
     # round-4 late families: boolean CNF, tombstone deletes, deep
     # pagination, MMR diversification — all over the main exact index
     t0 = time.perf_counter()

@@ -159,6 +159,160 @@ def subword_stats(final_vocab: DataFrame, top_n: int = 20) -> DataFrame:
     )
 
 
+def bpe_encode_words(
+    words: DataFrame,
+    merges: list[dict],
+    max_expr_chain: int = 64,
+) -> DataFrame:
+    """(word) -> (word, syms): ENCODE arbitrary words under a learned
+    merge table — the half of the tokenizer story the trainer doesn't
+    cover (words never seen in training still segment; seen words
+    segment byte-identically to their final_vocab state).
+
+    Semantics pinned to the trainer's: merges apply sequentially in
+    RANK order, each exhaustively with the same greedy left-to-right
+    overlap fold as ``_apply_merge``. Two implementations, identical
+    by construction (asserted in tests):
+
+    - merge tables up to ``max_expr_chain``: a chain of the trainer's
+      own ``_apply_merge`` column expressions — whole-stage codegen,
+      no Python, and literally the training evolution replayed.
+    - larger tables: an Arrow-batched kernel doing greedy-min-rank
+      (repeatedly apply the LOWEST-rank pair present). Equivalent to
+      sequential-by-rank because a merge's output symbol only ever
+      forms pairs of HIGHER rank (training causality: a pair's rank
+      postdates both its symbols), so once rank r is exhausted no
+      rank <= r pair can reappear — but O(active pairs) per word
+      instead of O(|table|).
+
+    Input is deduplicated: encode once per DISTINCT word (Zipf makes
+    the distinct-word relation orders of magnitude smaller than the
+    corpus), join back at the consumer."""
+    base = (
+        words.select("word").distinct()
+        .withColumn("syms", _initial_symbols())
+    )
+    if len(merges) <= max_expr_chain:
+        cur = base
+        for m in merges:
+            cur = cur.withColumn("syms", _apply_merge(m["lhs"], m["rhs"]))
+        return cur
+
+    import pandas as pd
+
+    table = [(m["lhs"], m["rhs"]) for m in merges]
+    ranks = {p: i for i, p in enumerate(table)}
+
+    def kernel(pdf_iter):
+        def enc(word: str) -> list[str]:
+            syms = list(word) + [END]
+            while len(syms) > 1:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                lhs, rhs = table[best]
+                merged = lhs + rhs
+                out: list[str] = []
+                for x in syms:
+                    if out and out[-1] == lhs and x == rhs:
+                        out[-1] = merged
+                    else:
+                        out.append(x)
+                syms = out
+            return syms
+
+        for pdf in pdf_iter:
+            yield pd.DataFrame(
+                {"word": pdf["word"], "syms": [enc(w) for w in pdf["word"]]}
+            )
+
+    return base.select("word").mapInPandas(
+        kernel, schema="word string, syms array<string>"
+    )
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    max_expr_chain: int = 64,
+) -> DataFrame:
+    """(doc_id, subwords): each document's full ordered subword
+    sequence under the merge table — tokenize, dictionary-encode
+    (distinct words encode once), join the per-word segmentations
+    back, reassemble in token order. The join is word-keyed (Zipf:
+    the hot words broadcast well under AQE); the only corpus-sized
+    shuffle is the per-doc reassembly."""
+    enc = bpe_encode_words(
+        docs.select(
+            F.explode(tokens_col(F.col(text_col))).alias("word")
+        ),
+        merges,
+        max_expr_chain=max_expr_chain,
+    )
+    doc_words = docs.select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col(text_col))).alias("pos", "word"),
+    )
+    return (
+        doc_words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda x: x["syms"],
+                )
+            ).alias("subwords")
+        )
+    )
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    max_expr_chain: int = 64,
+) -> DataFrame:
+    """(doc_id, n_words, n_subwords, n_unmerged): per-doc encoding
+    summary — the budgeting relation a packing stage consumes.
+    n_unmerged counts subwords that are still single characters or the
+    bare END sentinel (a proxy for how much of the doc the vocabulary
+    actually covers)."""
+    enc = bpe_encode_words(
+        docs.select(
+            F.explode(tokens_col(F.col(text_col))).alias("word")
+        ),
+        merges,
+        max_expr_chain=max_expr_chain,
+    ).select(
+        "word",
+        F.size("syms").alias("n_syms"),
+        F.size(
+            F.filter(
+                "syms",
+                lambda s: (F.length(s) == F.lit(1)) | (s == F.lit(END)),
+            )
+        ).alias("n_single"),
+    )
+    doc_words = docs.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col))).alias("word")
+    )
+    return (
+        doc_words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_subwords"),
+            F.sum("n_single").cast("long").alias("n_unmerged"),
+        )
+    )
+
+
 def encode_token_counts(
     docs: DataFrame, final_vocab: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -123,3 +123,100 @@ def test_gates_match_duckdb_oracle(spark, sf_dir):
         got = got[sorted(got.columns)].sort_values("step" if "step" in got else "rank").reset_index(drop=True)
         want = want[sorted(want.columns)].sort_values("step" if "step" in want else "rank").reset_index(drop=True)
         assert got.equals(want), (name, got.to_dict(), want.to_dict())
+
+
+def _enc_py(word, merges):
+    """Independent sequential-by-rank reference encoder."""
+    syms = list(word) + [END]
+    for _, a, b, _, _ in merges:
+        new, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                new.append(a + b)
+                i += 2
+            else:
+                new.append(syms[i])
+                i += 1
+        syms = new
+    return syms
+
+
+def test_encode_seen_words_match_final_vocab(spark):
+    from pisa_spark.functions.bpe import bpe_encode_words
+
+    merges, final = _spark_merges(spark, WF, 8, min_count=1)
+    mlist = [
+        {"step": s, "lhs": a, "rhs": b, "merged": m, "pair_count": c}
+        for s, a, b, m, c in merges
+    ]
+    words = spark.createDataFrame([(w,) for w, _ in WF], "word string")
+    got = {
+        r["word"]: r["syms"]
+        for r in bpe_encode_words(words, mlist).collect()
+    }
+    want = {r["word"]: r["syms"] for r in final[1].collect()} if isinstance(
+        final, tuple
+    ) else {r["word"]: r["syms"] for r in final.collect()}
+    assert got == want
+    final.unpersist()
+
+
+def test_encode_kernel_equals_expression_chain(spark):
+    import random
+
+    from pisa_spark.functions.bpe import bpe_encode_words
+
+    merges, final = _spark_merges(spark, WF, 8, min_count=1)
+    final.unpersist()
+    mlist = [
+        {"step": s, "lhs": a, "rhs": b, "merged": m, "pair_count": c}
+        for s, a, b, m, c in merges
+    ]
+    rng = random.Random(5)
+    # unseen words, prefixes, garbage, and the seen vocabulary
+    pool = [w for w, _ in WF] + [
+        "".join(rng.choice("abcdehilnorstw") for _ in range(rng.randrange(1, 12)))
+        for _ in range(200)
+    ]
+    words = spark.createDataFrame([(w,) for w in set(pool)], "word string")
+    via_expr = {
+        r["word"]: r["syms"]
+        for r in bpe_encode_words(words, mlist, max_expr_chain=64).collect()
+    }
+    via_kernel = {
+        r["word"]: r["syms"]
+        for r in bpe_encode_words(words, mlist, max_expr_chain=0).collect()
+    }
+    assert via_expr == via_kernel
+    # and both equal the independent sequential-by-rank reference
+    for w in set(pool):
+        assert via_expr[w] == _enc_py(w, merges), w
+
+
+def test_encode_docs_order_and_stats(spark):
+    from pisa_spark.functions.bpe import bpe_encode_docs, bpe_encode_stats
+
+    docs = spark.createDataFrame(
+        [(1, "new wide new"), (2, "newest zzz")], "doc_id int, text string"
+    )
+    words = word_frequencies(docs)
+    merges, final = bpe_learn(words, 3, min_count=1)
+    final.unpersist()
+    seq = {
+        r["doc_id"]: r["subwords"]
+        for r in bpe_encode_docs(docs, merges).collect()
+    }
+    assert seq[1] == (
+        _enc_py("new", [tuple(m.values()) for m in merges])
+        + _enc_py("wide", [tuple(m.values()) for m in merges])
+        + _enc_py("new", [tuple(m.values()) for m in merges])
+    )
+    st = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"], r["n_unmerged"])
+        for r in bpe_encode_stats(docs, merges).collect()
+    }
+    assert st[1][0] == 3 and st[1][1] == len(seq[1])
+    assert st[2][0] == 2 and st[2][1] == len(seq[2])
+    # 'zzz' shares no learned merge: its 3 chars + END all stay unmerged
+    zz = _enc_py("zzz", [tuple(m.values()) for m in merges])
+    assert zz == ["z", "z", "z", END]
