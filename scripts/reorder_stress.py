@@ -111,9 +111,17 @@ def main() -> None:
     )
     p0.unpersist()
 
+    from pisa_spark.index.bisection import reorder_by_bisection
+
     for name, fn in (
         ("key(host)", lambda d: reorder_by_key(d, ["host"])),
         ("dominant_terms", reorder_by_dominant_terms),
+        # BP from crawl order: must REDISCOVER the host clusters from
+        # the doc-term graph alone, within each 64k-doc range
+        ("bisection", reorder_by_bisection),
+        # BP refining a metadata presort — the production composition
+        ("bisection+host", lambda d: reorder_by_bisection(
+            d, presort=["host"])),
     ):
         t0 = time.time()
         mapping = fn(docs).cache()
