@@ -4043,6 +4043,115 @@ GROUP BY x
 """
 
 
+_BLOOM_ABSENT = [f"zzbloomprobe{i}" for i in range(8)]
+
+
+def _bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (functions/sketches.py): filter built
+    over the distinct vocabulary of docs 0..199, probed with the
+    top-50-df terms of docs 200.. (natural member/non-member mix) plus
+    fixed absent strings. Output (term, present, actual) — the oracle
+    replays every 32-bit register, the probe bits, AND the exact
+    membership, so both the no-false-negative contract and the
+    false-positive positions must agree bit-for-bit."""
+    from pisa_spark.functions.sketches import bloom_build, bloom_contains
+
+    # (term:doc_id) pair keys: the synthetic vocabulary is only ~31
+    # terms, so term keys alone would leave the filter empty enough
+    # that no false positive ever fires; ~1.2k pair keys load it to
+    # the design point (~45% fill) so the twin must also agree on the
+    # FP rows, not just the members.
+    pairs = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    ).select(
+        "doc_id",
+        F.concat("term", F.lit(":"), F.col("doc_id").cast("string")).alias(
+            "key"
+        ),
+    )
+    members = pairs.where("doc_id < 40").select("key").distinct()
+    sk = bloom_build(members, "key")
+    probes = (
+        pairs.where("doc_id < 20")
+        .unionByName(pairs.where("doc_id >= 200 AND doc_id < 220"))
+        .select("key")
+        .distinct()
+        .unionByName(
+            spark.createDataFrame([(p,) for p in _BLOOM_ABSENT], "key string")
+        )
+    )
+    res = bloom_contains(sk, probes, "key")
+    return (
+        res.join(
+            members.select(F.col("key").alias("x"))
+            .withColumn("actual", F.lit(True)),
+            "x",
+            "left",
+        )
+        .fillna({"actual": False})
+        .select(
+            F.col("x").alias("key"),
+            F.col("present").cast("int").alias("present"),
+            F.col("actual").cast("int").alias("actual"),
+        )
+    )
+
+
+def _bloom_sql() -> str:
+    from pisa_spark.functions.sketches import BLOOM_K, BLOOM_M
+
+    vals = ", ".join(f"('{p}')" for p in _BLOOM_ABSENT)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+    AS term
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, term || ':' || CAST(doc_id AS VARCHAR) AS key FROM toks
+),
+members AS (SELECT DISTINCT key FROM pairs WHERE doc_id < 40),
+mbits AS (
+  SELECT CAST('0x'||substring(md5('bl:'||r.i||':'||key),1,8) AS BIGINT)
+           % {BLOOM_M} AS p
+  FROM members, range(0, {BLOOM_K}) AS r(i)
+),
+words AS (
+  SELECT CAST(floor(p / 32.0) AS BIGINT) AS w,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+  FROM mbits GROUP BY 1
+),
+probes AS (
+  SELECT DISTINCT key FROM pairs
+  WHERE doc_id < 20 OR (doc_id >= 200 AND doc_id < 220)
+  UNION ALL
+  SELECT x FROM (VALUES {vals}) AS v(x)
+),
+pbits AS (
+  SELECT key,
+         CAST('0x'||substring(md5('bl:'||r.i||':'||key),1,8) AS BIGINT)
+           % {BLOOM_M} AS p
+  FROM probes, range(0, {BLOOM_K}) AS r(i)
+),
+hits AS (
+  SELECT key,
+         CASE WHEN (COALESCE(words.word, 0)
+                    & (CAST(1 AS BIGINT) << CAST(p % 32 AS INT)))
+                   = (CAST(1 AS BIGINT) << CAST(p % 32 AS INT))
+              THEN 1 ELSE 0 END AS h
+  FROM (SELECT key, p, CAST(floor(p / 32.0) AS BIGINT) AS w FROM pbits) q
+  LEFT JOIN words USING (w)
+)
+SELECT h.key,
+       CAST(min(h.h) AS INT) AS present,
+       CAST(max(CASE WHEN m.key IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         AS actual
+FROM hits h LEFT JOIN members m ON h.key = m.key
+GROUP BY h.key
+"""
+
+
 def _fielded_indexes(spark: SparkSession, sf_dir: str):
     """Memoized per-field (title/body) compressed indexes."""
     from pisa_spark.query.bm25f import build_fielded_indexes
@@ -5964,6 +6073,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "sketch_bloom_membership",
     "bpe_encode_stats",
     "sdm_topk",
     "bm25_bisected_topk",
@@ -6200,6 +6310,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": _hll_gate,
         # count-min frequency estimates for fixed probes
         "sketch_cms_estimates": _cms_gate,
+        # Bloom-filter membership, register-exact twin
+        "sketch_bloom_membership": _bloom_gate,
         # autocomplete: top vocabulary terms per prefix
         "suggest_prefix_topk": _suggest_gate,
         # deterministic stratified sampling (data mixing)
@@ -6782,6 +6894,7 @@ FROM doclen""",
         "bm25f_topk_indexed": _bm25f_sql(_OR_QUERIES),
         "sketch_hll_distinct": _hll_sql(),
         "sketch_cms_estimates": _cms_sql(),
+        "sketch_bloom_membership": _bloom_sql(),
         "suggest_prefix_topk": _suggest_sql(),
         "curation_sample_stratified": _SQL_SAMPLE,
         "search_eval_metrics": _search_eval_sql(),

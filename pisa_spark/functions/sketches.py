@@ -150,3 +150,108 @@ def hll_distinct(
         F.lit(float(m)) * F.log(F.lit(m) / zeros),
     ).otherwise(e_raw)
     return agg.select(*by, F.round(est, 4).alias("distinct_est"))
+
+
+# --- Bloom filter -----------------------------------------------------
+
+BLOOM_M = 1 << 13  # bits
+BLOOM_K = 4
+
+_BW = 32  # word width: 32-bit words keep every value positive on both
+#           engines (DuckDB's << wraps at bit 63; 1<<31 in a BIGINT is
+#           safe, and Spark's long holds it exactly)
+
+
+def _bloom_positions(x: F.Column, m_bits: int, k: int) -> list:
+    """The k deterministic bit positions of value ``x``: row-salted
+    members of the shared md5 family, so the oracle replays each
+    position as CAST('0x'||substring(md5('bl:'||i||':'||x),1,8) AS
+    BIGINT) % m."""
+    return [
+        F.pmod(
+            hash64(F.concat(F.lit(str(i)), F.lit(":"), x), "bl:"),
+            F.lit(m_bits),
+        )
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """(by..., w, word): Bloom filter (Bloom 1970) over ``col`` as a
+    sparse relation of set 32-bit words — w = bit_pos / 32, word =
+    bit_or of 1 << (bit_pos % 32). One explode (x k) + one hash
+    aggregation; bit_or is idempotent and order-free, so duplicates
+    are free, partial aggregation combines map-side, and two sketches
+    merge by the SAME groupBy-bit_or over their union. m=8192/k=4:
+    for n inserted keys FPR ~ (1 - e^(-kn/m))^k (~2.4% at n=1024).
+
+    Use case at scale: build over the small side of a semi/anti join
+    (e.g. a benchmark-decontamination gram set), broadcast the <=
+    m/32-row word relation, and pre-filter the corpus side before the
+    exact join — same results, shuffle bounded by maybe-members."""
+    by = by or []
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col("x"), m_bits, k))
+    ).alias("p")
+    e = df.select(*by, F.col(col).alias("x")).select(*by, pos)
+    return (
+        e.select(
+            *by,
+            (F.col("p") / _BW).cast("long").alias("w"),
+            F.expr(f"CAST(shiftleft(1L, CAST(pmod(p, {_BW}) AS INT)) AS LONG)")
+            .alias("m"),
+        )
+        .groupBy(*by, "w")
+        .agg(F.bit_or("m").alias("word"))
+    )
+
+
+def bloom_contains(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str = "x",
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(x, present): membership test per distinct probe — present iff
+    ALL k bits are set (min over the k per-bit hits). No false
+    negatives ever; false positives at the design FPR. The probe side
+    is explode(x k) of a small relation and the sketch is <= m/32
+    rows, so the join broadcasts whichever side is declared small."""
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col("x"), m_bits, k))
+    ).alias("p")
+    p = probes.select(F.col(col).alias("x")).distinct().select("x", pos)
+    p = p.select(
+        "x",
+        (F.col("p") / _BW).cast("long").alias("w"),
+        F.expr(f"CAST(shiftleft(1L, CAST(pmod(p, {_BW}) AS INT)) AS LONG)")
+        .alias("m"),
+    )
+    j = p.join(F.broadcast(sketch), "w", "left").fillna({"word": 0})
+    hit = (F.col("word").bitwiseAND(F.col("m")) == F.col("m")).cast("int")
+    return (
+        j.select("x", hit.alias("h"))
+        .groupBy("x")
+        .agg((F.min("h") == 1).alias("present"))
+    )
+
+
+def bloom_stats(sketch: DataFrame, m_bits: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """One row (set_bits, fill_ratio, fpr_est): observed load — set
+    bits via bit_count over the word relation, fill ratio against m,
+    and the plug-in false-positive estimate fill^k (the probability
+    all k probe bits land on set bits)."""
+    agg = sketch.agg(F.sum(F.bit_count("word")).alias("set_bits"))
+    fill = F.col("set_bits").cast("double") / F.lit(float(m_bits))
+    return agg.select(
+        "set_bits",
+        F.round(fill, 6).alias("fill_ratio"),
+        F.round(F.pow(fill, F.lit(float(k))), 6).alias("fpr_est"),
+    )
