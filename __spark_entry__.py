@@ -2842,6 +2842,93 @@ def _bm25_wildcard(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     )
 
 
+# general-wildcard gate queries: leading / infix / multi-star /
+# gram-less-fallback forms, all through the k-gram route
+_KGRAM_QUERIES = [
+    (44, [], ["*er"]),
+    (45, ["join"], ["s*t"]),
+    (46, [], ["*a*"]),
+    (47, ["data"], ["*ue"]),
+]
+
+
+def _bm25_kgram(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """General wildcards (leading '*er', infix 's*t', gram-less '*a*')
+    off the compressed index: the k-gram conjunction + regex verify
+    expands each pattern against the term dictionary (query/kgram.py),
+    then the disjunction runs through WAND. The oracle defines the
+    SEMANTICS directly — a LIKE scan over the dictionary — so equality
+    proves the k-gram route is exactly the brute-force expansion."""
+    from pisa_spark.query.fuzzy import wildcard_topk
+
+    postings, stats = _built_index(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms, "wildcards": wilds}
+        for qid, terms, wilds in _KGRAM_QUERIES
+    ]
+    out = wildcard_topk(
+        postings, queries, stats["n_docs"], stats["avgdl"], k=k,
+        max_expand=64,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _bm25_kgram_sql(qs, k: int = 10, max_expand: int = 64) -> str:
+    """Twin: LIKE expansion ('*' -> '%') over the term dictionary with
+    the same per-pattern (df DESC, term ASC) cap, UNION'd with the
+    literal terms, then the standard BM25 sum/rank tail."""
+    wvals = ", ".join(
+        f"({qid}, '{w.replace('*', '%')}')"
+        for qid, _, wilds in qs
+        for w in wilds
+    )
+    lvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms, _ in qs for t in sorted(set(terms))
+    )
+    literals = (
+        f"q(query_id, term) AS (VALUES {lvals}),\n"
+        "qx AS (SELECT query_id, term FROM q UNION"
+        " SELECT query_id, term FROM wx),"
+        if lvals
+        else "qx AS (SELECT query_id, term FROM wx),"
+    )
+    return f"""
+{_SQL_BASE},
+w(query_id, pat) AS (VALUES {wvals}),
+wx AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT w.query_id, w.pat, d.term
+    FROM w JOIN dfreq d ON d.term LIKE w.pat
+    QUALIFY row_number() OVER (PARTITION BY w.query_id, w.pat
+                               ORDER BY d.df DESC, d.term ASC)
+            <= {max_expand}
+  )
+),
+{literals}
+scored AS (
+  SELECT qx.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+              * (tf.tf * 1.9)
+              / (tf.tf + 0.9 * (1 - 0.4 + 0.4 * doclen.doc_len / stats.avgdl)) )
+           AS raw_score
+  FROM tf
+  JOIN qx USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY qx.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _bm25_wildcard_sql(qs, k: int = 10, max_expand: int = 64) -> str:
     """Twin: LIKE-prefix expansion over the term dictionary with the
     same (df DESC, term ASC) cap, UNION'd with the literal terms
@@ -6073,6 +6160,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "bm25_kgram_topk",
     "sketch_bloom_membership",
     "bpe_encode_stats",
     "sdm_topk",
@@ -6267,6 +6355,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pages_from_documents(spark, sf)
         ).select("url", F.col("doc_id").cast("long").alias("doc_id")),
         "bm25_wildcard_topk": _bm25_wildcard,
+        "bm25_kgram_topk": _bm25_kgram,
         "bm25_filtered_topk": _bm25_filtered,
         "bm25_explain_contribs": _bm25_explain,
         "dedup_substring_spans": _dedup_substring,
@@ -6855,6 +6944,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "term_df": _SQL_BASE + "SELECT term, df FROM dfreq",
         "term_tf": _SQL_BASE + "SELECT doc_id, term, tf FROM tf",
         "bm25_wildcard_topk": _bm25_wildcard_sql(_WILDCARD_QUERIES),
+        "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),
         "bm25_explain_contribs": _bm25_explain_sql(_OR_QUERIES),
         "dedup_substring_spans": _dedup_substring_sql(),

@@ -1399,20 +1399,22 @@ class SearchEngine:
     def search_wildcard(
         self, query: str, k: int = 10, max_expand: int = 64
     ) -> DataFrame:
-        """Prefix-wildcard search: 'dat* join' expands 'dat*' against
-        the index's own term dictionary (capped at ``max_expand``
-        terms per pattern, df DESC) and runs the disjunction of
-        expansions + literal terms through the WAND path — each
-        matched term scores with its own df. '+', '-' and quoted
-        phrases do not combine with wildcards (ambiguous expansion
-        semantics) and raise."""
+        """Wildcard search: 'dat* join', '*tion', 's*t' — each pattern
+        expands against the index's own term dictionary (capped at
+        ``max_expand`` terms per pattern, df DESC) and the disjunction
+        of expansions + literal terms runs through the WAND path —
+        each matched term scores with its own df. Prefix patterns use
+        the pushed-StartsWith dictionary scan; leading/infix patterns
+        the k-gram index (query/kgram.py). '+' and quoted phrases do
+        not combine with wildcards (ambiguous expansion semantics) and
+        raise."""
         import re
 
         from pisa_spark.query.fuzzy import wildcard_topk
 
         toks = query.split()
-        wild_raw = [t for t in toks if t.endswith("*")]
-        rest = " ".join(t for t in toks if not t.endswith("*"))
+        wild_raw = [t for t in toks if "*" in t]
+        rest = " ".join(t for t in toks if "*" not in t)
         parsed = parse_query(rest) if rest.strip() else {"terms": []}
         if parsed.get("conjunctive") or parsed.get("phrases") or '"' in query:
             raise ValueError(
@@ -1421,13 +1423,13 @@ class SearchEngine:
             )
         wilds = []
         for w in wild_raw:
-            prefix = re.sub(r"[^a-z0-9]", "", w[:-1].lower())
-            if not prefix or "*" in w[:-1]:
+            pat = re.sub(r"[^a-z0-9*]", "", w.lower())
+            if not pat.replace("*", ""):
                 raise ValueError(
-                    f"unsupported wildcard {w!r}: prefix form 'abc*'"
-                    " with a non-empty prefix"
+                    f"unsupported wildcard {w!r}: needs at least one"
+                    " literal character"
                 )
-            wilds.append(prefix + "*")
+            wilds.append(pat)
         if not wilds:
             raise ValueError(
                 "no '*' pattern in query — use search() for plain terms"

@@ -195,43 +195,66 @@ def wildcard_topk(
     term_dfs: dict | None = None,
     pre_arranged: bool = False,
 ) -> DataFrame:
-    """BM25 top-k for queries mixing literal terms and prefix
-    wildcards: [{query_id, terms: [...], wildcards: ['dat*', ...]}].
+    """BM25 top-k for queries mixing literal terms and wildcards:
+    [{query_id, terms: [...], wildcards: ['dat*', '*tion', 's*t']}].
 
-    Semantics: each wildcard expands to the indexed terms matching its
-    prefix (expand_wildcards); the query then runs as a plain
-    DISJUNCTION over literals + expansions through the block-max WAND
-    path — every matched term scores with its OWN df (no df pooling
-    across the expansion), each term scores once even when a literal
-    also matches a pattern. Conjunctive syntax does not combine with
-    wildcards here (ambiguous: must EVERY expansion match?) and
-    raises; '-term' negation and attribute filters compose (doc-level
-    exclusion/inclusion is expansion-independent — the WAND kernel
-    applies both bucket-locally, and the deletes layer's __deleted__
-    pseudo-term rides the same path)."""
+    Semantics: each wildcard expands to the indexed terms matching it;
+    the query then runs as a plain DISJUNCTION over literals +
+    expansions through the block-max WAND path — every matched term
+    scores with its OWN df (no df pooling across the expansion), each
+    term scores once even when a literal also matches a pattern.
+    Expansion routes: prefix-form 'abc*' through the pushed-StartsWith
+    dictionary scan (expand_wildcards); leading/infix/multi-star forms
+    through the k-gram index (kgram.expand_patterns) — both capped at
+    ``max_expand`` per pattern by (df DESC, term ASC). Conjunctive
+    syntax does not combine with wildcards here (ambiguous: must EVERY
+    expansion match?) and raises; '-term' negation and attribute
+    filters compose (doc-level exclusion/inclusion is expansion-
+    independent — the WAND kernel applies both bucket-locally, and the
+    deletes layer's __deleted__ pseudo-term rides the same path)."""
     from pisa_spark.query.bm25 import bm25_topk_wand
 
-    pats: list[str] = []
+    prefix_pats: list[str] = []
+    general_pats: list[str] = []
     for q in queries:
         if q.get("conjunctive"):
             raise ValueError(
                 "wildcard queries are disjunctive expansion only"
             )
         for w in q.get("wildcards", []):
-            if not w.endswith("*") or "*" in w[:-1] or len(w) < 2:
+            if "*" not in w or not w.replace("*", ""):
                 raise ValueError(
-                    f"unsupported wildcard {w!r}: prefix form 'abc*'"
-                    " with a non-empty prefix"
+                    f"unsupported wildcard {w!r}: needs at least one"
+                    " literal character and one '*'"
                 )
-            pats.append(w[:-1])
+            if w.endswith("*") and "*" not in w[:-1]:
+                prefix_pats.append(w[:-1])
+            else:
+                general_pats.append(w)
     expansions = expand_wildcards(
-        postings, sorted(set(pats)), max_expand=max_expand
+        postings, sorted(set(prefix_pats)), max_expand=max_expand
     )
+    if general_pats:
+        from pisa_spark.query.kgram import expand_patterns
+
+        # vocabulary (term, df) from posting-block metadata, filter
+        # pseudo-terms excluded by the collision-free ':' separator
+        vocab = (
+            postings.filter(~F.col("term").contains(":"))
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+        )
+        expansions.update(
+            expand_patterns(
+                vocab, sorted(set(general_pats)), max_expand=max_expand
+            )
+        )
     expanded = []
     for q in queries:
         terms = list(q.get("terms", []))
         for w in q.get("wildcards", []):
-            terms.extend(expansions.get(w[:-1], []))
+            key = w[:-1] if (w.endswith("*") and "*" not in w[:-1]) else w
+            terms.extend(expansions.get(key, []))
         exp = {
             "query_id": q["query_id"],
             "terms": list(dict.fromkeys(terms)),

@@ -102,18 +102,27 @@ def test_wildcard_empty_expansion_and_guards(built, spark):
               "conjunctive": True}],
             n_docs, avgdl,
         )
-    with pytest.raises(ValueError, match="prefix"):
+    with pytest.raises(ValueError, match="literal character"):
         wildcard_topk(
             postings,
             [{"query_id": 4, "terms": [], "wildcards": ["*"]}],
             n_docs, avgdl,
         )
-    with pytest.raises(ValueError, match="prefix"):
-        wildcard_topk(
-            postings,
-            [{"query_id": 5, "terms": [], "wildcards": ["d*a*"]}],
-            n_docs, avgdl,
-        )
+    # multi-star patterns route through the k-gram index (round-5
+    # refusal flipped to capability): 'd*a*' matches data/database/
+    # date/dawn here — identical to the plain 'da*' expansion
+    got = wildcard_topk(
+        postings,
+        [{"query_id": 5, "terms": [], "wildcards": ["d*a*"]}],
+        n_docs, avgdl, k=10,
+    ).collect()
+    want = wildcard_topk(
+        postings,
+        [{"query_id": 5, "terms": [], "wildcards": ["da*"]}],
+        n_docs, avgdl, k=10,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
 
 
 def test_facade_search_wildcard(spark, sf_dir, tmp_path_factory):
