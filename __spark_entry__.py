@@ -4239,6 +4239,102 @@ GROUP BY h.key
 """
 
 
+_LAW_CHECKPOINTS = [0, 1, 3, 7, 15, 31, 63, 127, 255, 499]
+
+
+def _laws_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head fit + Heaps vocabulary-growth fit over the corpus
+    (functions/laws.py): one row of 4-dp slopes/intercepts/r2 — the
+    OLS sums are exact decimals of 8-dp-rounded log points, so the
+    twin replays every coordinate and both fits to the digit."""
+    from pisa_spark.functions.laws import collection_laws
+
+    toks = _tokens(spark, sf_dir)
+    tf = term_frequencies(toks).select("doc_id", "term", "tf")
+    lens = toks.select("doc_id", "doc_len")
+    return collection_laws(tf, lens, _LAW_CHECKPOINTS, top_n=1000)
+
+
+def _laws_sql(top_n: int = 1000) -> str:
+    cps = ", ".join(str(c) for c in _LAW_CHECKPOINTS)
+    return f"""
+{_SQL_BASE},
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY term),
+head AS (
+  SELECT cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS rank
+  FROM cf
+  QUALIFY rank <= {top_n}
+),
+zpts AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 8) AS DECIMAL(38,12)) AS lx,
+         CAST(round(ln(CAST(cf AS DOUBLE)), 8) AS DECIMAL(38,12)) AS ly
+  FROM head
+),
+zagg AS (
+  SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+         sum(lx*ly) AS sxy, sum(lx*lx) AS sxx, sum(ly*ly) AS syy
+  FROM zpts
+),
+zfit AS (
+  SELECT round(slope, 4) AS zipf_slope,
+         round((sy - slope*sx)/n, 4) AS zipf_intercept,
+         round(power(n*sxy - sx*sy, 2)
+               / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS zipf_r2,
+         CAST(n AS BIGINT) AS zipf_n
+  FROM (
+    SELECT CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+           CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
+           CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+           (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope
+    FROM zagg
+  )
+),
+cps AS (SELECT unnest([{cps}]) AS c),
+firstd AS (SELECT term, min(doc_id) AS first_doc FROM tf GROUP BY term),
+hcurve AS (
+  SELECT cps.c,
+         (SELECT sum(doc_len) FROM doclen WHERE doc_id <= cps.c)
+           AS tokens_seen,
+         (SELECT count(*) FROM firstd WHERE first_doc <= cps.c)
+           AS vocab_seen
+  FROM cps
+),
+hpts AS (
+  SELECT CAST(round(ln(CAST(tokens_seen AS DOUBLE)), 8)
+              AS DECIMAL(38,12)) AS lx,
+         CAST(round(ln(CAST(vocab_seen AS DOUBLE)), 8)
+              AS DECIMAL(38,12)) AS ly
+  FROM hcurve
+),
+hagg AS (
+  SELECT count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+         sum(lx*ly) AS sxy, sum(lx*lx) AS sxx, sum(ly*ly) AS syy
+  FROM hpts
+),
+hfit AS (
+  SELECT round(slope, 4) AS heaps_slope,
+         round((sy - slope*sx)/n, 4) AS heaps_intercept,
+         round(power(n*sxy - sx*sy, 2)
+               / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS heaps_r2,
+         CAST(n AS BIGINT) AS heaps_n
+  FROM (
+    SELECT CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+           CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
+           CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+           (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) AS slope
+    FROM hagg
+  )
+)
+SELECT * FROM zfit CROSS JOIN hfit
+"""
+
+
 def _fielded_indexes(spark: SparkSession, sf_dir: str):
     """Memoized per-field (title/body) compressed indexes."""
     from pisa_spark.query.bm25f import build_fielded_indexes
@@ -6161,6 +6257,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
     "bm25_kgram_topk",
+    "collection_law_fits",
     "sketch_bloom_membership",
     "bpe_encode_stats",
     "sdm_topk",
@@ -6401,6 +6498,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_estimates": _cms_gate,
         # Bloom-filter membership, register-exact twin
         "sketch_bloom_membership": _bloom_gate,
+        # Zipf + Heaps law fits (one-row corpus report)
+        "collection_law_fits": _laws_gate,
         # autocomplete: top vocabulary terms per prefix
         "suggest_prefix_topk": _suggest_gate,
         # deterministic stratified sampling (data mixing)
@@ -6985,6 +7084,7 @@ FROM doclen""",
         "sketch_hll_distinct": _hll_sql(),
         "sketch_cms_estimates": _cms_sql(),
         "sketch_bloom_membership": _bloom_sql(),
+        "collection_law_fits": _laws_sql(),
         "suggest_prefix_topk": _suggest_sql(),
         "curation_sample_stratified": _SQL_SAMPLE,
         "search_eval_metrics": _search_eval_sql(),
