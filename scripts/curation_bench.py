@@ -68,6 +68,19 @@ def main() -> None:
     run("pack_sequences", pack_sequences(lens, 2048))
     bench = base.filter(F.col("doc_id") % 17 == 0)
     run("decontam", contamination_report(docs, bench, n=8))
+    from pisa_spark.index.build import term_frequencies
+    from pisa_spark.functions.laws import collection_laws
+    from pisa_spark.functions.sketches import bloom_build
+
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    tf = term_frequencies(toks).select("doc_id", "term", "tf")
+    cps = [2**j - 1 for j in range(4, 26) if 2**j - 1 < n]
+    run("collection_laws", collection_laws(
+        tf, toks.select("doc_id", "doc_len"), cps))
+    run("bloom_build", bloom_build(
+        docs.select(F.concat_ws(":", "lang", "doc_id").alias("k")), "k"))
     # dedup runs on the UNAMPLIFIED base: replication makes every doc
     # a near-dup of its clones, which measures the dup rate of the
     # amplification trick, not the operator. Repartition first — the
@@ -101,6 +114,8 @@ are the operators, not parquet writes):
 | temperature mixture sample | {out["temperature_sample_s"]} | {out["temperature_sample_docs_per_s"]:,} |
 | sequence packing (L=2048) | {out["pack_sequences_s"]} | {out["pack_sequences_docs_per_s"]:,} |
 | decontamination (13-gram-style, n=8) | {out["decontam_s"]} | {out["decontam_docs_per_s"]:,} |
+| collection-law fits (Zipf + Heaps) | {out["collection_laws_s"]} | {out["collection_laws_docs_per_s"]:,} |
+| Bloom build (per-doc keys) | {out["bloom_build_s"]} | {out["bloom_build_docs_per_s"]:,} |
 | MinHash near-dup pipeline (base corpus, {out["minhash_dedup_docs"]:,} docs, {out["minhash_pairs"]:,} pairs) | {out["minhash_dedup_s"]} | {out["minhash_dedup_docs_per_s"]:,} |
 """
     with open(os.path.join(os.path.dirname(os.path.dirname(
