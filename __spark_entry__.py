@@ -2695,6 +2695,39 @@ def _bm25_pruned(
     )
 
 
+# tiered-router gate: 'dup' (df=25) is covered at keep=64 and serves
+# from the pruned tier; the head-term queries fall back to the full
+# index — the oracle is the EXHAUSTIVE BM25 twin for all three, so
+# equality proves the routing never changes an answer
+_TIERED_QUERIES = [(70, ["dup"]), (71, ["data", "join"]), (72, ["the"])]
+_TIERED_KEEP = 64
+
+
+def _bm25_tiered(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """engine.search_tiered: exact-cover first-tier routing (tier iff
+    every term's df <= keep — a metadata decision; the tier holds
+    every matched posting, so covered answers are exact by
+    construction; everything else serves from the full index)."""
+    from pisa_spark.engine import SearchEngine
+
+    postings, stats = _built_index(spark, sf_dir)
+    key = ("tiereng", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        _MEMO[key] = SearchEngine(spark, postings, stats)
+    eng = _MEMO[key]
+    out = None
+    for qid, ts in _TIERED_QUERIES:
+        o = eng.search_tiered(
+            {"query_id": qid, "terms": ts, "conjunctive": False},
+            k=k,
+            keep_per_term=_TIERED_KEEP,
+        )
+        out = o if out is None else out.unionByName(o)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _bm25_pruned_sql(qs, k: int = 10, keep: int = 50) -> str:
     """Twin: the keep-set replayed as row_number over (imp·sign DESC,
     doc_id ASC) per term — sign = idf sign (+1 iff df < n_docs/2), the
@@ -6257,6 +6290,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
     "bm25_kgram_topk",
+    "bm25_tiered_topk",
     "collection_law_fits",
     "sketch_bloom_membership",
     "bpe_encode_stats",
@@ -6453,6 +6487,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("url", F.col("doc_id").cast("long").alias("doc_id")),
         "bm25_wildcard_topk": _bm25_wildcard,
         "bm25_kgram_topk": _bm25_kgram,
+        "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
         "bm25_explain_contribs": _bm25_explain,
         "dedup_substring_spans": _dedup_substring,
@@ -7044,6 +7079,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "term_tf": _SQL_BASE + "SELECT doc_id, term, tf FROM tf",
         "bm25_wildcard_topk": _bm25_wildcard_sql(_WILDCARD_QUERIES),
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
+        "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),
         "bm25_explain_contribs": _bm25_explain_sql(_OR_QUERIES),
         "dedup_substring_spans": _dedup_substring_sql(),

@@ -1514,6 +1514,56 @@ class SearchEngine:
             .select("query_id", "rank", "doc_id", "score")
         )
 
+    def _tier_covers(self, terms, keep_per_term: int) -> bool:
+        """True iff the keep-``keep_per_term`` pruned tier provably
+        holds EVERY posting of every given term: df <= keep means
+        nothing of that term was dropped (prune_postings keeps whole
+        lists when df <= K). A metadata decision off the cached
+        per-term dfs — never a payload read."""
+        dfs = self._term_dfs(set(terms))
+        return all(df <= keep_per_term for df in dfs.values())
+
+    def search_tiered(
+        self, query, k: int = 10, keep_per_term: int = 1000,
+        **search_kwargs,
+    ) -> DataFrame:
+        """First-tier serving with an EXACT-cover router — the
+        automatic form of search_pruned's 'answers that need more
+        belong on search()' contract. A query whose every term
+        (including '-term' negations and attribute-filter
+        pseudo-terms) has df <= ``keep_per_term`` is FULLY covered by
+        the tier: the tier holds every matched posting, survivors
+        score with original dfs, so the tier answer is identical to
+        the full index's by construction. Covered queries serve from
+        the small tier; uncovered ones (any head term) fall back to
+        the full index. The routing decision is per-term-df metadata
+        (driver cache + one pushed-filter aggregate for unseen terms)
+        and only ever changes the physical source, never the answer.
+        Phrase queries always fall back (the tier is non-positional).
+
+        This is the production tiered architecture at 10^12 docs: the
+        rare/mid vocabulary — the overwhelming majority of distinct
+        query terms under Zipf — resolves against a tier orders of
+        magnitude smaller than the full index, and only head-term
+        queries touch the full posting lists."""
+        self._guard_no_deletes("search_tiered")
+        parsed = parse_query(query) if isinstance(query, str) else query
+        if parsed.get("phrases"):
+            # _normalize folds phrase tokens into loose terms, so the
+            # phrase check must run on the raw parse
+            return self.search(query, k=k, **search_kwargs)
+        q = self._normalize([parsed])[0]
+        terms = (
+            set(q["terms"])
+            | set(q.get("negated", []))
+            | set(q.get("filter", []))
+        )
+        if terms and self._tier_covers(terms, keep_per_term):
+            return self.search_pruned(
+                query, k=k, keep_per_term=keep_per_term, **search_kwargs
+            )
+        return self.search(query, k=k, **search_kwargs)
+
     def search_pruned(
         self, query, k: int = 10, keep_per_term: int = 1000,
         **search_kwargs,

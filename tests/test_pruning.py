@@ -139,3 +139,46 @@ def test_facade_search_pruned(spark, sf_dir, tmp_path):
     eng.delete_docs([1], persist=False)
     with pytest.raises(ValueError, match="tombstone"):
         eng.search_pruned("the")
+
+
+def test_tiered_router_exact_cover(spark, sf_dir, tmp_path):
+    """search_tiered: covered queries serve from the tier and equal
+    search() exactly; head-term queries fall back; the routing rule is
+    the df <= keep metadata decision."""
+    from pisa_spark.engine import SearchEngine
+
+    eng = SearchEngine.build(
+        spark, sf_dir, str(tmp_path / "idx_t"), n_buckets=8, wave_size=8
+    )
+    dfs = eng._term_dfs({"dup", "the", "data"})
+    assert dfs["dup"] < dfs["the"]  # rare vs head term in the fixture
+    keep = dfs["dup"]  # tier exactly covers 'dup', not 'the'/'data'
+    assert eng._tier_covers(["dup"], keep)
+    assert not eng._tier_covers(["dup", "the"], keep)
+
+    # covered: tier answer == full answer, identically
+    got = eng.search_tiered("dup", k=10, keep_per_term=keep).toPandas()
+    want = eng.search("dup", k=10).toPandas()
+    assert got.sort_values("rank").values.tolist() == (
+        want.sort_values("rank").values.tolist()
+    )
+    # covered incl. a negated rare term (negations must be covered too)
+    got2 = eng.search_tiered("dup -dup", k=10, keep_per_term=keep)
+    assert got2.count() == 0  # self-negation empties; routed, not wrong
+
+    # fallback: head terms -> full index, still exact
+    got3 = eng.search_tiered("the data", k=10, keep_per_term=keep).toPandas()
+    want3 = eng.search("the data", k=10).toPandas()
+    assert got3.sort_values("rank").values.tolist() == (
+        want3.sort_values("rank").values.tolist()
+    )
+
+    # phrases always fall back (tier is non-positional) — and since
+    # this engine has no positional index, both raise identically
+    with pytest.raises(Exception):
+        eng.search_tiered('"data join"', k=5, keep_per_term=keep)
+
+    # guarded under deletes
+    eng.delete_docs([1], persist=False)
+    with pytest.raises(ValueError, match="tombstone"):
+        eng.search_tiered("dup")
