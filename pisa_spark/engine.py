@@ -70,6 +70,11 @@ class SearchEngine:
         self._thr_cache: dict[str, float | None] = {}
         self._thr_table_k: int | None = None
         self._thr_df: DataFrame | None = None
+        # precomputed k-gram table (query/kgram.py): (gram, term, df)
+        # for pushed In(gram,…) wildcard expansion; None until
+        # precompute_kgrams()/first wildcard lookup finds the table
+        self._kgram_df: DataFrame | None = None
+        self._kgram_checked = False
 
     # -- construction ------------------------------------------------------
 
@@ -739,6 +744,63 @@ class SearchEngine:
         return prime_thresholds(
             thr, normalized, term_dfs, float(self.stats["n_docs"])
         )
+
+    def precompute_kgrams(self, persist: bool = True) -> DataFrame:
+        """Build the (gram, term, df) k-gram table that serves general
+        wildcards ('*tion', 's*t') with a pushed In(gram, ...) lookup
+        instead of a per-query-batch vocabulary explode
+        (query/kgram.py). Vocabulary-derived and static per index
+        generation — the stem_mates/term_thresholds artifact idiom;
+        persist=True commits it under the index root as the
+        ``kgram_index`` catalog table so future load()s pick it up
+        automatically on the first wildcard query. A purely physical
+        hint: expansion results are identical either way. Gram length
+        is pinned to the serving default (kgram.KGRAM_K) so stored
+        grams always match the patterns' query-side grams."""
+        from pisa_spark.query.kgram import (
+            KGRAM_K,
+            KGRAM_TABLE,
+            kgram_table,
+        )
+        from pisa_spark.sources import catalog
+
+        vocab = (
+            self.postings.filter(~F.col("term").contains(":"))
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+        )
+        kt = kgram_table(vocab, KGRAM_K).select("gram", "term", "df")
+        if persist:
+            if self._index_root is None:
+                raise ValueError(
+                    "persist=True needs a catalog-backed index"
+                    " (build()/load()); pass persist=False for a"
+                    " relation-constructed engine"
+                )
+            catalog.write_table(kt, self._index_root, KGRAM_TABLE)
+            kt = catalog.read_table(
+                self.spark, self._index_root, KGRAM_TABLE
+            )
+        self._kgram_df = kt
+        self._kgram_checked = True
+        return kt
+
+    def _kgram_lookup(self) -> DataFrame | None:
+        """The persisted k-gram table if one exists (checked once per
+        engine); None falls back to the per-query vocabulary path —
+        a physical decision only, never an answer change."""
+        if not self._kgram_checked:
+            self._kgram_checked = True
+            from pisa_spark.query.kgram import KGRAM_TABLE
+            from pisa_spark.sources import catalog
+
+            if self._index_root is not None and catalog.table_exists(
+                self._index_root, KGRAM_TABLE
+            ):
+                self._kgram_df = catalog.read_table(
+                    self.spark, self._index_root, KGRAM_TABLE
+                )
+        return self._kgram_df
 
     def search_scored(
         self, queries, scorer: str = "bm25", k: int = 10
@@ -1447,6 +1509,7 @@ class SearchEngine:
             k=k,
             max_expand=max_expand,
             pre_arranged=self._pre_arranged,
+            kgrams=self._kgram_lookup(),
         )
 
     def search_similar(

@@ -194,6 +194,7 @@ def wildcard_topk(
     max_expand: int = 64,
     term_dfs: dict | None = None,
     pre_arranged: bool = False,
+    kgrams: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k for queries mixing literal terms and wildcards:
     [{query_id, terms: [...], wildcards: ['dat*', '*tion', 's*t']}].
@@ -238,7 +239,9 @@ def wildcard_topk(
         from pisa_spark.query.kgram import expand_patterns
 
         # vocabulary (term, df) from posting-block metadata, filter
-        # pseudo-terms excluded by the collision-free ':' separator
+        # pseudo-terms excluded by the collision-free ':' separator.
+        # The relation is LAZY: with a precomputed kgrams table and no
+        # gram-less pattern, no vocabulary job ever runs.
         vocab = (
             postings.filter(~F.col("term").contains(":"))
             .groupBy("term")
@@ -246,7 +249,10 @@ def wildcard_topk(
         )
         expansions.update(
             expand_patterns(
-                vocab, sorted(set(general_pats)), max_expand=max_expand
+                vocab,
+                sorted(set(general_pats)),
+                max_expand=max_expand,
+                kgrams=kgrams,
             )
         )
     expanded = []

@@ -36,6 +36,9 @@ from pyspark.sql import functions as F
 
 KGRAM_K = 2
 
+# catalog table name for a persisted gram table (engine.precompute_kgrams)
+KGRAM_TABLE = "kgram_index"
+
 
 def kgram_col(term: Column, k: int = KGRAM_K) -> Column:
     """array<string>: distinct k-grams of the '$'-anchored term."""
@@ -77,10 +80,11 @@ def pattern_regex(pat: str) -> str:
 
 
 def expand_patterns(
-    vocab: DataFrame,
+    vocab: DataFrame | None,
     patterns: list[str],
     k: int = KGRAM_K,
     max_expand: int = 64,
+    kgrams: DataFrame | None = None,
 ) -> dict[str, list[str]]:
     """General wildcard expansion: {pattern: [matching terms]}, each
     list capped at ``max_expand`` by (df DESC, term ASC) — the same
@@ -90,16 +94,29 @@ def expand_patterns(
     conjunction (match-count == n_grams, the bincount-intersection
     idiom) + regex verify; gram-less patterns ('*a*') scan the
     vocabulary with the regex directly. Both jobs are vocabulary-
-    sized; the driver receives <= |patterns| * max_expand rows."""
+    sized; the driver receives <= |patterns| * max_expand rows.
+
+    ``kgrams``: an optional PRECOMPUTED (gram, term, df) table (the
+    ``kgram_index`` catalog table, engine.precompute_kgrams). When
+    given, gram-bearing patterns read it with a pushed In(gram, ...)
+    filter — only the patterns' gram rows leave storage, the per-query
+    vocabulary explode disappears entirely (the stem_mates /
+    term_thresholds serving idiom). vocab may then be None as long as
+    every pattern has grams."""
     from pyspark.sql import Window
 
     pats = sorted(set(patterns))
     if not pats:
         return {}
-    spark = vocab.sparkSession
     with_grams = {p: pattern_grams(p, k) for p in pats}
     grammed = {p: g for p, g in with_grams.items() if g}
     gramless = [p for p, g in with_grams.items() if not g]
+    if vocab is None and gramless:
+        raise ValueError(
+            f"gram-less patterns {gramless} need the vocabulary"
+            " relation — pass vocab alongside kgrams"
+        )
+    spark = (kgrams if vocab is None else vocab).sparkSession
     out: dict[str, list[str]] = {p: [] for p in pats}
 
     def _verify(cand_pats: list[str]) -> Column:
@@ -112,28 +129,34 @@ def expand_patterns(
             ).otherwise(cond)
         return cond
 
-    ranked_parts = []
+    ranked_parts = []  # each: (pat, term, df)
     if grammed:
         rows = [(p, g) for p, gs in grammed.items() for g in gs]
         pg = spark.createDataFrame(rows, "pat string, gram string")
         ng = {p: len(gs) for p, gs in grammed.items()}
+        if kgrams is not None:
+            all_g = sorted({g for gs in grammed.values() for g in gs})
+            kt = kgrams.filter(F.col("gram").isin(all_g)).select(
+                "gram", "term", "df"
+            )
+        else:
+            kt = kgram_table(vocab.select("term", "df"), k)
         cand = (
-            kgram_table(vocab.select("term"), k)
-            .join(F.broadcast(pg), "gram")
+            kt.join(F.broadcast(pg), "gram")
             .groupBy("pat", "term")
-            .agg(F.count(F.lit(1)).alias("_hits"))
+            .agg(F.count(F.lit(1)).alias("_hits"), F.max("df").alias("df"))
         )
         need = F.create_map(
             *[x for p, n in sorted(ng.items()) for x in (F.lit(p), F.lit(n))]
         )
         cand = cand.filter(F.col("_hits") == need[F.col("pat")])
-        cand = cand.filter(_verify(sorted(grammed))).select("pat", "term")
-        ranked_parts.append(cand)
+        cand = cand.filter(_verify(sorted(grammed)))
+        ranked_parts.append(cand.select("pat", "term", "df"))
     if gramless:
         pl = spark.createDataFrame([(p,) for p in gramless], "pat string")
-        cand = vocab.select("term").crossJoin(F.broadcast(pl))
+        cand = vocab.select("term", "df").crossJoin(F.broadcast(pl))
         ranked_parts.append(
-            cand.filter(_verify(gramless)).select("pat", "term")
+            cand.filter(_verify(gramless)).select("pat", "term", "df")
         )
 
     cands = ranked_parts[0]
@@ -143,8 +166,7 @@ def expand_patterns(
         F.col("df").desc(), F.col("term").asc()
     )
     ranked = (
-        cands.join(vocab.select("term", "df"), "term")
-        .withColumn("_rn", F.row_number().over(w))
+        cands.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= max_expand)
         .select("pat", "_rn", "term")
         .collect()

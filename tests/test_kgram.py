@@ -177,3 +177,41 @@ def test_engine_facade_leading_wildcard(spark, built):
     # outrank the join-only docs (df(join)=3 of 6 -> idf exactly 0)
     assert {got[0]["doc_id"], got[1]["doc_id"]} == {0, 1}
     assert got[0]["score"] > 0
+
+
+def test_expand_patterns_with_precomputed_table(spark, vocab):
+    from pisa_spark.query.kgram import KGRAM_K
+
+    kt = kgram_table(vocab, KGRAM_K).select("gram", "term", "df").cache()
+    for pat in ["*er", "s*t", "d*a*e"]:
+        a = expand_patterns(vocab, [pat], max_expand=64)[pat]
+        b = expand_patterns(None, [pat], max_expand=64, kgrams=kt)[pat]
+        assert a == b, pat
+    # gram-less pattern without vocab must refuse, with vocab must work
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="gram-less"):
+        expand_patterns(None, ["*a*"], kgrams=kt)
+    assert set(expand_patterns(vocab, ["*a*"], kgrams=kt)["*a*"]) == set(
+        _brute("*a*")
+    )
+
+
+def test_engine_precomputed_kgrams_serving(spark, sf_dir, tmp_path):
+    from pisa_spark.engine import SearchEngine
+    from pisa_spark.query.kgram import KGRAM_TABLE
+    from pisa_spark.sources import catalog
+
+    root = str(tmp_path / "idx_kg")
+    eng = SearchEngine.build(spark, sf_dir, root, n_buckets=8, wave_size=8)
+    base = eng.search_wildcard("*up", k=5).toPandas()  # vocab path
+    kt = eng.precompute_kgrams()
+    assert catalog.table_exists(root, KGRAM_TABLE)
+    assert {"gram", "term", "df"} <= set(kt.columns)
+    primed = eng.search_wildcard("*up", k=5).toPandas()  # table path
+    assert primed.values.tolist() == base.values.tolist()
+    # a FRESH load picks the table up automatically
+    fresh = SearchEngine.load(spark, root)
+    again = fresh.search_wildcard("*up", k=5).toPandas()
+    assert fresh._kgram_df is not None
+    assert again.values.tolist() == base.values.tolist()
