@@ -1113,6 +1113,96 @@ def _bm25_quant(
     return quantized_topk(postings, queries, stats["n_docs"], k=k)
 
 
+# score-at-a-time anytime serving: global postings budget per query.
+# 200 cuts real segments at sf0.01 (the head term 'the' alone holds
+# ~400 postings) while every selected-prefix decision stays pinned
+_SAAT_RHO = 200
+
+
+def _built_saat_segments(spark: SparkSession, sf_dir: str):
+    """Impact-ordered segment twin (query/saat.py), memoized like the
+    indexes it derives from."""
+    key = ("saat", spark.sparkContext.applicationId, sf_dir)
+    if key not in _MEMO:
+        from pisa_spark.query.saat import impact_ordered_segments
+
+        postings, stats = _built_quant_index(spark, sf_dir)
+        _MEMO[key] = (impact_ordered_segments(postings).cache(), stats)
+    return _MEMO[key]
+
+
+def _bm25_saat(
+    spark: SparkSession, sf_dir: str, qs, rho: int, k: int = 10
+) -> DataFrame:
+    """Anytime top-k over impact-ordered segments (query/saat.py):
+    per-query segment prefix under the pinned (contribution DESC,
+    term ASC, imp DESC) order and postings budget rho, then exact
+    integer accumulation over the selected segments only."""
+    from pisa_spark.query.saat import saat_topk
+
+    segments, stats = _built_saat_segments(spark, sf_dir)
+    queries = [
+        {"query_id": qid, "terms": terms, "conjunctive": False}
+        for qid, terms in qs
+    ]
+    return saat_topk(
+        segments, queries, stats["n_docs"], rho=rho, k=k, pre_arranged=True
+    )
+
+
+def _saat_sql(qs: list[tuple[int, list[str]]], rho: int, k: int = 10) -> str:
+    """Twin of the SAAT anytime contract (query/saat.py module doc):
+    segments are per-(query, term, impact) global counts, the running
+    sum over the pinned order selects the prefix with cum - n < rho
+    (the crossing segment included), and scoring is the quantized
+    index's order-free integer sum restricted to selected segments —
+    so NO rounding is needed on the compared score."""
+    return f"""
+{_SQL_BASE},
+imp AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(255.0 * tf.tf / (tf.tf + (0.54 + 0.36 * doclen.doc_len / stats.avgdl))) AS BIGINT) AS imp
+  FROM tf JOIN doclen USING (doc_id) CROSS JOIN stats
+),
+idfq AS (
+  SELECT term,
+         CAST(floor(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) * 65536.0) AS BIGINT) AS idf_q
+  FROM dfreq CROSS JOIN stats
+),
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+seg AS (
+  SELECT q.query_id, imp.term, imp.imp, count(*) AS n,
+         max(idfq.idf_q) AS idf_q
+  FROM imp JOIN q USING (term) JOIN idfq USING (term)
+  GROUP BY q.query_id, imp.term, imp.imp
+),
+sel AS (
+  SELECT query_id, term, imp FROM (
+    SELECT query_id, term, imp, n,
+           SUM(n) OVER (PARTITION BY query_id
+                        ORDER BY imp * idf_q DESC, term ASC, imp DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum
+    FROM seg
+  ) WHERE cum - n < {rho}
+),
+scored AS (
+  SELECT s.query_id, imp.doc_id,
+         CAST(sum(imp.imp * idfq.idf_q) AS BIGINT) AS score_q
+  FROM imp
+  JOIN sel s ON s.term = imp.term AND s.imp = imp.imp
+  JOIN idfq ON idfq.term = imp.term
+  GROUP BY s.query_id, imp.doc_id
+)
+SELECT query_id, rank, doc_id, score_q FROM (
+  SELECT query_id, doc_id, score_q,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_q DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _bm25_wand(
     spark: SparkSession, sf_dir: str, qs, conjunctive: bool, k: int = 10
 ) -> DataFrame:
@@ -6289,6 +6379,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # matches.
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
+    "bm25_saat_topk",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -6486,6 +6577,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pages_from_documents(spark, sf)
         ).select("url", F.col("doc_id").cast("long").alias("doc_id")),
         "bm25_wildcard_topk": _bm25_wildcard,
+        "bm25_saat_topk": lambda spark, sf: _bm25_saat(
+            spark, sf, _OR_QUERIES, rho=_SAAT_RHO
+        ),
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -7078,6 +7172,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "term_df": _SQL_BASE + "SELECT term, df FROM dfreq",
         "term_tf": _SQL_BASE + "SELECT doc_id, term, tf FROM tf",
         "bm25_wildcard_topk": _bm25_wildcard_sql(_WILDCARD_QUERIES),
+        "bm25_saat_topk": _saat_sql(_OR_QUERIES, rho=_SAAT_RHO),
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),

@@ -1332,6 +1332,71 @@ class SearchEngine:
             pre_arranged=self._pre_arranged,
         )
 
+    def search_saat(self, queries, k: int = 10, rho: int | None = None):
+        """Score-at-a-time ANYTIME ranking (query/saat.py): serve from
+        the impact-ordered segment twin under a global postings budget
+        ``rho`` — tail latency capped by construction, the JASS
+        contract. rho=None processes every segment and is then
+        rank-identical to search_quantized (pytest-pinned identity).
+
+        Disjunctive bags of words only — the published SAAT processing
+        model: quoted phrases, '+' conjunctive, '-term' negation and
+        attribute filters raise (route those to the DaaT kernels);
+        tombstone deletes are guarded (no NOT path in the segment
+        kernel). The segment layout is derived LAZILY from the cached
+        quantized twin on first use (one narrow pass) and cached for
+        the engine's lifetime."""
+        from pisa_spark.query.saat import saat_topk
+
+        self._guard_no_deletes("search_saat")
+        if not isinstance(queries, list):
+            queries = [queries]
+        raw = [
+            parse_query(q) if isinstance(q, str) else dict(q)
+            for q in queries
+        ]
+        for q in raw:
+            if q.get("phrases"):
+                raise ValueError(
+                    "search_saat carries no positions; use search()/"
+                    "search_phrase for quoted phrases"
+                )
+            if q.get("conjunctive"):
+                raise ValueError(
+                    "search_saat is disjunctive-only (SAAT processing"
+                    " model); use search()/search_quantized for '+'"
+                )
+            if q.get("negated") or q.get("filter"):
+                raise ValueError(
+                    "search_saat composes no negation/filters; use"
+                    " search_filtered()"
+                )
+        parsed = self._normalize(raw)
+        return saat_topk(
+            self._saat_segments(),
+            parsed,
+            int(self.stats["n_docs"]),
+            rho=rho,
+            k=k,
+            pre_arranged=True,
+        )
+
+    def _saat_segments(self) -> DataFrame:
+        """Cached impact-ordered segment twin. Derivation arranges by
+        bucket unless the index is already one-file-per-bucket
+        (_pre_arranged); either way the OUTPUT is bucket-co-located
+        (mapInPandas is narrow), which is the invariant the serving
+        kernel's per-bucket accumulation needs — so serving always
+        passes pre_arranged=True and never re-shuffles segments."""
+        if getattr(self, "_saat", None) is None:
+            from pisa_spark.query.saat import impact_ordered_segments
+
+            self._saat = impact_ordered_segments(
+                self._quantized_postings(),
+                pre_arranged=self._pre_arranged,
+            ).cache()
+        return self._saat
+
     def explain(self, query, doc_ids=None) -> DataFrame:
         """Why does a doc score what it scores? One row per
         (doc_id, term) with tf / doc_len / df / idf / contribution —
