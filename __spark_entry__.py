@@ -520,6 +520,90 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+def _bm25_bo1_sql(
+    qs,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    beta: float = 0.4,
+) -> str:
+    """Two-pass Bo1 twin (query/feedback.py bo1_expansion_terms):
+    pass-1 BM25 feedback docs, tf_x over the feedback set, P_n = cf/N,
+    9-dp-rounded Bose-Einstein weights (log2 pinned as ln*LOG2E),
+    Rocchio-beta requery weights with w_max over the SELECTED set,
+    weighted-BM25 pass 2 — stage for stage."""
+    return f"""
+{_SQL_BASE},
+cfreq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+p1 AS (
+  SELECT q.query_id, tf.doc_id, sum({_BM25_TERM_EXPR}) AS score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM p1
+  ) WHERE rnk <= {fb_docs}
+),
+tfx AS (
+  SELECT f.query_id, tf.term, CAST(sum(tf.tf) AS BIGINT) AS tf_x
+  FROM fb f JOIN tf ON tf.doc_id = f.doc_id
+  GROUP BY f.query_id, tf.term
+),
+pn AS (
+  SELECT c.term, c.cf * 1.0 / s.n_docs AS pn
+  FROM cfreq c CROSS JOIN stats s
+),
+bo1 AS (
+  SELECT t.query_id, t.term,
+         round(t.tf_x * (ln((1.0 + pn.pn) / pn.pn) * 1.4426950408889634)
+               + (ln(1.0 + pn.pn) * 1.4426950408889634), 9) AS w
+  FROM tfx t JOIN pn ON pn.term = t.term
+),
+exp AS (
+  SELECT query_id, term, w,
+         max(w) OVER (PARTITION BY query_id) AS w_max
+  FROM (
+    SELECT query_id, term, w,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY w DESC, term ASC) AS rnk
+    FROM bo1
+  ) WHERE rnk <= {fb_terms}
+),
+orig AS (SELECT query_id, term, 1.0 AS qw FROM q),
+merged AS (
+  SELECT COALESCE(o.query_id, e.query_id) AS query_id,
+         COALESCE(o.term, e.term) AS term,
+         COALESCE(o.qw, 0.0) + {beta} * COALESCE(e.w / e.w_max, 0.0) AS v
+  FROM orig o FULL OUTER JOIN exp e
+    ON o.query_id = e.query_id AND o.term = e.term
+),
+p2 AS (
+  SELECT m.query_id, tf.doc_id, sum(m.v * ({_BM25_TERM_EXPR})) AS raw_score
+  FROM tf
+  JOIN merged m ON m.term = tf.term
+  JOIN dfreq ON dfreq.term = tf.term
+  JOIN doclen ON doclen.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY m.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM p2
+) WHERE rank <= {k}
+"""
+
+
 _LOG2E = "1.4426950408889634"
 _TWO_PI = "6.283185307179586"
 
@@ -5256,6 +5340,24 @@ def _bm25_rm3_df(
     )
 
 
+def _bm25_bo1_df(
+    spark: SparkSession, sf_dir: str, qs, k: int = 10
+) -> DataFrame:
+    """Bo1 DFR pseudo-relevance-feedback retrieval (two-pass
+    Bose-Einstein expansion, query/feedback.py) over the tf relation."""
+    from pisa_spark.query.feedback import bo1_topk
+
+    n_docs, avgdl = _stats(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in qs for t in terms],
+        "query_id int, term string",
+    )
+    out = bo1_topk(_tf_full(spark, sf_dir), qdf, n_docs, avgdl, k=k)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
 def _dedup_cluster_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS -> CLUSTERS: connected components over the
     one-call MinHash->LSH->Jaccard pipeline's verified pairs, min-id
@@ -6380,6 +6482,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
     "bm25_saat_topk",
+    "bm25_bo1_topk",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -6619,6 +6722,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # RM3 pseudo-relevance feedback (two-pass query expansion)
         "bm25_rm3_topk": lambda spark, sf: _bm25_rm3_df(
+            spark, sf, _OR_QUERIES
+        ),
+        "bm25_bo1_topk": lambda spark, sf: _bm25_bo1_df(
             spark, sf, _OR_QUERIES
         ),
         # deterministic HyperLogLog distinct-term estimate per lang
@@ -7209,6 +7315,7 @@ FROM doclen""",
         "bm25_topk_and": _bm25_sql(_AND_QUERIES, conjunctive=True),
         "bm25_prior_topk": _bm25_prior_sql(_OR_QUERIES),
         "bm25_rm3_topk": _bm25_rm3_sql(_OR_QUERIES),
+        "bm25_bo1_topk": _bm25_bo1_sql(_OR_QUERIES),
         "bm25_negation_topk": _bm25_negation_sql(),
         "bm25f_topk": _bm25f_sql(_OR_QUERIES),
         "bm25f_topk_indexed": _bm25f_sql(_OR_QUERIES),

@@ -1185,6 +1185,120 @@ class SearchEngine:
             exclude_ids=exclude_ids,
         )
 
+    def search_bo1(
+        self,
+        query,
+        k: int = 10,
+        fb_docs: int = 3,
+        fb_terms: int = 5,
+        beta: float = 0.4,
+    ) -> DataFrame:
+        """Bo1 divergence-from-randomness expansion served off the
+        loaded index + doc store — search_rm3's two-round-trip shape
+        with Amati's Bose-Einstein weighting (query/feedback.py
+        bo1_expansion_terms pins the full contract: tf_x over the
+        feedback docs, P_n = cf/N, w = tf_x*log2((1+Pn)/Pn) +
+        log2(1+Pn) rounded to 9 dp, Rocchio-beta requery weights).
+
+        The one extra statistic Bo1 needs beyond RM3 is COLLECTION
+        FREQUENCY for the candidate terms: cf is a payload fact (block
+        metadata carries df, not sum-of-tf), so it comes from ONE
+        term-pruned decode aggregate bounded to the feedback docs'
+        vocabulary — the same stats shape search_scored uses. Requires
+        with_corpus(). Negation gates the FINAL ranking (exclusion set
+        from the negated terms' postings, as search_rm3); attribute
+        filters refuse."""
+        import math as _math
+        import re as _re
+
+        from pisa_spark.corpus import TOKEN_SPLIT_REGEX
+        from pisa_spark.query.feedback import _LOG2E, weighted_bm25_topk
+        from pisa_spark.query.scorers import postings_to_tf
+
+        q = self._normalize([query])[0]
+        if q.get("filter"):
+            raise ValueError(
+                "search_bo1 does not combine with attribute filters;"
+                " use search_filtered for filtered retrieval"
+            )
+        fb_ids = [
+            r["doc_id"]
+            for r in self.search_batch([q], k=fb_docs)
+            .select("doc_id")
+            .collect()
+        ]
+        if not fb_ids:
+            return self.search(q, k=k)
+        texts = (
+            self._docs_df()
+            .filter(F.col("doc_id").isin(fb_ids))
+            .select("text")
+            .collect()
+        )
+        split = _re.compile(TOKEN_SPLIT_REGEX)
+        tf_x: dict[str, int] = {}
+        for row in texts:
+            for t in split.split(row["text"].lower()):
+                if t:
+                    tf_x[t] = tf_x.get(t, 0) + 1
+        if not tf_x:
+            return self.search(q, k=k)
+        cand = sorted(tf_x)
+        cf = {
+            r["term"]: int(r["cf"])
+            for r in postings_to_tf(
+                self.postings.filter(F.col("term").isin(cand))
+            )
+            .groupBy("term")
+            .agg(F.sum("tf").alias("cf"))
+            .collect()
+        }
+        n = float(self.stats["n_docs"])
+        ranked = []
+        for t in cand:
+            if t not in cf:
+                continue
+            pn = cf[t] * 1.0 / n
+            w = round(
+                tf_x[t] * (_math.log((1.0 + pn) / pn) * _LOG2E)
+                + (_math.log(1.0 + pn) * _LOG2E),
+                9,
+            )
+            ranked.append((w, t))
+        ranked.sort(key=lambda x: (-x[0], x[1]))
+        exp = ranked[:fb_terms]
+        if not exp:
+            return self.search(q, k=k)
+        w_max = exp[0][0]
+        orig_terms = sorted(set(q["terms"]))
+        v = {t: 1.0 for t in orig_terms}
+        for w, t in exp:
+            v[t] = v.get(t, 0.0) + beta * (w / w_max)
+        v_df = self.spark.createDataFrame(
+            [(q["query_id"], t, w) for t, w in sorted(v.items())],
+            "query_id int, term string, v double",
+        )
+        pruned = self.postings.filter(F.col("term").isin(sorted(v)))
+        exclude_ids = None
+        negs = sorted(set(q.get("negated", [])))
+        if negs:
+            exclude_ids = (
+                postings_to_tf(
+                    self.postings.filter(F.col("term").isin(negs))
+                )
+                .select("doc_id")
+                .distinct()
+            )
+        return weighted_bm25_topk(
+            postings_to_tf(pruned),
+            v_df,
+            self.stats["n_docs"],
+            self.stats["avgdl"],
+            k=k,
+            df_df=pruned.groupBy("term").agg(F.sum("n").alias("df")),
+            exclude_ids=exclude_ids,
+        )
+
     def search_synonyms(
         self, query, k: int = 10, weight: float = 0.4
     ) -> DataFrame:

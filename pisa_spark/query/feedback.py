@@ -169,6 +169,136 @@ def weighted_bm25_topk(
     return topk_window(scored.select("query_id", "doc_id", "score"), k)
 
 
+_LOG2E = 1.4426950408889634  # log2 pinned as ln(x)*LOG2E, like query/qpp.py
+
+
+def bo1_expansion_terms(
+    tf_df: DataFrame,
+    queries_df: DataFrame,
+    n_docs: float,
+    avgdl: float,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    beta: float = 0.4,
+    df_df: DataFrame | None = None,
+    cf_df: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, term, v) — Bo1 divergence-from-randomness expansion
+    (Amati 2003, Bose-Einstein 1; the default query expansion model of
+    the Terrier family), the DFR counterpart to RM3's language-model
+    weighting.
+
+    Pinned contract (the twin-critical arithmetic):
+
+    * feedback docs: BM25 top ``fb_docs`` (score DESC, doc_id ASC) —
+      the same pass 1 as RM3;
+    * ``tf_x(t)`` = total tf of t over the query's feedback docs;
+    * ``P_n(t)`` = cf(t) * 1.0 / N  (collection frequency over number
+      of documents);
+    * ``w(t)`` = round(tf_x * log2((1+P_n)/P_n) + log2(1+P_n), 9)
+      with log2(x) := ln(x) * 1.4426950408889634 — the 9-dp round
+      pins expansion-term SELECTION across engines exactly as RM1's
+      does;
+    * expansion set: top ``fb_terms`` by (w DESC, term ASC);
+    * requery weights (Rocchio-beta normalization, Terrier's rule):
+      v(t) = [t in original query] + beta * w(t)/w_max, w_max the
+      largest w among the SELECTED expansion terms of that query.
+      Original terms are distinct post-parse, so their qtf/qtf_max
+      factor is exactly 1.
+
+    cf_df: optional (term, cf) side table — pass a precomputed
+    collection-frequency relation to keep the big decode out of the
+    weighting subtree; without it cf comes from one hash aggregate
+    over ``tf_df``. Scale shape otherwise identical to RM3: both
+    passes touch only query/expansion terms' postings; tf_x touches
+    only the feedback docs' rows.
+    """
+    raw = tf_df
+    tf_df = _with_df(tf_df, df_df)
+    if cf_df is None:
+        cf_df = raw.groupBy("term").agg(F.sum("tf").alias("cf"))
+    qterms = queries_df.select("query_id", "term").distinct()
+    p1 = (
+        tf_df.join(F.broadcast(qterms), "term")
+        .withColumn("pscore", score_expr(n_docs, avgdl))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("pscore").alias("score"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    fb = (
+        p1.withColumn("rnk", F.row_number().over(w1))
+        .filter(F.col("rnk") <= fb_docs)
+        .select("query_id", "doc_id")
+    )
+    tfx = (
+        F.broadcast(fb)
+        .join(raw.select("doc_id", "term", "tf"), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("tf_x"))
+    )
+    pn_col = F.col("cf") * F.lit(1.0) / F.lit(float(n_docs))
+    bo1 = (
+        tfx.join(F.broadcast(cf_df.select("term", "cf")), "term")
+        .select(
+            "query_id",
+            "term",
+            F.round(
+                F.col("tf_x")
+                * (F.log((F.lit(1.0) + pn_col) / pn_col) * F.lit(_LOG2E))
+                + (F.log(F.lit(1.0) + pn_col) * F.lit(_LOG2E)),
+                9,
+            ).alias("w"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("w").desc(), F.col("term").asc()
+    )
+    exp = (
+        bo1.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= fb_terms)
+        .withColumn(
+            "w_max", F.max("w").over(Window.partitionBy("query_id"))
+        )
+        .select("query_id", "term", "w", "w_max")
+    )
+    orig = qterms.select("query_id", "term", F.lit(1.0).alias("qw"))
+    return (
+        orig.join(exp, ["query_id", "term"], "full_outer")
+        .select(
+            "query_id",
+            "term",
+            (
+                F.coalesce(F.col("qw"), F.lit(0.0))
+                + F.lit(beta)
+                * F.coalesce(F.col("w") / F.col("w_max"), F.lit(0.0))
+            ).alias("v"),
+        )
+    )
+
+
+def bo1_topk(
+    tf_df: DataFrame,
+    queries_df: DataFrame,
+    n_docs: float,
+    avgdl: float,
+    k: int = 10,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    beta: float = 0.4,
+    df_df: DataFrame | None = None,
+    cf_df: DataFrame | None = None,
+) -> DataFrame:
+    """Two-pass Bo1 retrieval: DFR expansion, then weighted-BM25
+    top-k — rm3_topk's shape with the Bose-Einstein weighting."""
+    v = bo1_expansion_terms(
+        tf_df, queries_df, n_docs, avgdl, fb_docs, fb_terms, beta,
+        df_df=df_df, cf_df=cf_df,
+    )
+    return weighted_bm25_topk(tf_df, v, n_docs, avgdl, k, df_df=df_df)
+
+
 def rm3_topk(
     tf_df: DataFrame,
     queries_df: DataFrame,

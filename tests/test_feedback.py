@@ -161,3 +161,127 @@ def test_engine_search_reranked_matches_exhaustive_blend(spark, sf_dir, tmp_path
         ).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Bo1 (DFR / Bose-Einstein 1) expansion
+# ---------------------------------------------------------------------------
+
+def _bo1_witness_w(tf_x, cf, n_docs):
+    LOG2E = 1.4426950408889634
+    pn = cf * 1.0 / n_docs
+    return round(
+        tf_x * (math.log((1.0 + pn) / pn) * LOG2E)
+        + (math.log(1.0 + pn) * LOG2E),
+        9,
+    )
+
+
+def test_bo1_expansion_weights_match_witness(spark):
+    from pisa_spark.query.feedback import bo1_expansion_terms
+
+    rows = [
+        (0, "apple", 2, 10),
+        (0, "pear", 5, 10),
+        (1, "apple", 1, 10),
+        (1, "plum", 2, 10),
+        (9, "kiwi", 3, 10),
+    ]
+    tf = _tf(spark, rows)
+    v = {
+        (r["query_id"], r["term"]): r["v"]
+        for r in bo1_expansion_terms(
+            tf, _q(spark, [(0, "apple")]), n_docs=3, avgdl=10.0,
+            fb_docs=2, fb_terms=2, beta=0.4,
+        ).collect()
+    }
+    # fb docs for 'apple' are docs 0 and 1 (the only matches);
+    # candidates: apple tf_x=3, pear tf_x=5, plum tf_x=2;
+    # cf: apple 3, pear 5, plum 2, n_docs 3
+    w = {
+        "apple": _bo1_witness_w(3, 3, 3),
+        "pear": _bo1_witness_w(5, 5, 3),
+        "plum": _bo1_witness_w(2, 2, 3),
+    }
+    top2 = sorted(w.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    w_max = top2[0][1]
+    expect = {}
+    for t, wt in top2:
+        expect[t] = 0.4 * (wt / w_max)
+    expect["apple"] = expect.get("apple", 0.0) + 1.0
+    got = {t: v[(0, t)] for (_, t) in v}
+    assert set(got) == set(expect)
+    for t in expect:
+        assert math.isclose(got[t], expect[t], rel_tol=1e-12), t
+    # 'kiwi' lives outside the feedback docs — never expanded
+    assert (0, "kiwi") not in v
+
+
+def test_bo1_topk_recalls_docs_without_original_terms(spark):
+    from pisa_spark.query.feedback import bo1_topk
+
+    rows = [
+        (0, "apple", 2, 10),
+        (0, "pear", 5, 10),
+        (2, "pear", 4, 10),
+        (9, "kiwi", 3, 10),
+    ]
+    tf = _tf(spark, rows)
+    out = bo1_topk(
+        tf, _q(spark, [(0, "apple")]), n_docs=3, avgdl=10.0,
+        fb_docs=1, fb_terms=2, k=10,
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 2 in ids  # reachable only through the expanded 'pear'
+
+
+def test_engine_search_bo1_matches_relation_path(spark, sf_dir, tmp_path_factory):
+    """Index-served Bo1 (WAND pass 1 + doc-store candidate vectors +
+    pruned-decode cf + pruned pass 2) == the tf-relation bo1_topk."""
+    from pisa_spark.corpus import tokens_col
+    from pisa_spark.engine import SearchEngine
+    from pisa_spark.index.build import term_frequencies
+    from pisa_spark.query.feedback import bo1_topk
+
+    root = str(tmp_path_factory.mktemp("bo1") / "idx")
+    eng = SearchEngine.build(
+        spark, sf_dir, root, n_buckets=8, wave_size=8
+    ).with_corpus(sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", tokens_col(F.col("text")).alias("tokens")
+    ).withColumn("doc_len", F.size("tokens"))
+    row = toks.agg(F.count(F.lit(1)), F.avg("doc_len")).collect()[0]
+    tf = term_frequencies(toks)
+    q = spark.createDataFrame(
+        [(0, "data"), (0, "join")], "query_id int, term string"
+    )
+    want = [
+        (r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in bo1_topk(tf, q, int(row[0]), float(row[1]), k=10).collect()
+    ]
+    got = [
+        (r["rank"], r["doc_id"], round(r["score"], 6))
+        for r in eng.search_bo1("data join", k=10).collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_engine_search_bo1_negation_and_filter_guard(spark, sf_dir, tmp_path_factory):
+    import pytest as _pytest
+
+    from pisa_spark.engine import SearchEngine
+
+    root = str(tmp_path_factory.mktemp("bo1g") / "idx")
+    eng = SearchEngine.build(
+        spark, sf_dir, root, n_buckets=4, wave_size=8
+    ).with_corpus(sf_dir)
+    # '-term' gates the FINAL ranking: no returned doc contains it
+    res = eng.search_bo1("data -join", k=10).collect()
+    joined = {
+        r["doc_id"]
+        for r in eng.search("join", k=1000).collect()
+    }
+    assert all(r["doc_id"] not in joined for r in res)
+    with _pytest.raises(ValueError, match="filter"):
+        eng.search_bo1({"terms": ["data"], "filter": [["lang:en"]]})
