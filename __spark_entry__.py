@@ -1197,6 +1197,43 @@ def _bm25_quant(
     return quantized_topk(postings, queries, stats["n_docs"], k=k)
 
 
+# spelling-suggestion probes: one-edit and two-edit misspellings of
+# corpus vocabulary, one exact word (dist-0 row), one too-short word
+# (gram bound < 1 -> length-banded scan fallback) and one garbage word
+# (no in-range term -> no rows)
+_SPELL_PROBES = ["dta", "joni", "quary", "sprk", "data", "db", "zzzzzz"]
+
+
+def _spell_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean suggestions (query/spell.py): k-gram candidates +
+    Levenshtein verify; the oracle IS the brute-force edit-distance
+    scan, so equality proves the d*k gram bound loses nothing."""
+    from pisa_spark.query.spell import spell_suggestions
+
+    postings, _ = _built_index(spark, sf_dir)
+    vocab = postings.groupBy("term").agg(F.sum("n").alias("df"))
+    return spell_suggestions(vocab, _SPELL_PROBES, n=5, max_dist=2)
+
+
+def _spell_sql(words: list[str], n: int = 5, max_dist: int = 2) -> str:
+    vals = ", ".join(f"('{w}')" for w in words)
+    return f"""
+{_SQL_BASE},
+w(word) AS (VALUES {vals}),
+cand AS (
+  SELECT w.word, d.term,
+         CAST(levenshtein(d.term, w.word) AS INTEGER) AS dist, d.df
+  FROM w JOIN dfreq d ON levenshtein(d.term, w.word) <= {max_dist}
+)
+SELECT word, rank, term, dist, df FROM (
+  SELECT word, term, dist, df,
+         CAST(row_number() OVER (PARTITION BY word
+                            ORDER BY dist ASC, df DESC, term ASC) AS INTEGER) AS rank
+  FROM cand
+) WHERE rank <= {n}
+"""
+
+
 # score-at-a-time anytime serving: global postings budget per query.
 # 200 cuts real segments at sf0.01 (the head term 'the' alone holds
 # ~400 postings) while every selected-prefix decision stays pinned
@@ -6483,6 +6520,7 @@ _GATE_ORDER = [
     # -- NEW in round 5: never driver-verified, enter at the head --
     "bm25_saat_topk",
     "bm25_bo1_topk",
+    "spell_suggestions",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -6683,6 +6721,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_saat_topk": lambda spark, sf: _bm25_saat(
             spark, sf, _OR_QUERIES, rho=_SAAT_RHO
         ),
+        "spell_suggestions": _spell_gate,
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -7279,6 +7318,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "term_tf": _SQL_BASE + "SELECT doc_id, term, tf FROM tf",
         "bm25_wildcard_topk": _bm25_wildcard_sql(_WILDCARD_QUERIES),
         "bm25_saat_topk": _saat_sql(_OR_QUERIES, rho=_SAAT_RHO),
+        "spell_suggestions": _spell_sql(_SPELL_PROBES),
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),

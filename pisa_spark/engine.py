@@ -802,6 +802,41 @@ class SearchEngine:
                 )
         return self._kgram_df
 
+    def suggest(
+        self, words, n: int = 5, max_dist: int = 2
+    ) -> DataFrame:
+        """Spelling suggestion over the index's term dictionary
+        (query/spell.py): per word, the vocabulary terms within
+        Levenshtein ``max_dist``, ranked (dist ASC, df DESC, term
+        ASC), top ``n`` — k-gram candidate generation with the exact
+        brute-force semantics (the gate pins the equivalence).
+
+        Reuses the wildcard path's persisted ``kgram_index`` table
+        when one exists (pushed In(gram, ...) lookup); otherwise the
+        gram table derives from the vocabulary aggregate on the fly.
+        The dictionary is block METADATA (term, sum(n)) — never a
+        payload decode; attribute/numeric pseudo-terms are excluded
+        by the collision-free ':' predicate, like wildcard
+        expansion."""
+        from pisa_spark.query.spell import spell_suggestions
+
+        if isinstance(words, str):
+            words = [words]
+        if getattr(self, "_spell_vocab", None) is None:
+            self._spell_vocab = (
+                self.postings.filter(~F.col("term").contains(":"))
+                .groupBy("term")
+                .agg(F.sum("n").alias("df"))
+                .cache()
+            )
+        return spell_suggestions(
+            self._spell_vocab,
+            words,
+            n=n,
+            max_dist=max_dist,
+            kgrams=self._kgram_lookup(),
+        )
+
     def search_scored(
         self, queries, scorer: str = "bm25", k: int = 10
     ) -> DataFrame:
