@@ -315,6 +315,9 @@ def main() -> None:
         # df from block METADATA (one row per posting block), not a
         # groupBy over the decoded relation — the serving-path contract
         df_df=postings.groupBy("term").agg(F.sum("n").alias("df")),
+        # offline batch-expansion context: persist the decode the plan
+        # traverses three times (see rm3_topk docstring)
+        persist_tf=True,
     ).collect()
     timings["q_rm3_relation"] = round(time.perf_counter() - t0, 4)
 

@@ -289,9 +289,16 @@ def bo1_topk(
     beta: float = 0.4,
     df_df: DataFrame | None = None,
     cf_df: DataFrame | None = None,
+    persist_tf: bool = False,
 ) -> DataFrame:
     """Two-pass Bo1 retrieval: DFR expansion, then weighted-BM25
-    top-k — rm3_topk's shape with the Bose-Einstein weighting."""
+    top-k — rm3_topk's shape with the Bose-Einstein weighting
+    (persist_tf: same three-subtree decode-reuse contract as
+    rm3_topk; Bo1 adds a fourth reference when cf_df is absent)."""
+    if persist_tf:
+        from pyspark.storagelevel import StorageLevel
+
+        tf_df = tf_df.persist(StorageLevel.MEMORY_AND_DISK)
     v = bo1_expansion_terms(
         tf_df, queries_df, n_docs, avgdl, fb_docs, fb_terms, beta,
         df_df=df_df, cf_df=cf_df,
@@ -309,12 +316,31 @@ def rm3_topk(
     fb_terms: int = 5,
     orig_weight: float = 0.5,
     df_df: DataFrame | None = None,
+    persist_tf: bool = False,
 ) -> DataFrame:
     """Two-pass RM3 retrieval: expand, then weighted-BM25 top-k.
 
     df_df: (term, df) side table — pass the block-metadata aggregate
     when tf_df is a postings decode so neither pass re-scans the
-    decoded relation to count document frequencies."""
+    decoded relation to count document frequencies.
+
+    persist_tf: the single lazy plan references ``tf_df`` in THREE
+    subtrees (pass-1 scoring, the RM1 feedback join, pass-2 scoring);
+    when tf_df is a postings DECODE, each reference re-runs the full
+    mapInPandas decode — Spark materializes no common subtree on its
+    own. True persists it (MEMORY_AND_DISK) so the decode runs once —
+    the right call for the offline corpus-resident batch-expansion
+    context this path exists for (measured in BENCH.md). The persisted
+    relation stays registered until the caller unpersists it or the
+    session ends — one-shot batch jobs don't care; a long-lived server
+    should manage the lifecycle itself and pass False. Also leave
+    False when the relation is too large to persist — or better, use
+    the engine facade, whose per-pass decodes are term-/id-pruned
+    round-trips that never touch the whole index."""
+    if persist_tf:
+        from pyspark.storagelevel import StorageLevel
+
+        tf_df = tf_df.persist(StorageLevel.MEMORY_AND_DISK)
     v = rm3_expansion_terms(
         tf_df, queries_df, n_docs, avgdl, fb_docs, fb_terms, orig_weight,
         df_df=df_df,

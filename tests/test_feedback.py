@@ -285,3 +285,28 @@ def test_engine_search_bo1_negation_and_filter_guard(spark, sf_dir, tmp_path_fac
     assert all(r["doc_id"] not in joined for r in res)
     with _pytest.raises(ValueError, match="filter"):
         eng.search_bo1({"terms": ["data"], "filter": [["lang:en"]]})
+
+
+def test_persist_tf_changes_nothing(spark):
+    """persist_tf is a physical hint: identical results either way."""
+    from pisa_spark.query.feedback import bo1_topk
+
+    rows = [
+        (0, "apple", 2, 10),
+        (0, "pear", 5, 10),
+        (1, "apple", 1, 10),
+        (2, "pear", 4, 10),
+        (9, "kiwi", 3, 10),
+    ]
+    tf = _tf(spark, rows)
+    q = _q(spark, [(0, "apple")])
+    for fn in (rm3_topk, bo1_topk):
+        a = sorted(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in fn(tf, q, 4, 10.0, k=10).collect()
+        )
+        b = sorted(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in fn(tf, q, 4, 10.0, k=10, persist_tf=True).collect()
+        )
+        assert a == b
