@@ -1197,6 +1197,119 @@ def _bm25_quant(
     return quantized_topk(postings, queries, stats["n_docs"], k=k)
 
 
+# DSIR importance-resampling gate config: target slice doc_id%10==0,
+# raw slice doc_id%10==9 (the classifier gate's slice idiom); a small
+# bucket count so hash collisions are exercised
+_DSIR_B = 512
+_DSIR_N = 50
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str):
+    from pisa_spark.functions.dsir import dsir_scores, dsir_train
+
+    docs = _docs(spark, sf_dir)
+    lam, lam0 = dsir_train(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 == 9),
+        n_buckets=_DSIR_B,
+    )
+    return dsir_scores(docs, lam, lam0, n_buckets=_DSIR_B)
+
+
+def _dsir_scores_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-ngram importance weights (functions/dsir.py):
+    every doc scored under the slice-trained model; 6-dp round
+    absorbs cross-engine float-sum reassociation (the classifier/
+    lm-quality gates' contract)."""
+    s = _dsir_scored(spark, sf_dir)
+    return s.select(
+        "doc_id", "n_feats", F.round("log_w", 6).alias("log_w")
+    )
+
+
+def _dsir_resample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-n selection, ranked on the 6-dp-rounded key so the
+    cut is pinned across engines (the CombMNZ tie contract)."""
+    from pisa_spark.functions.dsir import gumbel_key
+
+    s = _dsir_scored(spark, sf_dir)
+    keyed = s.withColumn(
+        "key_r", F.round(gumbel_key(F.col("log_w"), F.col("doc_id")), 6)
+    )
+    return (
+        keyed.orderBy(F.col("key_r").desc(), F.col("doc_id").asc())
+        .limit(_DSIR_N)
+        .select("doc_id", F.round("log_w", 6).alias("log_w"), "key_r")
+    )
+
+
+_DSIR_FEATS = """
+feats AS (
+  SELECT doc_id, tok AS g
+  FROM (SELECT doc_id, unnest(tokens) AS tok FROM toks)
+  UNION ALL
+  SELECT p1.doc_id, p1.tok || ' ' || p2.tok AS g
+  FROM (SELECT doc_id, generate_subscripts(tokens, 1) AS pos,
+               unnest(tokens) AS tok FROM toks) p1
+  JOIN (SELECT doc_id, generate_subscripts(tokens, 1) AS pos,
+               unnest(tokens) AS tok FROM toks) p2
+    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+),
+fb AS (
+  SELECT doc_id,
+         CAST('0x'||substring(md5('dsir:'||g),1,8) AS BIGINT) % {b} AS bucket
+  FROM feats
+),
+tcnt AS (SELECT bucket, count(*) AS ct FROM fb WHERE doc_id % 10 = 0 GROUP BY bucket),
+rcnt AS (SELECT bucket, count(*) AS cr FROM fb WHERE doc_id % 10 = 9 GROUP BY bucket),
+nt AS (SELECT sum(ct) AS n_t FROM tcnt),
+nr AS (SELECT sum(cr) AS n_r FROM rcnt),
+lam AS (
+  SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+         ln((COALESCE(t.ct, 0) + 1.0) / (nt.n_t + 1.0 * {b}))
+         - ln((COALESCE(r.cr, 0) + 1.0) / (nr.n_r + 1.0 * {b})) AS lam
+  FROM tcnt t FULL OUTER JOIN rcnt r ON t.bucket = r.bucket
+  CROSS JOIN nt CROSS JOIN nr
+),
+lam0 AS (
+  SELECT ln(1.0 / (nt.n_t + 1.0 * {b})) - ln(1.0 / (nr.n_r + 1.0 * {b})) AS v
+  FROM nt CROSS JOIN nr
+),
+pdc AS (SELECT doc_id, bucket, count(*) AS cnt FROM fb GROUP BY doc_id, bucket),
+scored AS (
+  SELECT p.doc_id, CAST(sum(p.cnt) AS BIGINT) AS n_feats,
+         sum(p.cnt * COALESCE(l.lam, lam0.v)) AS log_w
+  FROM pdc p LEFT JOIN lam l ON l.bucket = p.bucket CROSS JOIN lam0
+  GROUP BY p.doc_id
+)
+"""
+
+
+def _dsir_scores_sql(b: int) -> str:
+    return f"""
+{_SQL_BASE},
+{_DSIR_FEATS.format(b=b)}
+SELECT doc_id, n_feats, round(log_w, 6) AS log_w FROM scored
+"""
+
+
+def _dsir_resample_sql(b: int, n: int) -> str:
+    return f"""
+{_SQL_BASE},
+{_DSIR_FEATS.format(b=b)},
+keyed AS (
+  SELECT doc_id, log_w,
+         round(log_w + (-ln(-ln(
+           (CAST('0x'||substring(md5('dsir:g:'||doc_id),1,8) AS BIGINT)
+              % 1000000 + 0.5) / 1000000.0
+         ))), 6) AS key_r
+  FROM scored
+)
+SELECT doc_id, round(log_w, 6) AS log_w, key_r
+FROM keyed ORDER BY key_r DESC, doc_id ASC LIMIT {n}
+"""
+
+
 # spelling-suggestion probes: one-edit and two-edit misspellings of
 # corpus vocabulary, one exact word (dist-0 row), one too-short word
 # (gram bound < 1 -> length-banded scan fallback) and one garbage word
@@ -6521,6 +6634,8 @@ _GATE_ORDER = [
     "bm25_saat_topk",
     "bm25_bo1_topk",
     "spell_suggestions",
+    "dsir_scores",
+    "dsir_resample_topn",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -6722,6 +6837,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf, _OR_QUERIES, rho=_SAAT_RHO
         ),
         "spell_suggestions": _spell_gate,
+        "dsir_scores": _dsir_scores_gate,
+        "dsir_resample_topn": _dsir_resample_gate,
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -7319,6 +7436,8 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_wildcard_topk": _bm25_wildcard_sql(_WILDCARD_QUERIES),
         "bm25_saat_topk": _saat_sql(_OR_QUERIES, rho=_SAAT_RHO),
         "spell_suggestions": _spell_sql(_SPELL_PROBES),
+        "dsir_scores": _dsir_scores_sql(_DSIR_B),
+        "dsir_resample_topn": _dsir_resample_sql(_DSIR_B, _DSIR_N),
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),
