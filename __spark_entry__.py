@@ -1310,6 +1310,96 @@ FROM keyed ORDER BY key_r DESC, doc_id ASC LIMIT {n}
 """
 
 
+# hybrid dense+sparse retrieval: the _OR_QUERIES run fused with a
+# cosine run whose query vectors are the embeddings of vec_id 0/1/2
+# (query ids align positionally)
+_HYBRID_DEPTH = 20
+
+
+def _hybrid_gate(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """BM25 + embedding-cosine RRF fusion (query/hybrid.py): both
+    runs rank-identical by their own gates, so the fused score is an
+    exact rational of the two ranks."""
+    from pisa_spark.query.hybrid import hybrid_rrf_topk
+
+    n_docs, avgdl = _stats(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in _OR_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    emb = _embeddings(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = hybrid_rrf_topk(
+        _tf_full(spark, sf_dir), qdf, qv, emb, n_docs, avgdl,
+        k=k, depth=_HYBRID_DEPTH,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def _hybrid_sql(qs, k: int = 10, depth: int = _HYBRID_DEPTH) -> str:
+    qids = ", ".join(str(qid) for qid, _ in qs)
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+sp AS (
+  SELECT q.query_id, tf.doc_id, sum({_BM25_TERM_EXPR}) AS s
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+ra AS (
+  SELECT query_id, doc_id, r FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id ASC) AS r
+    FROM sp
+  ) WHERE r <= {depth}
+),
+qv AS (SELECT CAST(vec_id AS INTEGER) AS query_id, embedding AS qvec
+       FROM embeddings WHERE vec_id IN ({qids})),
+dn AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         list_sum(list_transform(range(1, len(e.embedding)+1),
+                  i -> e.embedding[i]::DOUBLE * qv.qvec[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, v -> v::DOUBLE * v::DOUBLE)))
+            * sqrt(list_sum(list_transform(qv.qvec, v -> v::DOUBLE * v::DOUBLE))))
+           AS c
+  FROM embeddings e CROSS JOIN qv
+),
+rb AS (
+  SELECT query_id, doc_id, r FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY c DESC, doc_id ASC) AS r
+    FROM dn
+  ) WHERE r <= {depth}
+),
+fused AS (
+  SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
+         coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         coalesce(1.0 / (60.0 + CAST(ra.r AS DOUBLE)), CAST(0.0 AS DOUBLE))
+         + coalesce(1.0 / (60.0 + CAST(rb.r AS DOUBLE)), CAST(0.0 AS DOUBLE))
+           AS fs
+  FROM ra FULL OUTER JOIN rb
+    ON ra.query_id = rb.query_id AND ra.doc_id = rb.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(fs, 6) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY fs DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""
+
+
 # spelling-suggestion probes: one-edit and two-edit misspellings of
 # corpus vocabulary, one exact word (dist-0 row), one too-short word
 # (gram bound < 1 -> length-banded scan fallback) and one garbage word
@@ -6636,6 +6726,7 @@ _GATE_ORDER = [
     "spell_suggestions",
     "dsir_scores",
     "dsir_resample_topn",
+    "hybrid_rrf_topk",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -6839,6 +6930,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggestions": _spell_gate,
         "dsir_scores": _dsir_scores_gate,
         "dsir_resample_topn": _dsir_resample_gate,
+        "hybrid_rrf_topk": _hybrid_gate,
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -7438,6 +7530,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "spell_suggestions": _spell_sql(_SPELL_PROBES),
         "dsir_scores": _dsir_scores_sql(_DSIR_B),
         "dsir_resample_topn": _dsir_resample_sql(_DSIR_B, _DSIR_N),
+        "hybrid_rrf_topk": _hybrid_sql(_OR_QUERIES),
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),

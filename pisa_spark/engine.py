@@ -1963,6 +1963,82 @@ class SearchEngine:
 
     # -- document fetch (forward index) ------------------------------------
 
+    def with_embeddings(self, src) -> "SearchEngine":
+        """Attach a dense-vector relation (vec_id, embedding) — a
+        parquet path or a DataFrame; vec_id keys the same documents
+        the index serves (the TESTDATA contract). Enables
+        search_hybrid."""
+        self._emb = (
+            self.spark.read.parquet(src) if isinstance(src, str) else src
+        )
+        return self
+
+    def search_hybrid(
+        self,
+        queries,
+        query_vecs,
+        k: int = 10,
+        depth: int = 50,
+        k_rrf: float = 60.0,
+        weights: list[float] | None = None,
+        method: str = "brute",
+        **lsh_kwargs,
+    ) -> DataFrame:
+        """Hybrid dense+sparse retrieval (query/hybrid.py): the WAND
+        BM25 run and an embedding-cosine run, each cut at ``depth``,
+        fused by weighted RRF — lexical + semantic recall, the
+        standard modern first stage. ``query_vecs``: one vector per
+        query, positionally aligned (query_id = position, matching
+        search_batch's assignment). method: 'brute' (exact cosine —
+        the oracle baseline) or 'lsh' (bucket-bounded, the 10^12-doc
+        path; kwargs forwarded). Requires with_embeddings().
+
+        Tombstone deletes compose: the sparse run excludes them via
+        the pseudo-term kernels, and the dense side drops deleted
+        vectors BEFORE ranking so rank slots stay dense."""
+        from pisa_spark.query.hybrid import dense_run_as_docs
+        from pisa_spark.query.fusion import rrf_fuse
+        from pisa_spark.similarity.ann import (
+            cosine_topk_bruteforce,
+            lsh_bucket_topk,
+        )
+
+        if getattr(self, "_emb", None) is None:
+            raise ValueError(
+                "search_hybrid needs with_embeddings(path_or_df)"
+            )
+        if not isinstance(queries, list):
+            queries = [queries]
+        if len(query_vecs) != len(queries):
+            raise ValueError("one query vector per query")
+        sparse = self.search_batch(queries, k=depth)
+        qv = self.spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(query_vecs)],
+            "query_id int, query_vec array<float>",
+        )
+        emb = self._emb
+        if self._tombstone_ids is not None:
+            emb = emb.join(
+                self._tombstone_ids.select(
+                    F.col("doc_id").alias("vec_id")
+                ),
+                "vec_id",
+                "left_anti",
+            )
+        if method == "brute":
+            d = cosine_topk_bruteforce(emb, qv, k=depth)
+        elif method == "lsh":
+            d = lsh_bucket_topk(emb, qv, k=depth, **lsh_kwargs)
+        else:
+            raise ValueError("method must be 'brute' or 'lsh'")
+        return rrf_fuse(
+            [sparse, dense_run_as_docs(d)],
+            k=k,
+            depth=depth,
+            k_rrf=k_rrf,
+            weights=weights,
+        )
+
     def with_corpus(self, corpus_dir: str) -> "SearchEngine":
         """Attach the corpus snapshot as the doc store (the forward
         index): search results can then be joined back to text."""
