@@ -220,6 +220,35 @@ def main() -> None:
     ).collect()
     timings["q_batch64_quant"] = round(time.perf_counter() - t0, 4)
 
+    # score-at-a-time anytime serving (query/saat.py): impact-ordered
+    # segment twin derived from the quantized index, then the batch
+    # under a finite postings budget (capped tail latency) and at
+    # rho=None (exhaustive — rank-identical to q_batch64_quant)
+    from pisa_spark.query.saat import impact_ordered_segments, saat_topk
+
+    t0 = time.perf_counter()
+    segments = impact_ordered_segments(
+        q_postings, pre_arranged=True
+    ).cache()
+    segments.count()
+    timings["index_build_saat"] = round(time.perf_counter() - t0, 4)
+    saat_topk(  # warm the plan shape
+        segments, big_batch[:1], stats["n_docs"], rho=None, k=10,
+        pre_arranged=True,
+    ).collect()
+    t0 = time.perf_counter()
+    saat_topk(
+        segments, big_batch, stats["n_docs"], rho=2000, k=10,
+        pre_arranged=True,
+    ).collect()
+    timings["q_batch64_saat_rho2k"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    saat_topk(
+        segments, big_batch, stats["n_docs"], rho=None, k=10,
+        pre_arranged=True,
+    ).collect()
+    timings["q_batch64_saat_full"] = round(time.perf_counter() - t0, 4)
+
     # quantized BM25F (fielded integer fast path, query/bm25f_quant.py):
     # field weights/normalization baked into uint32 units at build,
     # integer saturation + idf at serve
