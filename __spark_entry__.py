@@ -612,6 +612,11 @@ _TWO_PI = "6.283185307179586"
 # and parenthesisation mirror pisa_spark.query.scorers exactly so the
 # float paths are bit-comparable (log2 pinned as ln(x)*LOG2E there too)
 _SCORER_SQL = {
+    "bm25plus": (
+        "ln((n_docs - df + 0.5) / (df + 0.5))"
+        " * ((tf * 1.9) / (tf + 0.9 * (1 - 0.4 + 0.4 * doc_len / avgdl))"
+        "    + 1.0)"
+    ),
     "qld": (
         "ln(1 + tf / (1000.0 * (cf / total_cf)))"
         " + ln(1000.0 / (doc_len + 1000.0))"
@@ -648,11 +653,13 @@ j AS (
   SELECT q.query_id, tf.doc_id, CAST(tf.tf AS DOUBLE) AS tf,
          CAST(doclen.doc_len AS DOUBLE) AS doc_len,
          CAST(cfreq.cf AS DOUBLE) AS cf,
+         CAST(dfreq.df AS DOUBLE) AS df,
          CAST(stats.n_docs AS DOUBLE) AS n_docs, stats.avgdl AS avgdl,
          CAST(tot.total_cf AS DOUBLE) AS total_cf, qn.n_terms
   FROM tf
   JOIN q USING (term)
   JOIN cfreq USING (term)
+  JOIN dfreq USING (term)
   JOIN doclen USING (doc_id)
   JOIN qn USING (query_id)
   CROSS JOIN stats
@@ -6727,6 +6734,7 @@ _GATE_ORDER = [
     "dsir_scores",
     "dsir_resample_topn",
     "hybrid_rrf_topk",
+    "bm25plus_topk_pruned",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -7042,6 +7050,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_stats": _bpe_encode_gate,
         "bpe_subword_stats": lambda spark, sf: _bpe_stats_gate(spark, sf),
         "trec_eval_metrics": lambda spark, sf: _trec_gate(spark, sf),
+        "bm25plus_topk_pruned": lambda spark, sf: _scored_pruned_df(
+            spark, sf, _OR_QUERIES, "bm25plus"
+        ),
         "qljm_topk_pruned": lambda spark, sf: _scored_pruned_df(
             spark, sf, _OR_QUERIES, "qljm"
         ),
@@ -7651,6 +7662,9 @@ SELECT query_id, facet, value, n FROM (
         "bpe_encode_stats": _bpe_encode_sql(6),
         "bpe_subword_stats": _bpe_stats_sql(8, 20),
         "trec_eval_metrics": _trec_sql(_OR_QUERIES, k=10),
+        "bm25plus_topk_pruned": _scored_sql(
+            _OR_QUERIES, "bm25plus", conjunctive=False
+        ),
         "qljm_topk_pruned": _scored_sql(_OR_QUERIES, "qljm", conjunctive=False),
         "qld_topk_pruned": _scored_sql(_OR_QUERIES, "qld", conjunctive=False),
         "pl2_topk_pruned": _scored_sql(_OR_QUERIES, "pl2", conjunctive=False),

@@ -58,7 +58,13 @@ from pisa_spark.query.bm25 import (
     _flat_filters,
     _two_phase_topk,
 )
-from pisa_spark.query.scorers import dph_np, pl2_np, qld_np, qljm_np
+from pisa_spark.query.scorers import (
+    bm25plus_np,
+    dph_np,
+    pl2_np,
+    qld_np,
+    qljm_np,
+)
 
 
 def _score_fn(scorer: str, n_docs: float, avgdl: float, total_cf: float):
@@ -68,6 +74,8 @@ def _score_fn(scorer: str, n_docs: float, avgdl: float, total_cf: float):
     float math per posting."""
     if scorer == "bm25":
         return lambda tf, dl, df, cf: _bm25_np(tf, dl, df, n_docs, avgdl)
+    if scorer == "bm25plus":
+        return lambda tf, dl, df, cf: bm25plus_np(tf, dl, df, n_docs, avgdl)
     if scorer == "qld":
         return lambda tf, dl, df, cf: qld_np(
             tf, dl, np.full(tf.shape, cf, np.float64), total_cf
@@ -87,7 +95,10 @@ def _score_fn(scorer: str, n_docs: float, avgdl: float, total_cf: float):
     raise ValueError(f"unknown scorer: {scorer!r}")
 
 
-_CORNER_MONOTONE = {"bm25", "qld", "qljm"}
+# bm25plus: per-term monotone (+tf, -dl) with the sign carried by idf,
+# exactly like bm25 — the direction-agnostic corner evaluation below
+# is exact for any scorer monotone in each of (tf, dl) separately
+_CORNER_MONOTONE = {"bm25", "bm25plus", "qld", "qljm"}
 
 
 def _scored_block_bounds(

@@ -55,6 +55,7 @@ from pisa_spark.query.bm25 import topk_window
 
 QLD_MU = 1000.0
 PL2_C = 1.0
+BM25PLUS_DELTA = 1.0  # Lv & Zhai's lower-bounding shift
 JM_LAMBDA = 0.15  # Hiemstra_LM / Terrier default document-model weight
 LOG2E = 1.4426950408889634  # log2(e), pinned literal shared with oracles
 TWO_PI = 6.283185307179586
@@ -80,6 +81,26 @@ def qld_expr(total_cf: float, mu: float = QLD_MU):
     return F.log(1.0 + tf / (F.lit(float(mu)) * p_c)) + F.log(
         F.lit(float(mu)) / (dl + F.lit(float(mu)))
     )
+
+
+def bm25plus_expr(n_docs: float, avgdl: float, delta: float = BM25PLUS_DELTA):
+    """BM25+ (Lv & Zhai, CIKM 2011): BM25 with a per-matched-term
+    lower bound — score_t = idf * (tf_saturation + delta), delta = 1 —
+    fixing BM25's over-penalization of very long documents (a long
+    doc matching a term can otherwise score arbitrarily close to a
+    non-matching one). Same (k1=0.9, b=0.4) literals as the engine's
+    BM25; same monotonicity (+tf, -dl per term, sign carried by idf),
+    so the pruned kernel's corner bounds stay exact."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    df = F.col("df").cast("double")
+    idf = F.log(
+        (F.lit(float(n_docs)) - df + 0.5) / (df + 0.5)
+    )
+    sat = (tf * 1.9) / (
+        tf + 0.9 * (1.0 - 0.4 + 0.4 * dl / F.lit(float(avgdl)))
+    )
+    return idf * (sat + F.lit(float(delta)))
 
 
 def qljm_expr(total_cf: float, lam: float = JM_LAMBDA):
@@ -140,6 +161,15 @@ def qld_np(tf, dl, cf, total_cf, mu: float = QLD_MU):
     return np.log(1.0 + tf / (mu * p_c)) + np.log(mu / (dl + mu))
 
 
+def bm25plus_np(tf, dl, df, n_docs, avgdl, delta: float = BM25PLUS_DELTA):
+    tf = np.asarray(tf, np.float64)
+    dl = np.asarray(dl, np.float64)
+    df = np.asarray(df, np.float64)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5))
+    sat = (tf * 1.9) / (tf + 0.9 * (1.0 - 0.4 + 0.4 * dl / avgdl))
+    return idf * (sat + delta)
+
+
 def qljm_np(tf, dl, cf, total_cf, lam: float = JM_LAMBDA):
     tf = np.asarray(tf, np.float64)
     dl = np.asarray(dl, np.float64)
@@ -181,6 +211,8 @@ def scorer_expr(name: str, n_docs: float, avgdl: float, total_cf: float):
     (columns tf, doc_len, df, cf)."""
     if name == "bm25":
         return bm25_expr(n_docs, avgdl)
+    if name == "bm25plus":
+        return bm25plus_expr(n_docs, avgdl)
     if name == "qld":
         return qld_expr(total_cf)
     if name == "qljm":
@@ -192,7 +224,7 @@ def scorer_expr(name: str, n_docs: float, avgdl: float, total_cf: float):
     raise ValueError(f"unknown scorer: {name!r}")
 
 
-SCORERS = ("bm25", "qld", "qljm", "pl2", "dph")
+SCORERS = ("bm25", "bm25plus", "qld", "qljm", "pl2", "dph")
 
 
 def term_stats_full(tf_df: DataFrame) -> DataFrame:

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pisa_spark.index.build import build_postings, term_frequencies
 from pisa_spark.query.scorers import (
     SCORERS,
+    bm25plus_np,
     dph_np,
     pl2_np,
     postings_to_tf,
@@ -44,6 +45,7 @@ def corpus(spark):
 
 def _np_scores(tf_rows, stats_rows, scorer, n_docs, avgdl, total_cf):
     cf = {r["term"]: r["cf"] for r in stats_rows}
+    dfreq = {r["term"]: r["df"] for r in stats_rows}
     out = {}
     for r in tf_rows:
         t, d = r["term"], r["doc_id"]
@@ -52,7 +54,12 @@ def _np_scores(tf_rows, stats_rows, scorer, n_docs, avgdl, total_cf):
             np.array([r["doc_len"]]),
             np.array([cf[t]]),
         )
-        if scorer == "qld":
+        if scorer == "bm25plus":
+            s = bm25plus_np(
+                np.array([r["tf"]]), np.array([r["doc_len"]]),
+                np.array([dfreq[t]]), n_docs, avgdl,
+            )[0]
+        elif scorer == "qld":
             s = qld_np(*args, total_cf)[0]
         elif scorer == "qljm":
             s = qljm_np(*args, total_cf)[0]
@@ -64,7 +71,7 @@ def _np_scores(tf_rows, stats_rows, scorer, n_docs, avgdl, total_cf):
     return out
 
 
-@pytest.mark.parametrize("scorer", ["qld", "qljm", "pl2", "dph"])
+@pytest.mark.parametrize("scorer", ["bm25plus", "qld", "qljm", "pl2", "dph"])
 def test_expr_matches_numpy_twin(spark, corpus, scorer):
     toks, tf, n_docs, avgdl, total_cf = corpus
     stats = term_stats_full(tf)
@@ -95,7 +102,7 @@ def test_dph_one_term_doc_scores_zero(spark, corpus):
     assert math.isfinite(out[0]["score"])
 
 
-@pytest.mark.parametrize("scorer", ["qld", "qljm", "pl2", "dph"])
+@pytest.mark.parametrize("scorer", ["bm25plus", "qld", "qljm", "pl2", "dph"])
 def test_topk_ranks_match_numpy(spark, corpus, scorer):
     toks, tf, n_docs, avgdl, total_cf = corpus
     qdf = spark.createDataFrame(
