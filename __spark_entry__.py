@@ -1317,6 +1317,91 @@ FROM keyed ORDER BY key_r DESC, doc_id ASC LIMIT {n}
 """
 
 
+# stopword probes: q0 all-stop (fallback serves unstripped), q1 mixes
+# the one mid-df term 'dup' with the head term 'the' (stripping
+# changes the answer), q2 pairs an absent term with a stop term (the
+# pinned no-fallback rule: absent terms are kept and match nothing)
+_STOP_QUERIES = [
+    (0, ["data", "join"]),
+    (1, ["dup", "the"]),
+    (2, ["zzzzzz", "the"]),
+]
+
+
+def _stopword_list_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-derived stop set (query/stopwords.py): df >
+    floor(0.5*N) — exactly the negative-idf terms, from block
+    metadata only."""
+    from pisa_spark.query.stopwords import stopword_list
+
+    postings, stats = _built_index(spark, sf_dir)
+    return stopword_list(postings, stats["n_docs"]).select("term", "df")
+
+
+def _stopped_gate(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """BM25 after stopword stripping under the pinned strip/fallback
+    contract; the twin re-derives the stop set and the effective
+    query from dfreq."""
+    from pisa_spark.query.stopwords import stopword_list, strip_stopwords
+
+    postings, stats = _built_index(spark, sf_dir)
+    stop = {
+        r["term"]
+        for r in stopword_list(postings, stats["n_docs"]).collect()
+    }
+    queries = [
+        {"query_id": qid, "terms": list(terms), "conjunctive": False}
+        for qid, terms in _STOP_QUERIES
+    ]
+    out = bm25_topk_wand(
+        postings, strip_stopwords(queries, stop),
+        stats["n_docs"], stats["avgdl"], k=k,
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+_STOPWORD_LIST_SQL = f"""
+{_SQL_BASE}
+SELECT term, df FROM dfreq CROSS JOIN stats
+WHERE df > floor(0.5 * stats.n_docs)
+"""
+
+
+def _stopped_sql(qs, k: int = 10) -> str:
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+qk AS (
+  SELECT q.query_id, q.term
+  FROM q LEFT JOIN dfreq USING (term) CROSS JOIN stats
+  WHERE dfreq.df IS NULL OR dfreq.df <= floor(0.5 * stats.n_docs)
+),
+qeff AS (
+  SELECT query_id, term FROM qk
+  UNION ALL
+  SELECT q.query_id, q.term FROM q
+  WHERE q.query_id NOT IN (SELECT DISTINCT query_id FROM qk)
+),
+scored AS (
+  SELECT qeff.query_id, tf.doc_id, sum({_BM25_TERM_EXPR}) AS raw_score
+  FROM tf
+  JOIN qeff ON qeff.term = tf.term
+  JOIN dfreq ON dfreq.term = tf.term
+  JOIN doclen ON doclen.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY qeff.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 # hybrid dense+sparse retrieval: the _OR_QUERIES run fused with a
 # cosine run whose query vectors are the embeddings of vec_id 0/1/2
 # (query ids align positionally)
@@ -6735,6 +6820,8 @@ _GATE_ORDER = [
     "dsir_resample_topn",
     "hybrid_rrf_topk",
     "bm25plus_topk_pruned",
+    "stopword_list",
+    "bm25_stopped_topk",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -6939,6 +7026,8 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": _dsir_scores_gate,
         "dsir_resample_topn": _dsir_resample_gate,
         "hybrid_rrf_topk": _hybrid_gate,
+        "stopword_list": _stopword_list_gate,
+        "bm25_stopped_topk": _stopped_gate,
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -7542,6 +7631,8 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "dsir_scores": _dsir_scores_sql(_DSIR_B),
         "dsir_resample_topn": _dsir_resample_sql(_DSIR_B, _DSIR_N),
         "hybrid_rrf_topk": _hybrid_sql(_OR_QUERIES),
+        "stopword_list": _STOPWORD_LIST_SQL,
+        "bm25_stopped_topk": _stopped_sql(_STOP_QUERIES),
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),

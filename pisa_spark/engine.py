@@ -745,6 +745,88 @@ class SearchEngine:
             thr, normalized, term_dfs, float(self.stats["n_docs"])
         )
 
+    def precompute_stopwords(
+        self, max_df_ratio: float = 0.5, persist: bool = True
+    ) -> DataFrame:
+        """Build the (term, df) stopword table (query/stopwords.py:
+        df > floor(max_df_ratio * n_docs); the 0.5 default is exactly
+        the negative-idf set). Block-metadata aggregate only;
+        persist=True commits it under the index root as the
+        ``stopwords`` catalog table so future load()s pick it up for
+        search_stopped without recomputing."""
+        from pisa_spark.query.stopwords import (
+            STOPWORDS_TABLE,
+            stopword_list,
+        )
+        from pisa_spark.sources import catalog
+
+        sw = stopword_list(
+            self.postings, int(self.stats["n_docs"]), max_df_ratio
+        )
+        if persist:
+            if self._index_root is None:
+                raise ValueError(
+                    "persist=True needs a catalog-backed index"
+                    " (build()/load()); pass persist=False for a"
+                    " relation-constructed engine"
+                )
+            catalog.write_table(sw, self._index_root, STOPWORDS_TABLE)
+            sw = catalog.read_table(
+                self.spark, self._index_root, STOPWORDS_TABLE
+            )
+        self._stop_df = sw
+        self._stop_set = None
+        self._stop_checked = True
+        return sw
+
+    def _stopword_set(self) -> set[str]:
+        """The stop set, collected once (bounded by the df cut —
+        hundreds of terms under any Zipf vocabulary). Prefers the
+        persisted ``stopwords`` table; derives at the default ratio
+        otherwise."""
+        if getattr(self, "_stop_set", None) is not None:
+            return self._stop_set
+        if not getattr(self, "_stop_checked", False):
+            self._stop_checked = True
+            from pisa_spark.query.stopwords import STOPWORDS_TABLE
+            from pisa_spark.sources import catalog
+
+            if self._index_root is not None and catalog.table_exists(
+                self._index_root, STOPWORDS_TABLE
+            ):
+                self._stop_df = catalog.read_table(
+                    self.spark, self._index_root, STOPWORDS_TABLE
+                )
+        if getattr(self, "_stop_df", None) is None:
+            from pisa_spark.query.stopwords import stopword_list
+
+            self._stop_df = stopword_list(
+                self.postings, int(self.stats["n_docs"])
+            )
+        self._stop_set = {
+            r["term"] for r in self._stop_df.select("term").collect()
+        }
+        return self._stop_set
+
+    def search_stopped(self, queries, k: int = 10, **search_kwargs):
+        """search_batch after stopword stripping (query/stopwords.py
+        pinned contract: drop stop terms; a query left with nothing
+        serves UNSTRIPPED — the all-stop fallback; absent terms are
+        kept and simply match nothing). Negation/filters ride
+        through untouched."""
+        from pisa_spark.query.stopwords import strip_stopwords
+
+        if not isinstance(queries, list):
+            queries = [queries]
+        raw = [
+            parse_query(q) if isinstance(q, str) else dict(q)
+            for q in queries
+        ]
+        for i, q in enumerate(raw):
+            q.setdefault("query_id", i)
+        stripped = strip_stopwords(raw, self._stopword_set())
+        return self.search_batch(stripped, k=k, **search_kwargs)
+
     def precompute_kgrams(self, persist: bool = True) -> DataFrame:
         """Build the (gram, term, df) k-gram table that serves general
         wildcards ('*tion', 's*t') with a pushed In(gram, ...) lookup
