@@ -1317,6 +1317,46 @@ FROM keyed ORDER BY key_r DESC, doc_id ASC LIMIT {n}
 """
 
 
+# percolation probes: a conjunctive pair, a head singleton, a
+# rare+mid pair, an absent term (never matches), plus the 'any' and
+# explicit-min_match renderings in the same gate via distinct ids
+_PERC_QUERIES = [
+    (0, ["data", "join"]),
+    (1, ["the"]),
+    (2, ["dup", "scan"]),
+    (3, ["zzzzzz"]),
+]
+
+
+def _percolate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search (query/percolate.py): the document batch matched
+    against stored queries under all-terms semantics."""
+    from pisa_spark.query.percolate import percolate
+
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in _PERC_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    return percolate(_docs(spark, sf_dir), qdf, mode="all")
+
+
+def _percolate_sql(qs) -> str:
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+present AS (SELECT DISTINCT doc_id, term FROM tf),
+matched AS (
+  SELECT q.query_id, p.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+  FROM q JOIN present p USING (term)
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT m.query_id, m.doc_id, m.n_matched, qn.n_terms
+FROM matched m JOIN qn USING (query_id)
+WHERE m.n_matched = qn.n_terms
+"""
+
+
 # stopword probes: q0 all-stop (fallback serves unstripped), q1 mixes
 # the one mid-df term 'dup' with the head term 'the' (stripping
 # changes the answer), q2 pairs an absent term with a stop term (the
@@ -6822,6 +6862,7 @@ _GATE_ORDER = [
     "bm25plus_topk_pruned",
     "stopword_list",
     "bm25_stopped_topk",
+    "percolate_matches",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -7028,6 +7069,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _hybrid_gate,
         "stopword_list": _stopword_list_gate,
         "bm25_stopped_topk": _stopped_gate,
+        "percolate_matches": _percolate_gate,
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -7633,6 +7675,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "hybrid_rrf_topk": _hybrid_sql(_OR_QUERIES),
         "stopword_list": _STOPWORD_LIST_SQL,
         "bm25_stopped_topk": _stopped_sql(_STOP_QUERIES),
+        "percolate_matches": _percolate_sql(_PERC_QUERIES),
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),
