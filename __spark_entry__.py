@@ -1317,6 +1317,44 @@ FROM keyed ORDER BY key_r DESC, doc_id ASC LIMIT {n}
 """
 
 
+_BLOCKED_HOSTS = ["example7.test", "example13.test", "example21.test"]
+
+
+def _url_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/pattern blocklist filtering (functions/urls.py
+    url_blocklist_filter): broadcast host anti-join + codegen
+    canonical-url pattern chain over the synthetic crawl."""
+    from pisa_spark.functions.urls import url_blocklist_filter
+
+    pages = pages_from_documents(spark, sf_dir).select("url")
+    hosts = spark.createDataFrame(
+        [(h,) for h in _BLOCKED_HOSTS], "host string"
+    )
+    return url_blocklist_filter(
+        pages, blocked_hosts=hosts, blocked_patterns=["0$"]
+    ).select("url")
+
+
+_URL_BLOCKLIST_SQL = f"""
+WITH pages AS (
+  SELECT 'https://example' || CAST(doc_id % 1000 AS VARCHAR) || '.test/p/'
+         || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url
+  FROM documents
+),
+canon AS (
+  SELECT url,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(url), '^https?://', ''), '^www\\.', ''),
+           '[?#].*$', ''), '/$', '') AS c
+  FROM pages
+)
+SELECT url FROM canon
+WHERE NOT regexp_matches(c, '0$')
+  AND regexp_extract(c, '^[^/]*') NOT IN
+      ({", ".join(f"'{h}'" for h in _BLOCKED_HOSTS)})
+"""
+
+
 # percolation probes: a conjunctive pair, a head singleton, a
 # rare+mid pair, an absent term (never matches), plus the 'any' and
 # explicit-min_match renderings in the same gate via distinct ids
@@ -6863,6 +6901,7 @@ _GATE_ORDER = [
     "stopword_list",
     "bm25_stopped_topk",
     "percolate_matches",
+    "url_blocklist_kept",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -7070,6 +7109,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_list": _stopword_list_gate,
         "bm25_stopped_topk": _stopped_gate,
         "percolate_matches": _percolate_gate,
+        "url_blocklist_kept": _url_blocklist_gate,
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -7676,6 +7716,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "stopword_list": _STOPWORD_LIST_SQL,
         "bm25_stopped_topk": _stopped_sql(_STOP_QUERIES),
         "percolate_matches": _percolate_sql(_PERC_QUERIES),
+        "url_blocklist_kept": _URL_BLOCKLIST_SQL,
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),

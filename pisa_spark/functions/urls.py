@@ -52,6 +52,53 @@ def registered_domain(host: Column) -> Column:
     )
 
 
+def url_blocklist_filter(
+    pages: DataFrame,
+    blocked_hosts: DataFrame | None = None,
+    blocked_domains: DataFrame | None = None,
+    blocked_patterns: list[str] | None = None,
+) -> DataFrame:
+    """The Dolma/CCNet domain-filter curation stage: drop pages whose
+    canonical host is blocklisted, whose REGISTERED DOMAIN is
+    blocklisted (blocks every subdomain), or whose canonical URL
+    matches any blocked regex — adult/malware/boilerplate domain lists
+    and path rules, applied before anything expensive touches the
+    page.
+
+    blocked_hosts / blocked_domains: one-column (host / domain)
+    relations — broadcast anti-joins (the lists are list-sized, the
+    crawl is not); blocked_patterns: regexes over the CANONICAL url,
+    compiled into one codegen rlike chain — no shuffle at all for the
+    pattern leg. Evaluation order is immaterial (pure intersection of
+    keeps); all three legs optional."""
+    out = pages
+    host = url_host(F.col("url"))
+    if blocked_patterns:
+        keep = F.lit(True)
+        for p in blocked_patterns:
+            keep = keep & ~url_canonical(F.col("url")).rlike(p)
+        out = out.filter(keep)
+    if blocked_hosts is not None:
+        out = out.withColumn("__h", host).join(
+            F.broadcast(
+                blocked_hosts.select(F.col("host").alias("__h"))
+            ),
+            "__h",
+            "left_anti",
+        ).drop("__h")
+    if blocked_domains is not None:
+        out = out.withColumn(
+            "__d", registered_domain(url_host(F.col("url")))
+        ).join(
+            F.broadcast(
+                blocked_domains.select(F.col("domain").alias("__d"))
+            ),
+            "__d",
+            "left_anti",
+        ).drop("__d")
+    return out
+
+
 def host_stats(pages: DataFrame) -> DataFrame:
     """Per-host crawl aggregates: page count, distinct canonical urls,
     total/mean extracted-text chars, and first/last crawl timestamps.
