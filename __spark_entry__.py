@@ -1317,6 +1317,46 @@ FROM keyed ORDER BY key_r DESC, doc_id ASC LIMIT {n}
 """
 
 
+def _search_after_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (engine.search_after): page 2 via the
+    (score, doc_id) cursor of page 1's last row must equal global
+    ranks 11..20 of the same total order — the twin serves them by
+    rank directly."""
+    from pisa_spark.engine import SearchEngine
+
+    postings, stats = _built_index(spark, sf_dir)
+    eng = SearchEngine(spark, postings, stats, pre_arranged=True)
+    first = eng.search_after("data join", k=10).collect()
+    last = sorted(first, key=lambda r: r["rank"])[-1]
+    page2 = eng.search_after(
+        "data join", k=10, after=(last["score"], last["doc_id"])
+    )
+    return page2.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+_SEARCH_AFTER_SQL = f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES (0, 'data'), (0, 'join')),
+scored AS (
+  SELECT q.query_id, tf.doc_id, sum({_BM25_TERM_EXPR}) AS raw_score
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, CAST(rank - 10 AS INTEGER) AS rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank BETWEEN 11 AND 20
+"""
+
+
 _BLOCKED_HOSTS = ["example7.test", "example13.test", "example21.test"]
 
 
@@ -6902,6 +6942,7 @@ _GATE_ORDER = [
     "bm25_stopped_topk",
     "percolate_matches",
     "url_blocklist_kept",
+    "bm25_search_after_page2",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -7110,6 +7151,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_stopped_topk": _stopped_gate,
         "percolate_matches": _percolate_gate,
         "url_blocklist_kept": _url_blocklist_gate,
+        "bm25_search_after_page2": _search_after_gate,
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -7717,6 +7759,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_stopped_topk": _stopped_sql(_STOP_QUERIES),
         "percolate_matches": _percolate_sql(_PERC_QUERIES),
         "url_blocklist_kept": _URL_BLOCKLIST_SQL,
+        "bm25_search_after_page2": _SEARCH_AFTER_SQL,
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),

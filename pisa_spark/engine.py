@@ -612,6 +612,79 @@ class SearchEngine:
             "page_rank", (F.col("rank") - F.lit(offset)).cast("int")
         )
 
+    def search_after(
+        self, query, k: int = 10, after: tuple | None = None
+    ) -> DataFrame:
+        """Keyset (cursor) deep pagination — the scalable alternative
+        to search_page's from+size: serve the top-``k`` docs STRICTLY
+        AFTER the cursor in the engine's total order (score DESC,
+        doc_id ASC). ``after`` = (score, doc_id) of the last row the
+        client saw (pass back exactly what this engine returned);
+        None = first page. Cost is ONE bounded scoring pass whatever
+        the depth — page 1,000 prices like page 1, because the cursor
+        is a filter BEFORE the top-k window, not an offset through it
+        (the from+size contract re-ranks everything above the page).
+
+        Served off the term-pruned decode (exhaustive over the
+        query's postings, the search_scored shape); '-term' negation
+        and tombstone deletes compose via the exclusion anti-join;
+        attribute filters and quoted phrases refuse (route those to
+        search_filtered/search_phrase). rank restarts at 1 per page."""
+        from pisa_spark.query.bm25 import score_expr, topk_window
+        from pisa_spark.query.scorers import postings_to_tf
+
+        q = self._normalize(
+            [parse_query(query) if isinstance(query, str) else dict(query)]
+        )[0]
+        if q.get("filter"):
+            raise ValueError(
+                "search_after composes no attribute filters; use"
+                " search_filtered"
+            )
+        terms = sorted(set(q["terms"]))
+        if not terms:
+            raise ValueError("search_after needs at least one term")
+        pruned = self.postings.filter(F.col("term").isin(terms))
+        tf = postings_to_tf(pruned).join(
+            F.broadcast(
+                pruned.groupBy("term").agg(F.sum("n").alias("df"))
+            ),
+            "term",
+        )
+        scored = (
+            tf.withColumn(
+                "pscore",
+                score_expr(
+                    float(self.stats["n_docs"]), float(self.stats["avgdl"])
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("pscore").alias("score"))
+            .withColumn("query_id", F.lit(q["query_id"]).cast("int"))
+        )
+        negs = sorted(set(q.get("negated", [])))
+        if negs:
+            excl = (
+                postings_to_tf(
+                    self.postings.filter(F.col("term").isin(negs))
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            scored = scored.join(excl, "doc_id", "left_anti")
+        if after is not None:
+            a_score, a_doc = float(after[0]), int(after[1])
+            scored = scored.filter(
+                (F.col("score") < F.lit(a_score))
+                | (
+                    (F.col("score") == F.lit(a_score))
+                    & (F.col("doc_id") > F.lit(a_doc))
+                )
+            )
+        return topk_window(
+            scored.select("query_id", "doc_id", "score"), k
+        )
+
     def _term_dfs(self, terms) -> dict[str, int]:
         """Global df per query term, from the driver-side cache; only
         terms not seen before touch Spark (one term-pruned aggregate
