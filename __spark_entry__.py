@@ -1317,6 +1317,140 @@ FROM keyed ORDER BY key_r DESC, doc_id ASC LIMIT {n}
 """
 
 
+_SIG_R = 200
+
+
+def _significance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired randomization test (operators/significance.py): BM25 vs
+    QLD on per-query P@10 against the corpus-derived qrels — the full
+    evaluate-two-systems-and-test pipeline, integer-sum exact."""
+    from pisa_spark.operators.significance import (
+        paired_randomization_test,
+    )
+    from pisa_spark.operators.treceval import trec_eval
+
+    qrels = _trec_qrels(spark, sf_dir, _OR_QUERIES)
+    run_a = _bm25_df(spark, sf_dir, _OR_QUERIES, False, k=10)
+    run_b = _scored_df(spark, sf_dir, _OR_QUERIES, "qld", k=10)
+    ma = trec_eval(run_a, qrels, k=10)
+    mb = trec_eval(run_b, qrels, k=10)
+    return paired_randomization_test(ma, mb, metric="p_at_k", r=_SIG_R)
+
+
+def _significance_sql(qs, k: int = 10, r: int = _SIG_R) -> str:
+    """Twin of the whole pipeline: both runs, the qrels, per-query
+    P@10 under trec_eval's contract (queries with >= 1 relevant qrel),
+    integer-quantized diffs, the md5 coin, and the add-one p."""
+    return f"""
+{_SQL_BASE},
+cfreq AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_cf FROM tf),
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+sa_ AS (
+  SELECT q.query_id, tf.doc_id, sum({_BM25_TERM_EXPR}) AS s
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id) CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+runa AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id ASC) AS rnk
+    FROM sa_
+  ) WHERE rnk <= {k}
+),
+sb_ AS (
+  SELECT j.query_id, j.doc_id,
+         sum( ln(1 + j.tf / (1000.0 * (j.cf / j.total_cf)))
+              + ln(1000.0 / (j.doc_len + 1000.0)) ) AS s
+  FROM (
+    SELECT q.query_id, tf.doc_id, CAST(tf.tf AS DOUBLE) AS tf,
+           CAST(doclen.doc_len AS DOUBLE) AS doc_len,
+           CAST(cfreq.cf AS DOUBLE) AS cf,
+           CAST(tot.total_cf AS DOUBLE) AS total_cf
+    FROM tf JOIN q USING (term) JOIN cfreq USING (term)
+    JOIN doclen USING (doc_id) CROSS JOIN tot
+  ) j
+  GROUP BY j.query_id, j.doc_id
+),
+runb AS (
+  SELECT query_id, doc_id, rnk FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id ASC) AS rnk
+    FROM sb_
+  ) WHERE rnk <= {k}
+),
+qrels AS (
+  SELECT q.query_id, tf.doc_id,
+         CASE WHEN count(DISTINCT tf.term) = max(qn.n_terms)
+                   AND sum(tf.tf) >= 4 THEN 2
+              WHEN count(DISTINCT tf.term) = max(qn.n_terms) THEN 1
+              ELSE 0 END AS rel
+  FROM tf JOIN q USING (term) JOIN qn USING (query_id)
+  GROUP BY q.query_id, tf.doc_id
+),
+rel_q AS (SELECT DISTINCT query_id FROM qrels WHERE rel > 0),
+pa AS (
+  SELECT r.query_id,
+         round(sum(CASE WHEN qr.rel > 0 THEN 1 ELSE 0 END) / {float(k)}, 4)
+           AS v
+  FROM runa r
+  JOIN rel_q USING (query_id)
+  LEFT JOIN qrels qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+  GROUP BY r.query_id
+),
+pb AS (
+  SELECT r.query_id,
+         round(sum(CASE WHEN qr.rel > 0 THEN 1 ELSE 0 END) / {float(k)}, 4)
+           AS v
+  FROM runb r
+  JOIN rel_q USING (query_id)
+  LEFT JOIN qrels qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+  GROUP BY r.query_id
+),
+d AS (
+  SELECT pa.query_id,
+         CAST(round((pa.v - pb.v) * 10000.0) AS BIGINT) AS di,
+         CAST(round(pa.v * 10000.0) AS BIGINT) AS ai,
+         CAST(round(pb.v * 10000.0) AS BIGINT) AS bi
+  FROM pa JOIN pb USING (query_id)
+),
+obs AS (
+  SELECT count(*) AS n, CAST(sum(di) AS BIGINT) AS s,
+         CAST(sum(di * di) AS BIGINT) AS s2,
+         CAST(sum(ai) AS BIGINT) AS sa, CAST(sum(bi) AS BIGINT) AS sb
+  FROM d
+),
+reps AS (SELECT CAST(range AS INTEGER) AS rep FROM range({r})),
+flips AS (
+  SELECT reps.rep,
+         CAST(sum(d.di * (CASE WHEN
+           CAST('0x'||substring(md5('sig:'||reps.rep||':'||d.query_id),1,8)
+                AS BIGINT) % 2 = 1
+           THEN -1 ELSE 1 END)) AS BIGINT) AS s_r
+  FROM reps CROSS JOIN d
+  GROUP BY reps.rep
+),
+exceed AS (
+  SELECT count(*) AS c FROM flips, obs WHERE abs(flips.s_r) >= abs(obs.s)
+)
+SELECT 'p_at_k' AS metric,
+       CAST(obs.n AS INTEGER) AS n_queries,
+       round((obs.sa / 10000.0) / obs.n, 6) AS mean_a,
+       round((obs.sb / 10000.0) / obs.n, 6) AS mean_b,
+       round((obs.s / 10000.0) / obs.n, 6) AS mean_diff,
+       round( ((obs.s / 10000.0) / obs.n)
+              / ( (sqrt((obs.s2 - (obs.s * obs.s) / obs.n) / (obs.n - 1))
+                   / 10000.0)
+                  / sqrt(obs.n) ), 6) AS t_stat,
+       round((exceed.c + 1) / ({r} + 1), 6) AS p_value
+FROM obs, exceed
+"""
+
+
 def _search_after_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyset pagination (engine.search_after): page 2 via the
     (score, doc_id) cursor of page 1's last row must equal global
@@ -6943,6 +7077,7 @@ _GATE_ORDER = [
     "percolate_matches",
     "url_blocklist_kept",
     "bm25_search_after_page2",
+    "run_significance_test",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -7152,6 +7287,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_matches": _percolate_gate,
         "url_blocklist_kept": _url_blocklist_gate,
         "bm25_search_after_page2": _search_after_gate,
+        "run_significance_test": _significance_gate,
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -7760,6 +7896,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "percolate_matches": _percolate_sql(_PERC_QUERIES),
         "url_blocklist_kept": _URL_BLOCKLIST_SQL,
         "bm25_search_after_page2": _SEARCH_AFTER_SQL,
+        "run_significance_test": _significance_sql(_OR_QUERIES),
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),
