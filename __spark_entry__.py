@@ -1317,6 +1317,103 @@ FROM keyed ORDER BY key_r DESC, doc_id ASC LIMIT {n}
 """
 
 
+def _boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-lite paragraph classification (functions/boilerplate.py)
+    over the webbified corpus, stop set corpus-derived (the
+    query/stopwords.py negative-idf artifact)."""
+    from pisa_spark.functions.boilerplate import justext_classify
+    from pisa_spark.query.stopwords import stopword_list
+
+    postings, stats = _built_index(spark, sf_dir)
+    stop = [
+        r["term"]
+        for r in stopword_list(postings, stats["n_docs"]).collect()
+    ]
+    out = justext_classify(
+        _webbify_docs(spark, sf_dir), stop, s_low=0.25, l_long=8
+    )
+    return out.select(
+        "doc_id",
+        "pos",
+        "n_words",
+        F.round("stop_ratio", 4).alias("stop_ratio"),
+        "core",
+        "final",
+    )
+
+
+_BOILERPLATE_SQL = """
+WITH toks0 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tokens
+  FROM documents
+),
+tf0 AS (
+  SELECT doc_id, term FROM (SELECT doc_id, unnest(tokens) AS term FROM toks0)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
+stats AS (SELECT count(*) AS n_docs FROM toks0),
+stoplist AS (
+  SELECT list(term) AS sl
+  FROM (SELECT term FROM dfreq CROSS JOIN stats
+        WHERE df > floor(0.5 * stats.n_docs))
+),
+webdocs AS (
+  SELECT doc_id,
+    'Doc ' || CAST(doc_id AS VARCHAR) || ' begins here.' || chr(10)
+    || '- ' || substr(text, 1, 30) || chr(10)
+    || substr(text, 1, 60) || '.' || chr(10)
+    || CASE WHEN doc_id % 7 = 0
+         THEN 'Please enable javascript to view this page.'
+         ELSE 'A regular sentence with an end.' END || chr(10)
+    || CASE WHEN doc_id % 11 = 0
+         THEN 'short line'
+         ELSE 'Another proper sentence here!' END || chr(10)
+    || CASE WHEN doc_id % 13 = 0
+         THEN 'page config { display: none }'
+         ELSE 'Trailing thoughts continue...' END AS text
+  FROM documents
+),
+paras AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, chr(10)), 1) - 1
+              AS INTEGER) AS pos,
+         unnest(string_split(text, chr(10))) AS para
+  FROM webdocs
+),
+feats AS (
+  SELECT p.doc_id, p.pos,
+         CAST(len(t.toks) AS INTEGER) AS n_words,
+         CASE WHEN len(t.toks) > 0
+              THEN len(list_filter(t.toks, x -> list_contains(s.sl, x)))
+                   * 1.0 / len(t.toks)
+              ELSE 0.0 END AS stop_ratio
+  FROM paras p
+  CROSS JOIN stoplist s
+  CROSS JOIN LATERAL (
+    SELECT list_filter(regexp_split_to_array(lower(p.para), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+  ) t
+),
+classed AS (
+  SELECT doc_id, pos, n_words, stop_ratio,
+         CASE WHEN n_words = 0 OR stop_ratio < 0.25 THEN 'bad'
+              WHEN n_words >= 8 THEN 'good'
+              ELSE 'short' END AS core
+  FROM feats
+)
+SELECT doc_id, pos, n_words, round(stop_ratio, 4) AS stop_ratio, core,
+       CASE WHEN core <> 'short' THEN core
+            WHEN coalesce(lag(core) OVER w = 'good', FALSE)
+              OR coalesce(lead(core) OVER w = 'good', FALSE) THEN 'good'
+            ELSE 'bad' END AS final
+FROM classed
+WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+"""
+
+
 _SIG_R = 200
 
 
@@ -7078,6 +7175,7 @@ _GATE_ORDER = [
     "url_blocklist_kept",
     "bm25_search_after_page2",
     "run_significance_test",
+    "boilerplate_blocks",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -7288,6 +7386,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist_kept": _url_blocklist_gate,
         "bm25_search_after_page2": _search_after_gate,
         "run_significance_test": _significance_gate,
+        "boilerplate_blocks": _boilerplate_gate,
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -7897,6 +7996,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "url_blocklist_kept": _URL_BLOCKLIST_SQL,
         "bm25_search_after_page2": _SEARCH_AFTER_SQL,
         "run_significance_test": _significance_sql(_OR_QUERIES),
+        "boilerplate_blocks": _BOILERPLATE_SQL,
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),
