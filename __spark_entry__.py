@@ -1317,6 +1317,75 @@ FROM keyed ORDER BY key_r DESC, doc_id ASC LIMIT {n}
 """
 
 
+# spell-corrected serving probes: two correctable misspellings, one
+# control query, one uncorrectable garbage term (kept, matches nothing)
+_CORRECTED_QUERIES = [
+    (0, ["dta", "join"]),
+    (1, ["quary"]),
+    (2, ["data", "zzzzzzqq"]),
+]
+
+
+def _corrected_gate(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Spell-corrected serving (engine.search_corrected): OOV terms
+    replaced by their top suggestion, then plain WAND BM25 — the twin
+    replays the correction rule and the ranking."""
+    from pisa_spark.engine import SearchEngine
+
+    # NOTE pre_arranged=False: _built_index postings are (bucket,
+    # term)-partitioned, not bucket-co-located — the kernels must be
+    # allowed to arrange by bucket or per-doc scores fragment
+    postings, stats = _built_index(spark, sf_dir)
+    eng = SearchEngine(spark, postings, stats, pre_arranged=False)
+    queries = [
+        {"query_id": qid, "terms": list(terms), "conjunctive": False}
+        for qid, terms in _CORRECTED_QUERIES
+    ]
+    out = eng.search_corrected(queries, k=k)
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _corrected_sql(qs, k: int = 10, max_dist: int = 2) -> str:
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+aw AS (
+  SELECT DISTINCT q.term AS word
+  FROM q LEFT JOIN dfreq USING (term) WHERE dfreq.df IS NULL
+),
+sugg AS (
+  SELECT word, repl FROM (
+    SELECT a.word, d.term AS repl,
+           row_number() OVER (PARTITION BY a.word
+                ORDER BY levenshtein(d.term, a.word) ASC,
+                         d.df DESC, d.term ASC) AS rn
+    FROM aw a JOIN dfreq d ON levenshtein(d.term, a.word) <= {max_dist}
+  ) WHERE rn = 1
+),
+qeff AS (
+  SELECT DISTINCT q.query_id, COALESCE(s.repl, q.term) AS term
+  FROM q LEFT JOIN sugg s ON s.word = q.term
+),
+scored AS (
+  SELECT qeff.query_id, tf.doc_id, sum({_BM25_TERM_EXPR}) AS raw_score
+  FROM tf
+  JOIN qeff ON qeff.term = tf.term
+  JOIN dfreq ON dfreq.term = tf.term
+  JOIN doclen ON doclen.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY qeff.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def _boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jusText-lite paragraph classification (functions/boilerplate.py)
     over the webbified corpus, stop set corpus-derived (the
@@ -1555,8 +1624,10 @@ def _search_after_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank directly."""
     from pisa_spark.engine import SearchEngine
 
+    # pre_arranged=False — same co-location note as _corrected_gate
+    # (search_after itself is relational, but keep the engine honest)
     postings, stats = _built_index(spark, sf_dir)
-    eng = SearchEngine(spark, postings, stats, pre_arranged=True)
+    eng = SearchEngine(spark, postings, stats, pre_arranged=False)
     first = eng.search_after("data join", k=10).collect()
     last = sorted(first, key=lambda r: r["rank"])[-1]
     page2 = eng.search_after(
@@ -7176,6 +7247,7 @@ _GATE_ORDER = [
     "bm25_search_after_page2",
     "run_significance_test",
     "boilerplate_blocks",
+    "bm25_corrected_topk",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -7387,6 +7459,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_after_page2": _search_after_gate,
         "run_significance_test": _significance_gate,
         "boilerplate_blocks": _boilerplate_gate,
+        "bm25_corrected_topk": _corrected_gate,
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -7997,6 +8070,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_search_after_page2": _SEARCH_AFTER_SQL,
         "run_significance_test": _significance_sql(_OR_QUERIES),
         "boilerplate_blocks": _BOILERPLATE_SQL,
+        "bm25_corrected_topk": _corrected_sql(_CORRECTED_QUERIES),
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),

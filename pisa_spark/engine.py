@@ -43,6 +43,15 @@ class SearchEngine:
         self, spark: SparkSession, postings: DataFrame, stats: dict,
         pre_arranged: bool = False,
     ):
+        """pre_arranged=True asserts the postings relation is BUCKET-
+        CO-LOCATED (every bucket's rows in one partition — a load()ed
+        one-file-per-bucket index, or an explicit repartition(N,
+        'bucket') as bench.py does). The per-bucket kernels rely on
+        it: under a merely (bucket, term)-partitioned relation (the
+        raw build output) a doc's per-term contributions fragment
+        across partitions and the bucket-local top-k trims PARTIAL
+        scores — silently wrong results. When unsure, leave False:
+        the only cost is one bucket repartition per query batch."""
         self.spark = spark
         self.postings = postings
         self.stats = stats
@@ -991,6 +1000,44 @@ class SearchEngine:
             max_dist=max_dist,
             kgrams=self._kgram_lookup(),
         )
+
+    def search_corrected(
+        self, queries, k: int = 10, max_dist: int = 2, **search_kwargs
+    ):
+        """search_batch with automatic spelling correction of
+        OUT-OF-VOCABULARY terms (the did-you-mean integration):
+        a positive term with df == 0 is replaced by its TOP suggestion
+        (dist ASC, df DESC, term ASC — engine.suggest's pinned order)
+        within ``max_dist`` when one exists, kept otherwise (it then
+        matches nothing, exactly as typed); in-dictionary terms are
+        never touched, negation/filters ride through uncorrected, and
+        the effective term list is deduplicated (a correction may
+        collide with a term already present). Quoted phrases degrade
+        to loose terms here, like every term-kernel facade."""
+        if not isinstance(queries, list):
+            queries = [queries]
+        raw = [
+            parse_query(q) if isinstance(q, str) else dict(q)
+            for q in queries
+        ]
+        for i, q in enumerate(raw):
+            q.setdefault("query_id", i)
+        all_terms = sorted({t for q in raw for t in q["terms"]})
+        dfs = self._term_dfs(all_terms)
+        absent = sorted(t for t in all_terms if dfs.get(t, 0) == 0)
+        repl: dict[str, str] = {}
+        if absent:
+            repl = {
+                r["word"]: r["term"]
+                for r in self.suggest(
+                    absent, n=1, max_dist=max_dist
+                ).collect()
+            }
+        for q in raw:
+            q["terms"] = list(
+                dict.fromkeys(repl.get(t, t) for t in q["terms"])
+            )
+        return self.search_batch(raw, k=k, **search_kwargs)
 
     def search_scored(
         self, queries, scorer: str = "bm25", k: int = 10
