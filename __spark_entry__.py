@@ -1317,6 +1317,33 @@ FROM keyed ORDER BY key_r DESC, doc_id ASC LIMIT {n}
 """
 
 
+_AC_PREFIXES = ["d", "qu", "s", "zz"]
+
+
+def _autocomplete_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix completion over the dictionary (query/spell.py
+    complete_prefix): top-5 per probe prefix by (df DESC, term)."""
+    from pisa_spark.query.spell import complete_prefix
+
+    postings, _ = _built_index(spark, sf_dir)
+    vocab = postings.groupBy("term").agg(F.sum("n").alias("df"))
+    return complete_prefix(vocab, _AC_PREFIXES, n=5)
+
+
+def _autocomplete_sql(prefixes: list[str], n: int = 5) -> str:
+    parts = [
+        f"""
+SELECT '{p}' AS prefix, rank, term, df FROM (
+  SELECT term, df,
+         CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INTEGER)
+           AS rank
+  FROM dfreq WHERE term LIKE '{p}%'
+) WHERE rank <= {n}"""
+        for p in prefixes
+    ]
+    return f"{_SQL_BASE}\n" + "\nUNION ALL\n".join(parts)
+
+
 # spell-corrected serving probes: two correctable misspellings, one
 # control query, one uncorrectable garbage term (kept, matches nothing)
 _CORRECTED_QUERIES = [
@@ -7248,6 +7275,7 @@ _GATE_ORDER = [
     "run_significance_test",
     "boilerplate_blocks",
     "bm25_corrected_topk",
+    "autocomplete_terms",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -7460,6 +7488,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_significance_test": _significance_gate,
         "boilerplate_blocks": _boilerplate_gate,
         "bm25_corrected_topk": _corrected_gate,
+        "autocomplete_terms": _autocomplete_gate,
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -8071,6 +8100,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "run_significance_test": _significance_sql(_OR_QUERIES),
         "boilerplate_blocks": _BOILERPLATE_SQL,
         "bm25_corrected_topk": _corrected_sql(_CORRECTED_QUERIES),
+        "autocomplete_terms": _autocomplete_sql(_AC_PREFIXES),
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),

@@ -1039,6 +1039,24 @@ class SearchEngine:
             )
         return self.search_batch(raw, k=k, **search_kwargs)
 
+    def autocomplete(self, prefixes, n: int = 10) -> DataFrame:
+        """Prefix completion over the index's term dictionary
+        (query/spell.py complete_prefix): per prefix the top-``n``
+        terms by (df DESC, term ASC), pseudo-terms excluded. Shares
+        suggest()'s cached dictionary aggregate."""
+        from pisa_spark.query.spell import complete_prefix
+
+        if isinstance(prefixes, str):
+            prefixes = [prefixes]
+        if getattr(self, "_spell_vocab", None) is None:
+            self._spell_vocab = (
+                self.postings.filter(~F.col("term").contains(":"))
+                .groupBy("term")
+                .agg(F.sum("n").alias("df"))
+                .cache()
+            )
+        return complete_prefix(self._spell_vocab, prefixes, n=n)
+
     def search_scored(
         self, queries, scorer: str = "bm25", k: int = 10
     ) -> DataFrame:

@@ -60,6 +60,36 @@ def anchored_grams(word: str, k: int = KGRAM_K) -> list[str]:
     return list(dict.fromkeys(p[i : i + k] for i in range(len(p) - k + 1)))
 
 
+def complete_prefix(
+    vocab: DataFrame, prefixes: list[str], n: int = 10
+) -> DataFrame:
+    """(prefix, rank, term, df) — autocomplete: per prefix, the top-n
+    dictionary terms under (df DESC, term ASC). One pushed-StartsWith
+    dictionary scan per prefix (the wildcard 'dat*' fast path without
+    the posting serve), unioned; vocabulary-sized worst case, usually
+    far less once the filter reaches storage. Empty prefixes raise —
+    an unanchored scan is the caller explicitly asking for the whole
+    dictionary, not a completion."""
+    if not prefixes or any(not p for p in prefixes):
+        raise ValueError("complete_prefix needs non-empty prefixes")
+    parts = []
+    for p in list(dict.fromkeys(prefixes)):
+        w = Window.partitionBy(F.lit(p)).orderBy(
+            F.col("df").desc(), F.col("term").asc()
+        )
+        parts.append(
+            vocab.filter(F.col("term").startswith(p))
+            .withColumn("prefix", F.lit(p))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= n)
+            .select("prefix", "rank", "term", "df")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def spell_suggestions(
     vocab: DataFrame,
     words: list[str],

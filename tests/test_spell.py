@@ -157,3 +157,49 @@ def test_engine_suggest_excludes_pseudo_terms(spark, sf_dir, tmp_path_factory):
     # 'lang:en'-shaped pseudo-terms are in postings but never suggested
     got = eng.suggest(["lang"], n=10, max_dist=3).collect()
     assert all(":" not in r["term"] for r in got)
+
+
+# ---------------------------------------------------------------------------
+# autocomplete
+# ---------------------------------------------------------------------------
+
+def test_complete_prefix_semantics(vocab):
+    from pisa_spark.query.spell import complete_prefix
+
+    got = {}
+    for r in complete_prefix(vocab, ["da", "q", "zz"], n=2).collect():
+        got.setdefault(r["prefix"], []).append(
+            (r["rank"], r["term"], r["df"])
+        )
+    # df DESC then term ASC within prefix
+    assert sorted(got["da"]) == [(1, "data", 40), (2, "date", 12)]
+    assert sorted(got["q"]) == [(1, "query", 30), (2, "quarry", 2)]
+    assert "zz" not in got  # no matches -> no rows
+    # duplicates collapse, empty prefixes raise
+    assert (
+        complete_prefix(vocab, ["da", "da"], n=2).count() == 2
+    )
+    with pytest.raises(ValueError):
+        complete_prefix(vocab, [""])
+    with pytest.raises(ValueError):
+        complete_prefix(vocab, [])
+
+
+def test_engine_autocomplete(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ac") / "idx")
+    eng = SearchEngine.build(spark, sf_dir, root, n_buckets=4, wave_size=8)
+    rows = eng.autocomplete("da", n=3).collect()
+    assert rows and all(r["term"].startswith("da") for r in rows)
+    # matches the dictionary brute force
+    vocab_rows = sorted(
+        (
+            (-r["df"], r["term"])
+            for r in eng.postings.groupBy("term")
+            .agg(F.sum("n").alias("df"))
+            .collect()
+            if r["term"].startswith("da")
+        ),
+    )[:3]
+    want = [t for _, t in vocab_rows]
+    got = [r["term"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == want
