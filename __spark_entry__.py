@@ -1317,6 +1317,46 @@ FROM keyed ORDER BY key_r DESC, doc_id ASC LIMIT {n}
 """
 
 
+_HIST_BIN = 200
+_HIST_K = 50
+
+
+def _histogram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram facet (query/facets.py histogram_facet):
+    n_chars bins over the BM25 top-50 result sets."""
+    from pisa_spark.query.facets import histogram_facet
+
+    res = _bm25_df(spark, sf_dir, _OR_QUERIES, False, k=_HIST_K)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return histogram_facet(res, docs, "n_chars", _HIST_BIN)
+
+
+def _histogram_sql(qs, k: int = _HIST_K, w: int = _HIST_BIN) -> str:
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id, sum({_BM25_TERM_EXPR}) AS s
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id) CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+res AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {k}
+)
+SELECT r.query_id,
+       CAST(floor(d.n_chars / {w}) * {w} AS BIGINT) AS bin_lo,
+       count(*) AS n
+FROM res r JOIN documents d USING (doc_id)
+GROUP BY r.query_id, bin_lo
+"""
+
+
 _AC_PREFIXES = ["d", "qu", "s", "zz"]
 
 
@@ -7276,6 +7316,7 @@ _GATE_ORDER = [
     "boilerplate_blocks",
     "bm25_corrected_topk",
     "autocomplete_terms",
+    "facet_histogram",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -7489,6 +7530,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_blocks": _boilerplate_gate,
         "bm25_corrected_topk": _corrected_gate,
         "autocomplete_terms": _autocomplete_gate,
+        "facet_histogram": _histogram_gate,
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -8101,6 +8143,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "boilerplate_blocks": _BOILERPLATE_SQL,
         "bm25_corrected_topk": _corrected_sql(_CORRECTED_QUERIES),
         "autocomplete_terms": _autocomplete_sql(_AC_PREFIXES),
+        "facet_histogram": _histogram_sql(_OR_QUERIES),
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),

@@ -2161,6 +2161,23 @@ class SearchEngine:
         res = self.search(query, k=k, **search_kwargs)
         return facet_counts(res, self._docs_df(), facet_cols)
 
+    def search_histogram(
+        self,
+        query,
+        col: str,
+        bin_width: int,
+        k: int = 10,
+        **search_kwargs,
+    ) -> DataFrame:
+        """Search + numeric histogram sidebar in one call: (query_id,
+        bin_lo, n) fixed-width bins of a numeric doc attribute over
+        the top-k result set (query/facets.py histogram_facet).
+        Requires with_corpus()."""
+        from pisa_spark.query.facets import histogram_facet
+
+        res = self.search(query, k=k, **search_kwargs)
+        return histogram_facet(res, self._docs_df(), col, bin_width)
+
     def search_diverse(
         self,
         query,

@@ -61,3 +61,35 @@ def facet_counts(
         melted.groupBy("query_id", "fv.facet", "fv.value")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def histogram_facet(
+    results: DataFrame,
+    docs_meta: DataFrame,
+    col: str,
+    bin_width: int,
+    broadcast_results: bool = True,
+) -> DataFrame:
+    """(query_id, bin_lo, n) — fixed-width histogram of a NUMERIC doc
+    attribute over each query's result set (the price/date/length
+    sidebar histogram beside facet_counts' categorical one).
+
+    Binning contract: bin_lo = floor(value / bin_width) * bin_width
+    (the bin covers [bin_lo, bin_lo + bin_width)); NULL attribute
+    values count under a bin_lo = NULL row, surfaced like
+    facet_counts' NULL facet values. Same dataflow as facet_counts:
+    broadcast the |queries| x k results, one join + one hash
+    aggregate."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    res = results.select("query_id", "doc_id")
+    if broadcast_results:
+        res = F.broadcast(res)
+    j = docs_meta.select("doc_id", col).join(res, "doc_id")
+    w = F.lit(int(bin_width))
+    bin_lo = (F.floor(F.col(col) / w) * w).cast("long")
+    return (
+        j.select("query_id", bin_lo.alias("bin_lo"))
+        .groupBy("query_id", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

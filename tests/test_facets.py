@@ -33,3 +33,30 @@ def test_engine_search_faceted(spark, sf_dir, tmp_path_factory):
     rows = eng.search_faceted("data join", ["lang"], k=10).collect()
     assert sum(r["n"] for r in rows) == 10
     assert all(r["facet"] == "lang" for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# numeric histogram facet
+# ---------------------------------------------------------------------------
+
+def test_histogram_facet_bins_and_nulls(spark):
+    from pisa_spark.query.facets import histogram_facet
+
+    res = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 1)],
+        "query_id int, doc_id long",
+    )
+    meta = spark.createDataFrame(
+        [(1, 50), (2, 199), (3, 200), (4, None)],
+        "doc_id long, n_chars int",
+    )
+    got = {
+        (r["query_id"], r["bin_lo"]): r["n"]
+        for r in histogram_facet(res, meta, "n_chars", 200).collect()
+    }
+    # [0,200) holds 50 and 199; [200,400) holds 200; NULL surfaced
+    assert got == {(0, 0): 2, (0, 200): 1, (0, None): 1, (1, 0): 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        histogram_facet(res, meta, "n_chars", 0)
