@@ -1317,6 +1317,108 @@ FROM keyed ORDER BY key_r DESC, doc_id ASC LIMIT {n}
 """
 
 
+_CLU_K, _CLU_NC, _CLU_ITERS = 20, 3, 2
+
+
+def _cluster_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scatter/Gather result clustering (query/cluster.py): per-query
+    deterministic k-means over the BM25 top-20 docs' embeddings under
+    the kmeans.py quantization contract."""
+    from pisa_spark.query.cluster import cluster_results
+
+    res = _bm25_df(spark, sf_dir, _OR_QUERIES, False, k=_CLU_K)
+    return cluster_results(
+        res, _embeddings(spark, sf_dir),
+        n_clusters=_CLU_NC, iters=_CLU_ITERS,
+    )
+
+
+def _cluster_sql(qs, k: int = _CLU_K, nc: int = _CLU_NC,
+                 iters: int = _CLU_ITERS) -> str:
+    """Per-query k-means replay: the _ivf_sql_base loop with a
+    query_id dimension threaded through every stage."""
+    d1 = _EMB_DIM + 1
+
+    def dist2(vec: str, cent: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {d1}), j -> "
+            f"({vec}[j]::DOUBLE - {cent}[j]) * ({vec}[j]::DOUBLE - {cent}[j])"
+            f")), 9)"
+        )
+
+    parts = [f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+scored AS (
+  SELECT q.query_id, tf.doc_id, sum({_BM25_TERM_EXPR}) AS s
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+  JOIN doclen USING (doc_id) CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+res AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {k}
+),
+rv AS (
+  SELECT r.query_id, r.doc_id,
+         list_transform(e.embedding, v -> v::DOUBLE) AS emb
+  FROM res r JOIN embeddings e ON e.vec_id = r.doc_id
+),
+cents0 AS (
+  SELECT query_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY doc_id) - 1 AS INTEGER) AS c,
+         emb AS cent
+  FROM (
+    SELECT query_id, doc_id, emb,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY doc_id) AS rn0
+    FROM rv
+  ) WHERE rn0 <= {nc}
+)"""]
+    for t in range(1, iters + 1):
+        prev = f"cents{t - 1}"
+        parts.append(f""",
+assign{t} AS (
+  SELECT query_id, doc_id, c FROM (
+    SELECT v.query_id, v.doc_id, ct.c,
+           row_number() OVER (PARTITION BY v.query_id, v.doc_id
+                              ORDER BY {dist2("v.emb", "ct.cent")} ASC,
+                                       ct.c ASC) AS rn
+    FROM rv v JOIN {prev} ct ON ct.query_id = v.query_id
+  ) WHERE rn = 1
+),
+upd{t} AS (
+  SELECT query_id, c, list(m ORDER BY j) AS cent FROM (
+    SELECT a.query_id, a.c, j.j AS j,
+           round(sum(v.emb[j.j]) / count(*), 6) AS m
+    FROM assign{t} a
+    JOIN rv v ON v.query_id = a.query_id AND v.doc_id = a.doc_id,
+    range(1, {d1}) AS j(j)
+    GROUP BY a.query_id, a.c, j.j
+  ) GROUP BY query_id, c
+),
+cents{t} AS (
+  SELECT p.query_id, p.c, COALESCE(u.cent, p.cent) AS cent
+  FROM {prev} p
+  LEFT JOIN upd{t} u ON u.query_id = p.query_id AND u.c = p.c
+)""")
+    parts.append(f"""
+SELECT query_id, doc_id, c AS cluster FROM (
+  SELECT v.query_id, v.doc_id, ct.c,
+         row_number() OVER (PARTITION BY v.query_id, v.doc_id
+                            ORDER BY {dist2("v.emb", "ct.cent")} ASC,
+                                     ct.c ASC) AS rn
+  FROM rv v JOIN cents{iters} ct ON ct.query_id = v.query_id
+) WHERE rn = 1
+""")
+    return "".join(parts)
+
+
 _HIST_BIN = 200
 _HIST_K = 50
 
@@ -7317,6 +7419,7 @@ _GATE_ORDER = [
     "bm25_corrected_topk",
     "autocomplete_terms",
     "facet_histogram",
+    "search_result_clusters",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -7531,6 +7634,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_corrected_topk": _corrected_gate,
         "autocomplete_terms": _autocomplete_gate,
         "facet_histogram": _histogram_gate,
+        "search_result_clusters": _cluster_gate,
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -8144,6 +8248,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "bm25_corrected_topk": _corrected_sql(_CORRECTED_QUERIES),
         "autocomplete_terms": _autocomplete_sql(_AC_PREFIXES),
         "facet_histogram": _histogram_sql(_OR_QUERIES),
+        "search_result_clusters": _cluster_sql(_OR_QUERIES),
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),

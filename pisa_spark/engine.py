@@ -2178,6 +2178,34 @@ class SearchEngine:
         res = self.search(query, k=k, **search_kwargs)
         return histogram_facet(res, self._docs_df(), col, bin_width)
 
+    def search_clustered(
+        self,
+        queries,
+        k: int = 50,
+        n_clusters: int = 3,
+        iters: int = 3,
+        **search_kwargs,
+    ) -> DataFrame:
+        """Scatter/Gather result clustering (query/cluster.py): the
+        top-``k`` docs of each query grouped into ``n_clusters``
+        themes by the deterministic per-query k-means over their
+        embeddings. Requires with_embeddings(). Result docs without a
+        stored vector are absent from the output."""
+        from pisa_spark.query.cluster import cluster_results
+
+        if getattr(self, "_emb", None) is None:
+            raise ValueError(
+                "search_clustered needs with_embeddings(path_or_df)"
+            )
+        res = self.search_batch(
+            queries if isinstance(queries, list) else [queries],
+            k=k,
+            **search_kwargs,
+        )
+        return cluster_results(
+            res, self._emb, n_clusters=n_clusters, iters=iters
+        )
+
     def search_diverse(
         self,
         query,
