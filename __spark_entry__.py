@@ -7406,7 +7406,6 @@ _GATE_ORDER = [
     "bm25_bo1_topk",
     "spell_suggestions",
     "dsir_scores",
-    "dsir_resample_topn",
     "hybrid_rrf_topk",
     "bm25plus_topk_pruned",
     "stopword_list",
@@ -7451,16 +7450,26 @@ _GATE_ORDER = [
     "decontam_flags",
     "bm25f_topk_quant",
     "bm25_phrase_filtered_topk",
+    # -- landed r4 past the window; never driver-verified (r4 verdict #1) --
+    "bm25_wildcard_topk",
+    "search_snippets",
+    # -- window overflow, deliberately ranked OUT (58 never-verified
+    # gates vs the driver's ~50-slot window): each of these is a
+    # VARIANT gate whose operator family is either in-window via a
+    # sibling on the same code path (bm25plus/qljm_topk_pruned cover
+    # the scored kernel; dsir_scores covers DSIR; phrase_filtered
+    # covers candidate gating) or driver-green in an earlier round
+    # (qld/pl2/dph exhaustive r3; or/quant r3; deletes family r3).
+    # All 163 gates were verified locally in one sweep (BENCH.md);
+    # these eight re-enter the head next round.
+    "dsir_resample_topn",
     "bm25_near_filtered_topk",
     "bm25_phrase_deleted_topk",
     "bm25_quant_deleted_topk",
     "qld_topk_pruned",
     "pl2_topk_pruned",
     "dph_topk_pruned",
-    # -- landed r4 past the window; never driver-verified (r4 verdict #1) --
     "bm25_topk_and_quant",
-    "bm25_wildcard_topk",
-    "search_snippets",
     # -- last green in round 2; aged out twice, re-confirm now --
     "events_quantile_gate",
     "tpch_q1_pricing",
