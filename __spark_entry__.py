@@ -1333,10 +1333,12 @@ def _cluster_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cluster_sql(qs, k: int = _CLU_K, nc: int = _CLU_NC,
-                 iters: int = _CLU_ITERS) -> str:
-    """Per-query k-means replay: the _ivf_sql_base loop with a
-    query_id dimension threaded through every stage."""
+def _cluster_sql_core(qs, k: int = _CLU_K, nc: int = _CLU_NC,
+                      iters: int = _CLU_ITERS) -> str:
+    """Per-query k-means replay (the _ivf_sql_base loop with a
+    query_id dimension threaded through every stage), ending in a
+    `clusters(query_id, doc_id, cluster)` CTE so both the clustering
+    gate and the labeling gate share one replay."""
     d1 = _EMB_DIM + 1
 
     def dist2(vec: str, cent: str) -> str:
@@ -1407,16 +1409,64 @@ cents{t} AS (
   FROM {prev} p
   LEFT JOIN upd{t} u ON u.query_id = p.query_id AND u.c = p.c
 )""")
-    parts.append(f"""
-SELECT query_id, doc_id, c AS cluster FROM (
-  SELECT v.query_id, v.doc_id, ct.c,
-         row_number() OVER (PARTITION BY v.query_id, v.doc_id
-                            ORDER BY {dist2("v.emb", "ct.cent")} ASC,
-                                     ct.c ASC) AS rn
-  FROM rv v JOIN cents{iters} ct ON ct.query_id = v.query_id
-) WHERE rn = 1
-""")
+    parts.append(f""",
+clusters AS (
+  SELECT query_id, doc_id, c AS cluster FROM (
+    SELECT v.query_id, v.doc_id, ct.c,
+           row_number() OVER (PARTITION BY v.query_id, v.doc_id
+                              ORDER BY {dist2("v.emb", "ct.cent")} ASC,
+                                       ct.c ASC) AS rn
+    FROM rv v JOIN cents{iters} ct ON ct.query_id = v.query_id
+  ) WHERE rn = 1
+)""")
     return "".join(parts)
+
+
+def _cluster_sql(qs, **kw) -> str:
+    return (
+        _cluster_sql_core(qs, **kw)
+        + "\nSELECT query_id, doc_id, cluster FROM clusters\n"
+    )
+
+
+_CLU_LABEL_TOP = 3
+
+
+def _cluster_labels_sql(qs, top: int = _CLU_LABEL_TOP) -> str:
+    """Labels twin: the full clustering replay, then per-(query,
+    cluster) summed tf over the cluster's docs with the negative-idf
+    stop set excluded, top-(score DESC, term ASC)."""
+    return f"""{_cluster_sql_core(qs)},
+lab AS (
+  SELECT c.query_id, c.cluster, tf.term,
+         CAST(sum(tf.tf) AS BIGINT) AS score
+  FROM clusters c
+  JOIN tf ON tf.doc_id = c.doc_id
+  GROUP BY c.query_id, c.cluster, tf.term
+)
+SELECT query_id, cluster, rank, term, score FROM (
+  SELECT query_id, cluster, term, score,
+         CAST(row_number() OVER (PARTITION BY query_id, cluster
+                            ORDER BY score DESC, term ASC) AS INTEGER)
+           AS rank
+  FROM lab
+) WHERE rank <= {top}
+"""
+
+
+def _cluster_labels_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scatter/Gather cluster labels (query/cluster.py
+    cluster_labels): top summed-tf terms per (query, cluster). The
+    gate runs WITHOUT stop exclusion — the synthetic corpus's 31-term
+    vocabulary is almost all negative-idf, so the stop-filtered label
+    set collapses to one row; the exclusion leg is pinned in pytest
+    on a corpus where it matters."""
+    from pisa_spark.query.cluster import cluster_labels
+
+    clusters = _cluster_gate(spark, sf_dir)
+    return cluster_labels(
+        clusters, _tf_full(spark, sf_dir), top=_CLU_LABEL_TOP
+    )
 
 
 _HIST_BIN = 200
@@ -7418,7 +7468,7 @@ _GATE_ORDER = [
     "bm25_corrected_topk",
     "autocomplete_terms",
     "facet_histogram",
-    "search_result_clusters",
+    "cluster_topic_labels",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -7461,7 +7511,11 @@ _GATE_ORDER = [
     # covers candidate gating) or driver-green in an earlier round
     # (qld/pl2/dph exhaustive r3; or/quant r3; deletes family r3).
     # All 163 gates were verified locally in one sweep (BENCH.md);
-    # these eight re-enter the head next round.
+    # these re-enter the head next round. search_result_clusters is
+    # SUBSUMED: cluster_topic_labels' oracle replays the entire
+    # per-query k-means before labeling, so the clustering contract
+    # is driver-verified through it.
+    "search_result_clusters",
     "dsir_resample_topn",
     "bm25_near_filtered_topk",
     "bm25_phrase_deleted_topk",
@@ -7644,6 +7698,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocomplete_terms": _autocomplete_gate,
         "facet_histogram": _histogram_gate,
         "search_result_clusters": _cluster_gate,
+        "cluster_topic_labels": _cluster_labels_gate,
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -8258,6 +8313,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "autocomplete_terms": _autocomplete_sql(_AC_PREFIXES),
         "facet_histogram": _histogram_sql(_OR_QUERIES),
         "search_result_clusters": _cluster_sql(_OR_QUERIES),
+        "cluster_topic_labels": _cluster_labels_sql(_OR_QUERIES),
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),

@@ -97,3 +97,43 @@ def cluster_results(
     return joined.groupBy("query_id").applyInPandas(
         kernel, schema=_OUT_SCHEMA
     )
+
+
+def cluster_labels(
+    clusters: DataFrame,
+    tf_df: DataFrame,
+    stopwords: DataFrame | None = None,
+    top: int = 3,
+) -> DataFrame:
+    """(query_id, cluster, rank, term, score) — the Scatter/Gather
+    cluster LABELS: per (query, cluster), the ``top`` terms by summed
+    tf over the cluster's documents, ranked (score DESC, term ASC),
+    with an optional (term, ...) stop relation anti-joined away first
+    (pass the query/stopwords.py negative-idf artifact — without it
+    every label is a stop word, the same fluent-prose insight jusText
+    uses). clusters: (query_id, doc_id, cluster); tf_df: (doc_id,
+    term, tf). One broadcast join + one hash aggregate + the usual
+    partial top-k window."""
+    from pyspark.sql import Window
+
+    tf = tf_df.select("doc_id", "term", "tf")
+    if stopwords is not None:
+        tf = tf.join(
+            F.broadcast(stopwords.select("term")), "term", "left_anti"
+        )
+    lab = (
+        tf.join(
+            F.broadcast(clusters.select("query_id", "doc_id", "cluster")),
+            "doc_id",
+        )
+        .groupBy("query_id", "cluster", "term")
+        .agg(F.sum("tf").cast("long").alias("score"))
+    )
+    w = Window.partitionBy("query_id", "cluster").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        lab.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("query_id", "cluster", "rank", "term", "score")
+    )

@@ -109,3 +109,40 @@ def test_validation_and_engine_guard(frames, spark, sf_dir, tmp_path_factory):
     ).search_clustered("data join", k=10, n_clusters=2, iters=2)
     rows = out.collect()
     assert rows and {r["cluster"] for r in rows} <= {0, 1}
+
+
+def test_cluster_labels_witness_and_stop_exclusion(spark):
+    from pisa_spark.query.cluster import cluster_labels
+
+    clusters = spark.createDataFrame(
+        [(0, 1, 0), (0, 2, 0), (0, 3, 1)],
+        "query_id int, doc_id long, cluster int",
+    )
+    tf = spark.createDataFrame(
+        [
+            (1, "apple", 3), (1, "the", 9),
+            (2, "apple", 2), (2, "pear", 5),
+            (3, "kiwi", 4), (3, "the", 1),
+            (9, "apple", 99),  # not in any cluster
+        ],
+        "doc_id long, term string, tf int",
+    )
+    got = {
+        (r["query_id"], r["cluster"], r["rank"]): (r["term"], r["score"])
+        for r in cluster_labels(clusters, tf, top=2).collect()
+    }
+    # cluster 0: the=9, apple=5, pear=5 -> top2 = the, then apple
+    # (score tie 5/5 breaks term ASC)
+    assert got[(0, 0, 1)] == ("the", 9)
+    assert got[(0, 0, 2)] == ("apple", 5)
+    assert got[(0, 1, 1)] == ("kiwi", 4)
+    # stop exclusion drops 'the' everywhere
+    stop = spark.createDataFrame([("the",)], "term string")
+    got2 = {
+        (r["query_id"], r["cluster"], r["rank"]): r["term"]
+        for r in cluster_labels(
+            clusters, tf, stopwords=stop, top=2
+        ).collect()
+    }
+    assert got2[(0, 0, 1)] == "apple"
+    assert all(t != "the" for t in got2.values())
