@@ -357,6 +357,20 @@ class SearchEngine:
 
         return exclude_deleted(queries)
 
+    def _raw_queries(self, queries) -> list[dict]:
+        """Shared facade prologue: parse strings, copy dicts, pin
+        query_id = position when absent (matching _normalize's
+        assignment so pre-processing facades agree with serving)."""
+        if not isinstance(queries, list):
+            queries = [queries]
+        raw = [
+            parse_query(q) if isinstance(q, str) else dict(q)
+            for q in queries
+        ]
+        for i, q in enumerate(raw):
+            q.setdefault("query_id", i)
+        return raw
+
     def _normalize(self, queries) -> list[dict]:
         """Parse/shape queries for the term-kernel paths. Quoted
         phrases are only ENFORCED by search() (which routes a
@@ -637,14 +651,31 @@ class SearchEngine:
         Served off the term-pruned decode (exhaustive over the
         query's postings, the search_scored shape); '-term' negation
         and tombstone deletes compose via the exclusion anti-join;
-        attribute filters and quoted phrases refuse (route those to
-        search_filtered/search_phrase). rank restarts at 1 per page."""
+        attribute filters, '+' conjunctive and quoted phrases refuse
+        (route those to search_filtered/search/search_phrase). rank
+        restarts at 1 per page.
+
+        Cursor stability: score comparisons quantize BOTH sides to
+        9 dp — page 2 recomputes the aggregate in a fresh job, and
+        Spark pins no float-sum association order across jobs, so an
+        exact-equality cursor could duplicate or skip the boundary
+        doc on an ulp flip; 9 dp is far above ulp noise and far below
+        any real score gap."""
         from pisa_spark.query.bm25 import score_expr, topk_window
         from pisa_spark.query.scorers import postings_to_tf
 
-        q = self._normalize(
-            [parse_query(query) if isinstance(query, str) else dict(query)]
-        )[0]
+        raw = parse_query(query) if isinstance(query, str) else dict(query)
+        if raw.get("phrases"):
+            raise ValueError(
+                "search_after serves loose terms only; use"
+                " search_phrase for quoted phrases"
+            )
+        if raw.get("conjunctive"):
+            raise ValueError(
+                "search_after is disjunctive-only; use search() for"
+                " '+' conjunctive queries"
+            )
+        q = self._normalize([raw])[0]
         if q.get("filter"):
             raise ValueError(
                 "search_after composes no attribute filters; use"
@@ -682,13 +713,16 @@ class SearchEngine:
             )
             scored = scored.join(excl, "doc_id", "left_anti")
         if after is not None:
-            a_score, a_doc = float(after[0]), int(after[1])
+            from pisa_spark.similarity.kmeans import quantize_half_away
+
+            # same half-away rule as F.round so both sides of the
+            # comparison quantize identically
+            a_score = float(quantize_half_away(float(after[0]), 9))
+            a_doc = int(after[1])
+            s9 = F.round(F.col("score"), 9)
             scored = scored.filter(
-                (F.col("score") < F.lit(a_score))
-                | (
-                    (F.col("score") == F.lit(a_score))
-                    & (F.col("doc_id") > F.lit(a_doc))
-                )
+                (s9 < F.lit(a_score))
+                | ((s9 == F.lit(a_score)) & (F.col("doc_id") > F.lit(a_doc)))
             )
         return topk_window(
             scored.select("query_id", "doc_id", "score"), k
@@ -898,15 +932,9 @@ class SearchEngine:
         through untouched."""
         from pisa_spark.query.stopwords import strip_stopwords
 
-        if not isinstance(queries, list):
-            queries = [queries]
-        raw = [
-            parse_query(q) if isinstance(q, str) else dict(q)
-            for q in queries
-        ]
-        for i, q in enumerate(raw):
-            q.setdefault("query_id", i)
-        stripped = strip_stopwords(raw, self._stopword_set())
+        stripped = strip_stopwords(
+            self._raw_queries(queries), self._stopword_set()
+        )
         return self.search_batch(stripped, k=k, **search_kwargs)
 
     def precompute_kgrams(self, persist: bool = True) -> DataFrame:
@@ -921,6 +949,7 @@ class SearchEngine:
         hint: expansion results are identical either way. Gram length
         is pinned to the serving default (kgram.KGRAM_K) so stored
         grams always match the patterns' query-side grams."""
+        from pisa_spark.index.deletes import DELETED_TERM
         from pisa_spark.query.kgram import (
             KGRAM_K,
             KGRAM_TABLE,
@@ -929,7 +958,10 @@ class SearchEngine:
         from pisa_spark.sources import catalog
 
         vocab = (
-            self.postings.filter(~F.col("term").contains(":"))
+            self.postings.filter(
+                ~F.col("term").contains(":")
+                & (F.col("term") != DELETED_TERM)
+            )
             .groupBy("term")
             .agg(F.sum("n").alias("df"))
         )
@@ -966,6 +998,27 @@ class SearchEngine:
                 )
         return self._kgram_df
 
+    def _dictionary_vocab(self) -> DataFrame:
+        """The cached (term, df) dictionary behind suggest/
+        autocomplete: block metadata only, with attribute/numeric
+        pseudo-terms (':' — collision-free per the attribute
+        contract) AND the '__deleted__' tombstone pseudo-term
+        excluded — without the latter, a tombstoned engine would
+        suggest or complete '__deleted__' as if it were a word."""
+        if getattr(self, "_spell_vocab", None) is None:
+            from pisa_spark.index.deletes import DELETED_TERM
+
+            self._spell_vocab = (
+                self.postings.filter(
+                    ~F.col("term").contains(":")
+                    & (F.col("term") != DELETED_TERM)
+                )
+                .groupBy("term")
+                .agg(F.sum("n").alias("df"))
+                .cache()
+            )
+        return self._spell_vocab
+
     def suggest(
         self, words, n: int = 5, max_dist: int = 2
     ) -> DataFrame:
@@ -986,15 +1039,8 @@ class SearchEngine:
 
         if isinstance(words, str):
             words = [words]
-        if getattr(self, "_spell_vocab", None) is None:
-            self._spell_vocab = (
-                self.postings.filter(~F.col("term").contains(":"))
-                .groupBy("term")
-                .agg(F.sum("n").alias("df"))
-                .cache()
-            )
         return spell_suggestions(
-            self._spell_vocab,
+            self._dictionary_vocab(),
             words,
             n=n,
             max_dist=max_dist,
@@ -1014,14 +1060,7 @@ class SearchEngine:
         the effective term list is deduplicated (a correction may
         collide with a term already present). Quoted phrases degrade
         to loose terms here, like every term-kernel facade."""
-        if not isinstance(queries, list):
-            queries = [queries]
-        raw = [
-            parse_query(q) if isinstance(q, str) else dict(q)
-            for q in queries
-        ]
-        for i, q in enumerate(raw):
-            q.setdefault("query_id", i)
+        raw = self._raw_queries(queries)
         all_terms = sorted({t for q in raw for t in q["terms"]})
         dfs = self._term_dfs(all_terms)
         absent = sorted(t for t in all_terms if dfs.get(t, 0) == 0)
@@ -1048,14 +1087,7 @@ class SearchEngine:
 
         if isinstance(prefixes, str):
             prefixes = [prefixes]
-        if getattr(self, "_spell_vocab", None) is None:
-            self._spell_vocab = (
-                self.postings.filter(~F.col("term").contains(":"))
-                .groupBy("term")
-                .agg(F.sum("n").alias("df"))
-                .cache()
-            )
-        return complete_prefix(self._spell_vocab, prefixes, n=n)
+        return complete_prefix(self._dictionary_vocab(), prefixes, n=n)
 
     def search_scored(
         self, queries, scorer: str = "bm25", k: int = 10
@@ -2277,8 +2309,22 @@ class SearchEngine:
         if len(query_vecs) != len(queries):
             raise ValueError("one query vector per query")
         sparse = self.search_batch(queries, k=depth)
+        # dense-run ids must match the SPARSE run's assignment: dict
+        # queries may carry explicit query_ids (search_batch honors
+        # them via _normalize's q.get('query_id', i)); positional
+        # enumeration here would fuse the two runs under different ids
+        raw = [
+            parse_query(q) if isinstance(q, str) else dict(q)
+            for q in queries
+        ]
+        qids = [int(q.get("query_id", i)) for i, q in enumerate(raw)]
+        if len(set(qids)) != len(qids):
+            raise ValueError("duplicate query_ids in hybrid batch")
         qv = self.spark.createDataFrame(
-            [(i, [float(x) for x in v]) for i, v in enumerate(query_vecs)],
+            [
+                (qid, [float(x) for x in v])
+                for qid, v in zip(qids, query_vecs)
+            ],
             "query_id int, query_vec array<float>",
         )
         emb = self._emb

@@ -80,8 +80,12 @@ def histogram_facet(
     facet_counts' NULL facet values. Same dataflow as facet_counts:
     broadcast the |queries| x k results, one join + one hash
     aggregate."""
-    if bin_width <= 0:
-        raise ValueError("bin_width must be positive")
+    if int(bin_width) != bin_width or int(bin_width) < 1:
+        raise ValueError(
+            "bin_width must be a positive integer — a fractional width"
+            " would silently truncate"
+        )
+    bin_width = int(bin_width)
     res = results.select("query_id", "doc_id")
     if broadcast_results:
         res = F.broadcast(res)

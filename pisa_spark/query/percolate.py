@@ -61,11 +61,14 @@ def percolate(
             ).alias("term"),
         )
     )
+    # qn is one row per stored query — at the module's 10^12-query
+    # contract that is NOT broadcastable; AQE picks the join strategy
+    # from runtime sizes (broadcast when small, shuffle when not)
     matched = (
         qterms.join(present, "term")
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_matched"))
-        .join(F.broadcast(qn), "query_id")
+        .join(qn, "query_id")
     )
     if min_match is not None:
         cond = F.col("n_matched") >= F.lit(int(min_match))

@@ -74,14 +74,19 @@ def complete_prefix(
         raise ValueError("complete_prefix needs non-empty prefixes")
     parts = []
     for p in list(dict.fromkeys(prefixes)):
+        # TakeOrdered first: orderBy().limit(n) bounds the candidate
+        # set distributedly; the rank window then runs over <= n rows
+        # (a lit-partition window over an UNBOUNDED match set would be
+        # a single-task sort of the whole prefix range)
         w = Window.partitionBy(F.lit(p)).orderBy(
             F.col("df").desc(), F.col("term").asc()
         )
         parts.append(
             vocab.filter(F.col("term").startswith(p))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(n)
             .withColumn("prefix", F.lit(p))
             .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= n)
             .select("prefix", "rank", "term", "df")
         )
     out = parts[0]
@@ -154,17 +159,20 @@ def spell_suggestions(
     unioned = parts[0]
     for p in parts[1:]:
         unioned = unioned.unionByName(p)
-    verified = unioned.filter(
-        (
+    # project the distance once, then filter on the column (Spark does
+    # not CSE levenshtein across a filter and a later projection)
+    verified = (
+        unioned.filter(
             F.abs(F.length("term") - F.length("word"))
             <= F.lit(int(max_dist))
         )
-        & (F.levenshtein("term", "word") <= F.lit(int(max_dist)))
-    ).select(
-        "word",
-        "term",
-        F.levenshtein("term", "word").cast("int").alias("dist"),
-        "df",
+        .select(
+            "word",
+            "term",
+            F.levenshtein("term", "word").cast("int").alias("dist"),
+            "df",
+        )
+        .filter(F.col("dist") <= F.lit(int(max_dist)))
     )
     w_rank = Window.partitionBy("word").orderBy(
         F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()

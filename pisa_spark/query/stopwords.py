@@ -44,10 +44,18 @@ def stopword_cut(n_docs: int, max_df_ratio: float = 0.5) -> int:
 def stopword_list(
     postings: DataFrame, n_docs: int, max_df_ratio: float = 0.5
 ) -> DataFrame:
-    """(term, df): the stop set from block metadata only."""
+    """(term, df): the stop set from block metadata only. Excludes
+    attribute pseudo-terms (':') and the '__deleted__' tombstone
+    pseudo-term — once deletes exceed the cut it would otherwise be
+    classified a stopword and stripped from nothing real."""
+    from pisa_spark.index.deletes import DELETED_TERM
+
     cut = stopword_cut(n_docs, max_df_ratio)
     return (
-        postings.filter(~F.col("term").contains(":"))
+        postings.filter(
+            ~F.col("term").contains(":")
+            & (F.col("term") != DELETED_TERM)
+        )
         .groupBy("term")
         .agg(F.sum("n").alias("df"))
         .filter(F.col("df") > F.lit(cut))

@@ -60,3 +60,14 @@ def test_histogram_facet_bins_and_nulls(spark):
 
     with _pytest.raises(ValueError):
         histogram_facet(res, meta, "n_chars", 0)
+
+
+def test_histogram_fractional_width_refuses(spark):
+    from pisa_spark.query.facets import histogram_facet
+
+    res = spark.createDataFrame([(0, 1)], "query_id int, doc_id long")
+    meta = spark.createDataFrame([(1, 50)], "doc_id long, n_chars int")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="integer"):
+        histogram_facet(res, meta, "n_chars", 0.5)

@@ -156,3 +156,29 @@ def test_engine_refusals(spark, sf_dir, tmp_path_factory):
     eng.with_embeddings(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="one query vector"):
         eng.search_hybrid(["data", "join"], [[0.0, 1.0]])
+
+
+def test_explicit_query_ids_align_runs(spark, sf_dir, tmp_path_factory, corpus):
+    """Dict queries with explicit query_ids must fuse BOTH runs under
+    those ids — positional dense ids would split every query in two."""
+    tf, emb, n_docs, avgdl = corpus
+    root = str(tmp_path_factory.mktemp("hybrid_ids") / "idx")
+    eng = SearchEngine.build(
+        spark, sf_dir, root, n_buckets=8, wave_size=8
+    ).with_embeddings(f"{sf_dir}/embeddings.parquet")
+    vec0 = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    out7 = eng.search_hybrid(
+        [{"query_id": 7, "terms": ["data", "join"]}], [vec0],
+        k=10, depth=DEPTH,
+    ).collect()
+    assert out7 and all(r["query_id"] == 7 for r in out7)
+    out0 = eng.search_hybrid(["data join"], [vec0], k=10, depth=DEPTH)
+    a = sorted((r["rank"], r["doc_id"]) for r in out7)
+    b = sorted((r["rank"], r["doc_id"]) for r in out0.collect())
+    assert a == b  # same fused ranking, only the id differs
+    with pytest.raises(ValueError, match="duplicate"):
+        eng.search_hybrid(
+            [{"query_id": 1, "terms": ["data"]},
+             {"query_id": 1, "terms": ["join"]}],
+            [vec0, vec0],
+        )

@@ -85,3 +85,10 @@ def test_refusals(eng):
         eng.search_after({"terms": ["data"], "filter": [["lang:en"]]})
     with pytest.raises(ValueError, match="at least one term"):
         eng.search_after({"terms": []})
+
+
+def test_conjunctive_and_phrase_refusals(eng):
+    with pytest.raises(ValueError, match="disjunctive-only"):
+        eng.search_after("+data join")
+    with pytest.raises(ValueError, match="quoted"):
+        eng.search_after('"data join"')

@@ -114,3 +114,24 @@ def test_persisted_table_pickup(spark, sf_dir, tmp_path_factory):
         for r in e1.search_stopped("dup the", k=10).collect()
     )
     assert a == b
+
+
+def test_deleted_pseudo_term_never_in_dictionaries(spark, sf_dir, tmp_path_factory):
+    """The '__deleted__' tombstone pseudo-term must not leak into the
+    suggest/autocomplete dictionary or the stopword list."""
+    root = str(tmp_path_factory.mktemp("delveto") / "idx")
+    e = SearchEngine.build(spark, sf_dir, root, n_buckets=4, wave_size=8)
+    e.delete_docs(list(range(0, 400)), persist=False)  # df('__deleted__') > N/2
+    sw = {
+        r["term"]
+        for r in stopword_list(e.postings, int(e.stats["n_docs"])).collect()
+    }
+    assert "__deleted__" not in sw
+    assert all(
+        r["term"] != "__deleted__"
+        for r in e.autocomplete("_", n=10).collect()
+    )
+    assert all(
+        r["term"] != "__deleted__"
+        for r in e.suggest(["_deleted_"], n=10, max_dist=2).collect()
+    )
