@@ -612,6 +612,10 @@ _TWO_PI = "6.283185307179586"
 # and parenthesisation mirror pisa_spark.query.scorers exactly so the
 # float paths are bit-comparable (log2 pinned as ln(x)*LOG2E there too)
 _SCORER_SQL = {
+    "inl2": (
+        f"(tfn * (ln((n_docs + 1.0) / (df + 0.5)) * {_LOG2E}))"
+        " / (tfn + 1.0)"
+    ),
     "bm25plus": (
         "ln((n_docs - df + 0.5) / (df + 0.5))"
         " * ((tf * 1.9) / (tf + 0.9 * (1 - 0.4 + 0.4 * doc_len / avgdl))"
@@ -7523,6 +7527,7 @@ _GATE_ORDER = [
     "qld_topk_pruned",
     "pl2_topk_pruned",
     "dph_topk_pruned",
+    "inl2_topk_pruned",
     "bm25_topk_and_quant",
     # -- last green in round 2; aged out twice, re-confirm now --
     "events_quantile_gate",
@@ -7812,6 +7817,9 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trec_eval_metrics": lambda spark, sf: _trec_gate(spark, sf),
         "bm25plus_topk_pruned": lambda spark, sf: _scored_pruned_df(
             spark, sf, _OR_QUERIES, "bm25plus"
+        ),
+        "inl2_topk_pruned": lambda spark, sf: _scored_pruned_df(
+            spark, sf, _OR_QUERIES, "inl2"
         ),
         "qljm_topk_pruned": lambda spark, sf: _scored_pruned_df(
             spark, sf, _OR_QUERIES, "qljm"
@@ -8436,6 +8444,9 @@ SELECT query_id, facet, value, n FROM (
         "trec_eval_metrics": _trec_sql(_OR_QUERIES, k=10),
         "bm25plus_topk_pruned": _scored_sql(
             _OR_QUERIES, "bm25plus", conjunctive=False
+        ),
+        "inl2_topk_pruned": _scored_sql(
+            _OR_QUERIES, "inl2", conjunctive=False
         ),
         "qljm_topk_pruned": _scored_sql(_OR_QUERIES, "qljm", conjunctive=False),
         "qld_topk_pruned": _scored_sql(_OR_QUERIES, "qld", conjunctive=False),

@@ -61,6 +61,7 @@ from pisa_spark.query.bm25 import (
 from pisa_spark.query.scorers import (
     bm25plus_np,
     dph_np,
+    inl2_np,
     pl2_np,
     qld_np,
     qljm_np,
@@ -76,6 +77,8 @@ def _score_fn(scorer: str, n_docs: float, avgdl: float, total_cf: float):
         return lambda tf, dl, df, cf: _bm25_np(tf, dl, df, n_docs, avgdl)
     if scorer == "bm25plus":
         return lambda tf, dl, df, cf: bm25plus_np(tf, dl, df, n_docs, avgdl)
+    if scorer == "inl2":
+        return lambda tf, dl, df, cf: inl2_np(tf, dl, df, n_docs, avgdl)
     if scorer == "qld":
         return lambda tf, dl, df, cf: qld_np(
             tf, dl, np.full(tf.shape, cf, np.float64), total_cf
@@ -98,7 +101,7 @@ def _score_fn(scorer: str, n_docs: float, avgdl: float, total_cf: float):
 # bm25plus: per-term monotone (+tf, -dl) with the sign carried by idf,
 # exactly like bm25 — the direction-agnostic corner evaluation below
 # is exact for any scorer monotone in each of (tf, dl) separately
-_CORNER_MONOTONE = {"bm25", "bm25plus", "qld", "qljm"}
+_CORNER_MONOTONE = {"bm25", "bm25plus", "qld", "qljm", "inl2"}
 
 
 def _scored_block_bounds(

@@ -121,6 +121,22 @@ def qljm_expr(total_cf: float, lam: float = JM_LAMBDA):
     )
 
 
+def inl2_expr(n_docs: float, avgdl: float, c: float = PL2_C):
+    """InL2 (Amati & van Rijsbergen 2002, Terrier rendering): inverse
+    document frequency model with Laplace after-effect and 2nd
+    normalization — score_t = (tfn * log2((N+1)/(df+0.5))) / (tfn+1),
+    tfn = tf*log2(1 + c*avgdl/dl). Strictly positive and per-term
+    monotone (+tf, -dl through tfn; df fixed), so the pruned kernel's
+    corner bounds are exact and WAND-style skipping applies."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    df = F.col("df").cast("double")
+    tfn = tf * _log2(1.0 + F.lit(float(c)) * F.lit(float(avgdl)) / dl)
+    return (
+        tfn * _log2((F.lit(float(n_docs)) + 1.0) / (df + 0.5))
+    ) / (tfn + 1.0)
+
+
 def pl2_expr(n_docs: float, avgdl: float, c: float = PL2_C):
     """PL2 partial score over (tf, doc_len, cf) columns."""
     tf = F.col("tf").cast("double")
@@ -177,6 +193,14 @@ def qljm_np(tf, dl, cf, total_cf, lam: float = JM_LAMBDA):
     return np.log(1.0 + lam * tf * total_cf / ((1.0 - lam) * cf * dl))
 
 
+def inl2_np(tf, dl, df, n_docs, avgdl, c: float = PL2_C):
+    tf = np.asarray(tf, np.float64)
+    dl = np.asarray(dl, np.float64)
+    df = np.asarray(df, np.float64)
+    tfn = tf * _log2_np(1.0 + c * avgdl / dl)
+    return (tfn * _log2_np((n_docs + 1.0) / (df + 0.5))) / (tfn + 1.0)
+
+
 def pl2_np(tf, dl, cf, n_docs, avgdl, c: float = PL2_C):
     tf = np.asarray(tf, np.float64)
     dl = np.asarray(dl, np.float64)
@@ -217,6 +241,8 @@ def scorer_expr(name: str, n_docs: float, avgdl: float, total_cf: float):
         return qld_expr(total_cf)
     if name == "qljm":
         return qljm_expr(total_cf)
+    if name == "inl2":
+        return inl2_expr(n_docs, avgdl)
     if name == "pl2":
         return pl2_expr(n_docs, avgdl)
     if name == "dph":
@@ -224,7 +250,7 @@ def scorer_expr(name: str, n_docs: float, avgdl: float, total_cf: float):
     raise ValueError(f"unknown scorer: {name!r}")
 
 
-SCORERS = ("bm25", "bm25plus", "qld", "qljm", "pl2", "dph")
+SCORERS = ("bm25", "bm25plus", "qld", "qljm", "inl2", "pl2", "dph")
 
 
 def term_stats_full(tf_df: DataFrame) -> DataFrame:

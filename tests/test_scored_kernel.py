@@ -46,7 +46,7 @@ QUERIES = [
 ]
 
 
-@pytest.mark.parametrize("scorer", ["bm25", "bm25plus", "qld", "qljm", "pl2", "dph"])
+@pytest.mark.parametrize("scorer", ["bm25", "bm25plus", "inl2", "qld", "qljm", "pl2", "dph"])
 def test_kernel_matches_relational(built, spark, scorer):
     postings, tf, n_docs, avgdl, total_cf = built
     got = scored_topk_pruned(
@@ -68,7 +68,7 @@ def test_kernel_matches_relational(built, spark, scorer):
     assert _norm(got) == _norm(want), scorer
 
 
-@pytest.mark.parametrize("scorer", ["bm25", "bm25plus", "qld", "qljm", "pl2", "dph"])
+@pytest.mark.parametrize("scorer", ["bm25", "bm25plus", "inl2", "qld", "qljm", "pl2", "dph"])
 def test_two_phase_pruning_is_exact(built, scorer):
     """Thresholded phase-2 (block masks active for the corner-monotone
     scorers, pass-through for pl2/dph) returns the identical top-k —

@@ -14,6 +14,7 @@ from pisa_spark.query.scorers import (
     SCORERS,
     bm25plus_np,
     dph_np,
+    inl2_np,
     pl2_np,
     postings_to_tf,
     qld_np,
@@ -54,7 +55,12 @@ def _np_scores(tf_rows, stats_rows, scorer, n_docs, avgdl, total_cf):
             np.array([r["doc_len"]]),
             np.array([cf[t]]),
         )
-        if scorer == "bm25plus":
+        if scorer == "inl2":
+            s = inl2_np(
+                np.array([r["tf"]]), np.array([r["doc_len"]]),
+                np.array([dfreq[t]]), n_docs, avgdl,
+            )[0]
+        elif scorer == "bm25plus":
             s = bm25plus_np(
                 np.array([r["tf"]]), np.array([r["doc_len"]]),
                 np.array([dfreq[t]]), n_docs, avgdl,
@@ -71,7 +77,7 @@ def _np_scores(tf_rows, stats_rows, scorer, n_docs, avgdl, total_cf):
     return out
 
 
-@pytest.mark.parametrize("scorer", ["bm25plus", "qld", "qljm", "pl2", "dph"])
+@pytest.mark.parametrize("scorer", ["bm25plus", "inl2", "qld", "qljm", "pl2", "dph"])
 def test_expr_matches_numpy_twin(spark, corpus, scorer):
     toks, tf, n_docs, avgdl, total_cf = corpus
     stats = term_stats_full(tf)
@@ -102,7 +108,7 @@ def test_dph_one_term_doc_scores_zero(spark, corpus):
     assert math.isfinite(out[0]["score"])
 
 
-@pytest.mark.parametrize("scorer", ["bm25plus", "qld", "qljm", "pl2", "dph"])
+@pytest.mark.parametrize("scorer", ["bm25plus", "inl2", "qld", "qljm", "pl2", "dph"])
 def test_topk_ranks_match_numpy(spark, corpus, scorer):
     toks, tf, n_docs, avgdl, total_cf = corpus
     qdf = spark.createDataFrame(
