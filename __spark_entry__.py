@@ -6333,6 +6333,108 @@ def _bm25_bo1_df(
     )
 
 
+# deterministic explicit judgments for the Rocchio gate: fixed doc-id
+# lists per query (the caller-supplied shape, pinned for the twin)
+_ROCCHIO_REL = [(qid, d) for qid, _ in _OR_QUERIES
+                for d in (3 * qid, 3 * qid + 30, 3 * qid + 60)]
+_ROCCHIO_NREL = [(qid, d) for qid, _ in _OR_QUERIES
+                 for d in (3 * qid + 1, 3 * qid + 31)]
+
+
+def _rocchio_gate(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Rocchio explicit relevance feedback (query/feedback.py
+    rocchio_topk) with fixed judged sets."""
+    from pisa_spark.query.feedback import rocchio_topk
+
+    n_docs, avgdl = _stats(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in _OR_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    rel = spark.createDataFrame(_ROCCHIO_REL, "query_id int, doc_id long")
+    nrel = spark.createDataFrame(_ROCCHIO_NREL, "query_id int, doc_id long")
+    out = rocchio_topk(
+        _tf_full(spark, sf_dir), qdf, rel, nrel, n_docs, avgdl, k=k
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 4).alias("score")
+    )
+
+
+def _rocchio_sql(qs, k: int = 10, fb_terms: int = 5) -> str:
+    rel_vals = ", ".join(f"({q}, {d})" for q, d in _ROCCHIO_REL)
+    nrel_vals = ", ".join(f"({q}, {d})" for q, d in _ROCCHIO_NREL)
+    return f"""
+{_SQL_BASE},
+q(query_id, term) AS (VALUES {_values_clause(qs)}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+rel(query_id, doc_id) AS (VALUES {rel_vals}),
+nrel(query_id, doc_id) AS (VALUES {nrel_vals}),
+reln AS (SELECT query_id, count(*) AS n_j FROM rel GROUP BY query_id),
+nreln AS (SELECT query_id, count(*) AS n_j FROM nrel GROUP BY query_id),
+prel AS (
+  SELECT r.query_id, tf.term,
+         sum(tf.tf * 1.0 / doclen.doc_len) / max(rn.n_j) AS p_rel
+  FROM rel r
+  JOIN tf ON tf.doc_id = r.doc_id
+  JOIN doclen ON doclen.doc_id = tf.doc_id
+  JOIN reln rn ON rn.query_id = r.query_id
+  GROUP BY r.query_id, tf.term
+),
+pnon AS (
+  SELECT r.query_id, tf.term,
+         sum(tf.tf * 1.0 / doclen.doc_len) / max(rn.n_j) AS p_non
+  FROM nrel r
+  JOIN tf ON tf.doc_id = r.doc_id
+  JOIN doclen ON doclen.doc_id = tf.doc_id
+  JOIN nreln rn ON rn.query_id = r.query_id
+  GROUP BY r.query_id, tf.term
+),
+ww AS (
+  SELECT p.query_id, p.term,
+         round(0.75 * p.p_rel
+               - 0.15 * COALESCE(n.p_non, CAST(0.0 AS DOUBLE)), 9) AS w
+  FROM prel p
+  LEFT JOIN pnon n ON n.query_id = p.query_id AND n.term = p.term
+),
+exp AS (
+  SELECT query_id, term, w FROM (
+    SELECT query_id, term, w,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY w DESC, term ASC) AS rnk
+    FROM ww WHERE w > 0
+  ) WHERE rnk <= {fb_terms}
+),
+orig AS (
+  SELECT q.query_id, q.term, 1.0 / qn.n_terms AS p_orig
+  FROM q JOIN qn USING (query_id)
+),
+merged AS (
+  SELECT COALESCE(o.query_id, e.query_id) AS query_id,
+         COALESCE(o.term, e.term) AS term,
+         1.0 * COALESCE(o.p_orig, CAST(0.0 AS DOUBLE))
+         + COALESCE(e.w, CAST(0.0 AS DOUBLE)) AS v
+  FROM orig o FULL OUTER JOIN exp e
+    ON o.query_id = e.query_id AND o.term = e.term
+),
+p2 AS (
+  SELECT m.query_id, tf.doc_id, sum(m.v * ({_BM25_TERM_EXPR})) AS raw_score
+  FROM tf
+  JOIN merged m ON m.term = tf.term
+  JOIN dfreq ON dfreq.term = tf.term
+  JOIN doclen ON doclen.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY m.query_id, tf.doc_id
+)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, round(raw_score, 4) AS score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM p2
+) WHERE rank <= {k}
+"""
+
+
 def _dedup_cluster_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS -> CLUSTERS: connected components over the
     one-call MinHash->LSH->Jaccard pipeline's verified pairs, min-id
@@ -7473,6 +7575,7 @@ _GATE_ORDER = [
     "autocomplete_terms",
     "facet_histogram",
     "cluster_topic_labels",
+    "bm25_rocchio_topk",
     "bm25_kgram_topk",
     "bm25_tiered_topk",
     "collection_law_fits",
@@ -7485,7 +7588,6 @@ _GATE_ORDER = [
     "taily_shard_stats",
     "qpp_predictors",
     "fusion_rrf_topk",
-    "fusion_combmnz_topk",
     "bpe_merge_table",
     "bpe_subword_stats",
     "trec_eval_metrics",
@@ -7515,11 +7617,14 @@ _GATE_ORDER = [
     # covers candidate gating) or driver-green in an earlier round
     # (qld/pl2/dph exhaustive r3; or/quant r3; deletes family r3).
     # All 163 gates were verified locally in one sweep (BENCH.md);
-    # these re-enter the head next round. search_result_clusters is
+    # these re-enter the head next round. fusion_combmnz_topk joined
+    # the block when bm25_rocchio_topk entered the head (fusion family
+    # in-window via fusion_rrf_topk). search_result_clusters is
     # SUBSUMED: cluster_topic_labels' oracle replays the entire
     # per-query k-means before labeling, so the clustering contract
     # is driver-verified through it.
     "search_result_clusters",
+    "fusion_combmnz_topk",
     "dsir_resample_topn",
     "bm25_near_filtered_topk",
     "bm25_phrase_deleted_topk",
@@ -7704,6 +7809,7 @@ def _queries_unordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_histogram": _histogram_gate,
         "search_result_clusters": _cluster_gate,
         "cluster_topic_labels": _cluster_labels_gate,
+        "bm25_rocchio_topk": _rocchio_gate,
         "bm25_kgram_topk": _bm25_kgram,
         "bm25_tiered_topk": _bm25_tiered,
         "bm25_filtered_topk": _bm25_filtered,
@@ -8322,6 +8428,7 @@ SELECT url, row_number() OVER (ORDER BY url) - 1 AS doc_id FROM pages
         "facet_histogram": _histogram_sql(_OR_QUERIES),
         "search_result_clusters": _cluster_sql(_OR_QUERIES),
         "cluster_topic_labels": _cluster_labels_sql(_OR_QUERIES),
+        "bm25_rocchio_topk": _rocchio_sql(_OR_QUERIES),
         "bm25_kgram_topk": _bm25_kgram_sql(_KGRAM_QUERIES),
         "bm25_tiered_topk": _bm25_sql(_TIERED_QUERIES, conjunctive=False),
         "bm25_filtered_topk": _bm25_filtered_sql(_FILTERED_QUERIES),

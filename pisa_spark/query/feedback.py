@@ -169,6 +169,122 @@ def weighted_bm25_topk(
     return topk_window(scored.select("query_id", "doc_id", "score"), k)
 
 
+def rocchio_expansion_terms(
+    tf_df: DataFrame,
+    queries_df: DataFrame,
+    rel_df: DataFrame,
+    nonrel_df: DataFrame | None = None,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    gamma: float = 0.15,
+    fb_terms: int = 5,
+) -> DataFrame:
+    """(query_id, term, v) — Rocchio EXPLICIT relevance feedback
+    (Rocchio 1971; the judged-docs counterpart to RM3/Bo1's pseudo
+    feedback), rendered over the same normalized-tf building block as
+    RM1 so all three expansions share one serving pass.
+
+    Pinned contract:
+
+    * per candidate term (any term of a judged RELEVANT doc):
+      ``w(t) = round(beta * mean_rel P(t|D) - gamma * mean_nonrel
+      P(t|D), 9)`` with P(t|D) = tf/dl (mean over the query's judged
+      sets; an empty nonrel set contributes 0) — the 9-dp round is
+      RM1's cross-engine selection pin;
+    * NEGATIVE weights clamp to 0 and never select (the standard
+      Rocchio floor — negative evidence demotes, it does not flip);
+    * expansion set: top ``fb_terms`` by (w DESC, term ASC) among
+      w > 0;
+    * final weights: v(t) = alpha * P_orig(t) + w(t) (P_orig = 1/|Q|
+      per distinct original term; full outer merge — originals always
+      survive).
+
+    rel_df / nonrel_df: (query_id, doc_id) judgments — |queries| x
+    judged rows, broadcast; the tf relation streams through map-side
+    joins exactly as in RM1."""
+    qterms = queries_df.select("query_id", "term").distinct()
+    qn = qterms.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+
+    def _mean_ptd(j: DataFrame, name: str) -> DataFrame:
+        n = j.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_j"))
+        return (
+            F.broadcast(j.select("query_id", "doc_id"))
+            .join(tf_df.select("doc_id", "term", "tf", "doc_len"), "doc_id")
+            .groupBy("query_id", "term")
+            .agg(F.sum(F.col("tf") / F.col("doc_len")).alias("s"))
+            .join(n, "query_id")
+            .select(
+                "query_id",
+                "term",
+                (F.col("s") / F.col("n_j")).alias(name),
+            )
+        )
+
+    pos = _mean_ptd(rel_df, "p_rel")
+    if nonrel_df is not None:
+        neg = _mean_ptd(nonrel_df, "p_non")
+        merged = pos.join(neg, ["query_id", "term"], "left").select(
+            "query_id",
+            "term",
+            F.round(
+                F.lit(float(beta)) * F.col("p_rel")
+                - F.lit(float(gamma))
+                * F.coalesce(F.col("p_non"), F.lit(0.0)),
+                9,
+            ).alias("w"),
+        )
+    else:
+        merged = pos.select(
+            "query_id",
+            "term",
+            F.round(F.lit(float(beta)) * F.col("p_rel"), 9).alias("w"),
+        )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("w").desc(), F.col("term").asc()
+    )
+    exp = (
+        merged.filter(F.col("w") > 0)
+        .withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= fb_terms)
+        .select("query_id", "term", "w")
+    )
+    orig = qterms.join(qn, "query_id").select(
+        "query_id", "term", (F.lit(1.0) / F.col("n_terms")).alias("p_orig")
+    )
+    return orig.join(exp, ["query_id", "term"], "full_outer").select(
+        "query_id",
+        "term",
+        (
+            F.lit(float(alpha)) * F.coalesce(F.col("p_orig"), F.lit(0.0))
+            + F.coalesce(F.col("w"), F.lit(0.0))
+        ).alias("v"),
+    )
+
+
+def rocchio_topk(
+    tf_df: DataFrame,
+    queries_df: DataFrame,
+    rel_df: DataFrame,
+    nonrel_df: DataFrame | None = None,
+    n_docs: float = 0.0,
+    avgdl: float = 0.0,
+    k: int = 10,
+    alpha: float = 1.0,
+    beta: float = 0.75,
+    gamma: float = 0.15,
+    fb_terms: int = 5,
+    df_df: DataFrame | None = None,
+) -> DataFrame:
+    """Rocchio retrieval: explicit-feedback expansion, then the shared
+    weighted-BM25 pass. Judged docs that are also in the result space
+    rank normally — Rocchio reweights, it does not filter."""
+    v = rocchio_expansion_terms(
+        tf_df, queries_df, rel_df, nonrel_df,
+        alpha, beta, gamma, fb_terms,
+    )
+    return weighted_bm25_topk(tf_df, v, n_docs, avgdl, k, df_df=df_df)
+
+
 _LOG2E = 1.4426950408889634  # log2 pinned as ln(x)*LOG2E, like query/qpp.py
 
 

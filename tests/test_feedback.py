@@ -310,3 +310,78 @@ def test_persist_tf_changes_nothing(spark):
             for r in fn(tf, q, 4, 10.0, k=10, persist_tf=True).collect()
         )
         assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Rocchio explicit relevance feedback
+# ---------------------------------------------------------------------------
+
+def _rocchio_frames(spark):
+    rows = [
+        (0, "apple", 2, 10),
+        (0, "pear", 5, 10),
+        (1, "apple", 1, 10),
+        (1, "plum", 4, 10),
+        (2, "spam", 6, 10),
+        (2, "apple", 1, 10),
+        (9, "kiwi", 3, 10),
+    ]
+    tf = _tf(spark, rows)
+    q = _q(spark, [(0, "apple")])
+    rel = spark.createDataFrame([(0, 0), (0, 1)], "query_id int, doc_id long")
+    nrel = spark.createDataFrame([(0, 2)], "query_id int, doc_id long")
+    return tf, q, rel, nrel
+
+
+def test_rocchio_weights_match_witness(spark):
+    from pisa_spark.query.feedback import rocchio_expansion_terms
+
+    tf, q, rel, nrel = _rocchio_frames(spark)
+    v = {
+        r["term"]: r["v"]
+        for r in rocchio_expansion_terms(tf, q, rel, nrel).collect()
+    }
+    # candidates are rel-doc terms: apple (2/10+1/10)/2=0.15,
+    # pear 0.25, plum 0.2; nonrel doc 2: spam 0.6, apple 0.1
+    w = {
+        "apple": round(0.75 * 0.15 - 0.15 * 0.1, 9),
+        "pear": round(0.75 * 0.25, 9),
+        "plum": round(0.75 * 0.2, 9),
+    }
+    assert math.isclose(v["apple"], 1.0 + w["apple"], rel_tol=1e-9)
+    assert math.isclose(v["pear"], w["pear"], rel_tol=1e-9)
+    assert math.isclose(v["plum"], w["plum"], rel_tol=1e-9)
+    # 'spam' only in the nonrel doc: not a candidate, never expanded
+    assert "spam" not in v
+    assert "kiwi" not in v
+
+
+def test_rocchio_negative_weights_clamp(spark):
+    from pisa_spark.query.feedback import rocchio_expansion_terms
+
+    tf, q, rel, _ = _rocchio_frames(spark)
+    # make the nonrel evidence overwhelm: gamma > beta on a term both
+    # sides share -> its w would be negative -> must not select
+    nrel = spark.createDataFrame([(0, 0)], "query_id int, doc_id long")
+    v = {
+        r["term"]: r["v"]
+        for r in rocchio_expansion_terms(
+            tf, q, rel, nrel, beta=0.1, gamma=5.0
+        ).collect()
+    }
+    # apple and pear go negative and clamp (apple keeps only the
+    # original-query component); plum has no nonrel evidence and
+    # survives with its positive beta term
+    assert math.isclose(v["apple"], 1.0, rel_tol=1e-9)
+    assert "pear" not in v
+    assert math.isclose(v["plum"], round(0.1 * 0.2, 9), rel_tol=1e-9)
+
+
+def test_rocchio_topk_recalls_through_expansion(spark):
+    from pisa_spark.query.feedback import rocchio_topk
+
+    tf, q, rel, nrel = _rocchio_frames(spark)
+    out = rocchio_topk(tf, q, rel, nrel, 5, 10.0, k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 9 not in ids  # kiwi doc shares nothing with the expansion
+    assert 0 in ids and 1 in ids
